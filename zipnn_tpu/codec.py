@@ -1,0 +1,271 @@
+"""Chunked byte-group + entropy container codec.
+
+This is the equivalent of the reference C core (csrc/zipnn_core.c): it turns
+a flat byte buffer into the ``.znn`` payload
+
+```
+[chunk-type table  uint8  [num_buf][num_chunks]]   0 = raw, 1 = Huffman
+[cumulative sizes  uint64 [num_buf][num_chunks]]   per-plane running totals
+[plane 0 compressed chunks ‖ plane 1 ‖ ...]        chunk order within plane
+```
+
+and back.  Layout per zipnn_core.c:105-153 (writer) and :927-1028 (reader);
+cumulative sizes are little-endian 64-bit (the reference writes native
+``size_t`` and is only ever built little-endian).
+
+Engines:
+
+* ``numpy``  — pure-Python/numpy golden model (this module).
+* ``native`` — multithreaded C++ core (zipnn_tpu.native), used when built.
+* ``tpu``    — JAX/Pallas device pipeline (zipnn_tpu.ops.jax_codec).
+
+All engines produce byte-identical containers and are cross-validated in
+tests/.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .ops import byte_group
+from .ops.entropy import huf
+
+DEFAULT_THRESHOLD = 0.95
+HUF_CAP = 128 * 1024  # HUF block limit; planes larger than this store raw
+
+
+def effective_chunk(compression_chunk: int, num_buf: int) -> int:
+    """fp8 (single-plane) chunks are capped at the 128 KB HUF block limit
+    (reference zipnn.py:721)."""
+    if num_buf == 1:
+        return min(HUF_CAP, compression_chunk)
+    return compression_chunk
+
+
+def num_chunks_for(length: int, chunk_size: int) -> int:
+    return (length + chunk_size - 1) // chunk_size
+
+
+# ---------------------------------------------------------------------------
+# compress
+# ---------------------------------------------------------------------------
+
+def compress_payload_numpy(
+    data: np.ndarray,
+    num_buf: int,
+    bit_reorder: int,
+    byte_reorder: int,
+    chunk_size: int,
+    threshold: float = DEFAULT_THRESHOLD,
+) -> bytes:
+    """Compress a flat uint8 buffer into the table+planes payload (no header)."""
+    data = np.ascontiguousarray(data, dtype=np.uint8).reshape(-1)
+    n = data.size
+    n_chunks = num_chunks_for(n, chunk_size)
+
+    chunk_types = np.zeros((num_buf, n_chunks), dtype=np.uint8)
+    chunk_sizes = np.zeros((num_buf, n_chunks), dtype=np.uint64)
+    plane_blobs: List[List[bytes]] = [[] for _ in range(num_buf)]
+
+    for c in range(n_chunks):
+        chunk = data[c * chunk_size : min((c + 1) * chunk_size, n)]
+        planes = byte_group.split(chunk, num_buf, byte_reorder, bit_reorder)
+        for b in range(num_buf):
+            plane = planes[b]
+            comp = huf.compress(plane)
+            if comp is not None and len(comp) < plane.size * threshold:
+                chunk_types[b, c] = 1
+                chunk_sizes[b, c] = len(comp)
+                plane_blobs[b].append(comp)
+            else:
+                chunk_types[b, c] = 0
+                chunk_sizes[b, c] = plane.size
+                plane_blobs[b].append(plane.tobytes())
+
+    cumulative = np.cumsum(chunk_sizes, axis=1, dtype=np.uint64)
+    parts = [chunk_types.tobytes(), cumulative.astype("<u8").tobytes()]
+    for b in range(num_buf):
+        parts.extend(plane_blobs[b])
+    return b"".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# decompress
+# ---------------------------------------------------------------------------
+
+def parse_tables(
+    payload, num_buf: int, n_chunks: int
+) -> Tuple[np.ndarray, np.ndarray, int]:
+    """Parse chunk-type + cumulative-size tables.
+
+    Returns (types [num_buf, n_chunks], start_offsets [num_buf, n_chunks+1]
+    relative to each plane's data region, data_start offset in payload).
+    """
+    mv = memoryview(payload)
+    t_len = num_buf * n_chunks
+    s_len = num_buf * n_chunks * 8
+    types = np.frombuffer(mv[:t_len], dtype=np.uint8).reshape(num_buf, n_chunks).copy()
+    cumulative = (
+        np.frombuffer(mv[t_len : t_len + s_len], dtype="<u8")
+        .reshape(num_buf, n_chunks)
+        .astype(np.int64)
+    )
+    starts = np.zeros((num_buf, n_chunks + 1), dtype=np.int64)
+    starts[:, 1:] = cumulative
+    return types, starts, t_len + s_len
+
+
+def plane_chunk_lengths(
+    orig_size: int, chunk_size: int, num_buf: int, byte_reorder: int
+) -> np.ndarray:
+    """Uncompressed length of every (plane, chunk) cell, [num_buf, n_chunks].
+
+    Reproduces the reference reader's layout math (zipnn_core.c:914-928,
+    1006-1028): full chunks contribute ``chunk_size // num_buf`` per plane,
+    and the last chunk's remainder is distributed one byte at a time to the
+    leading planes.
+    """
+    n_chunks = num_chunks_for(orig_size, chunk_size)
+    out = np.zeros((num_buf, max(n_chunks, 0)), dtype=np.int64)
+    if n_chunks == 0:
+        return out
+    out[:, :-1] = chunk_size // num_buf
+    last = orig_size - chunk_size * (n_chunks - 1)
+    out[:, -1] = byte_group.plane_lengths(last, num_buf, byte_reorder)
+    return out
+
+
+def decompress_payload_numpy(
+    payload,
+    num_buf: int,
+    bit_reorder: int,
+    byte_reorder: int,
+    chunk_size: int,
+    orig_size: int,
+) -> np.ndarray:
+    """Decompress the table+planes payload back to a flat uint8 buffer."""
+    n_chunks = num_chunks_for(orig_size, chunk_size)
+    out = np.empty(orig_size, dtype=np.uint8)
+    if n_chunks == 0:
+        return out
+
+    types, starts, data_start = parse_tables(payload, num_buf, n_chunks)
+    decomp_lens = plane_chunk_lengths(orig_size, chunk_size, num_buf, byte_reorder)
+    mv = memoryview(payload)
+
+    # plane data regions are laid out back to back
+    plane_base = np.zeros(num_buf, dtype=np.int64)
+    for b in range(1, num_buf):
+        plane_base[b] = plane_base[b - 1] + starts[b - 1, n_chunks]
+
+    for c in range(n_chunks):
+        chunk_len = min(chunk_size, orig_size - c * chunk_size)
+        planes = []
+        for b in range(num_buf):
+            lo = data_start + plane_base[b] + starts[b, c]
+            hi = data_start + plane_base[b] + starts[b, c + 1]
+            blob = mv[lo:hi]
+            want = int(decomp_lens[b, c])
+            if types[b, c] == 0:
+                if hi - lo != want:
+                    raise ValueError(
+                        f"raw chunk size mismatch: plane {b} chunk {c}: {hi - lo} != {want}"
+                    )
+                planes.append(np.frombuffer(blob, dtype=np.uint8))
+            elif types[b, c] == 1:
+                planes.append(huf.decompress(blob, want))
+            else:
+                raise ValueError(f"unknown chunk type {types[b, c]}")
+        byte_group.combine(
+            planes,
+            chunk_len,
+            num_buf,
+            byte_reorder,
+            bit_reorder,
+            out=out[c * chunk_size : c * chunk_size + chunk_len],
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# engine dispatch
+# ---------------------------------------------------------------------------
+
+_NATIVE = None
+_NATIVE_TRIED = False
+
+
+def _native():
+    global _NATIVE, _NATIVE_TRIED
+    if not _NATIVE_TRIED:
+        _NATIVE_TRIED = True
+        try:
+            from . import native  # noqa: PLC0415
+
+            _NATIVE = native
+        except Exception:
+            _NATIVE = None
+    return _NATIVE
+
+
+def resolve_engine(engine: str) -> str:
+    if engine == "auto":
+        return "native" if _native() is not None else "numpy"
+    return engine
+
+
+def compress_payload(
+    data: np.ndarray,
+    num_buf: int,
+    bit_reorder: int,
+    byte_reorder: int,
+    chunk_size: int,
+    threshold: float = DEFAULT_THRESHOLD,
+    threads: int = 0,
+    engine: str = "auto",
+) -> bytes:
+    engine = resolve_engine(engine)
+    if engine == "numpy":
+        return compress_payload_numpy(
+            data, num_buf, bit_reorder, byte_reorder, chunk_size, threshold
+        )
+    if engine == "native":
+        return _native().compress_payload(
+            data, num_buf, bit_reorder, byte_reorder, chunk_size, threshold, threads
+        )
+    if engine == "tpu":
+        from .ops import jax_codec  # noqa: PLC0415
+
+        return jax_codec.compress_payload(
+            data, num_buf, bit_reorder, byte_reorder, chunk_size, threshold
+        )
+    raise ValueError(f"unknown engine {engine!r}")
+
+
+def decompress_payload(
+    payload,
+    num_buf: int,
+    bit_reorder: int,
+    byte_reorder: int,
+    chunk_size: int,
+    orig_size: int,
+    threads: int = 0,
+    engine: str = "auto",
+) -> np.ndarray:
+    engine = resolve_engine(engine)
+    if engine == "numpy":
+        return decompress_payload_numpy(
+            payload, num_buf, bit_reorder, byte_reorder, chunk_size, orig_size
+        )
+    if engine == "native":
+        return _native().decompress_payload(
+            payload, num_buf, bit_reorder, byte_reorder, chunk_size, orig_size, threads
+        )
+    if engine == "tpu":
+        from .ops import jax_codec  # noqa: PLC0415
+
+        return jax_codec.decompress_payload(
+            payload, num_buf, bit_reorder, byte_reorder, chunk_size, orig_size
+        )
+    raise ValueError(f"unknown engine {engine!r}")
