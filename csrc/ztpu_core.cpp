@@ -1,0 +1,1297 @@
+// ztpu_core.cpp — native host codec for the .znn container format.
+//
+// From-scratch C++ implementation of the same pipeline as the Python golden
+// model (zipnn_tpu/codec.py): byte-plane grouping with sign-bit rotation
+// (reference semantics: csrc/data_manipulation_dtype16.c/dtype32.c), per-plane
+// HUF entropy coding with FSE-compressed weight tables (format per the
+// published zstd/FSE spec, RFC 8878 §4.1-4.2), chunk-type + cumulative-size
+// tables, and a std::thread pool pulling chunk ids off an atomic counter
+// (replacing the reference's pthreads design, zipnn_core.c:294-390).
+//
+// Exposed as a plain C ABI for ctypes (no CPython dependency).
+//
+// The encoder is engineered to be byte-identical to the numpy engine: same
+// histogram, same heap-Huffman + package-merge length assignment with the
+// same tie-breaks, same FSE normalization, same stream framing.  Tests
+// cross-validate both directions.
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <functional>
+#include <queue>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// small utils
+// ---------------------------------------------------------------------------
+
+static inline int highbit(uint32_t v) { return 31 - __builtin_clz(v); }
+
+static inline void write_le16(uint8_t* p, uint16_t v) { std::memcpy(p, &v, 2); }
+
+static inline uint64_t read_u64_unaligned(const uint8_t* p) {
+  uint64_t v;
+  std::memcpy(&v, p, 8);
+  return v;
+}
+
+static inline void write_u64_unaligned(uint8_t* p, uint64_t v) {
+  std::memcpy(p, &v, 8);
+}
+
+// ---------------------------------------------------------------------------
+// bit io (backward-stream convention; see ops/entropy/bitstream.py)
+// ---------------------------------------------------------------------------
+
+struct BitWriter {
+  uint64_t acc = 0;
+  unsigned nbits = 0;
+  std::vector<uint8_t> out;
+
+  inline void add(uint32_t value, unsigned n) {
+    acc |= (uint64_t)(value & ((1u << n) - 1)) << nbits;
+    nbits += n;
+    if (nbits >= 32) {
+      unsigned nbytes = nbits >> 3;
+      size_t o = out.size();
+      out.resize(o + nbytes);
+      std::memcpy(&out[o], &acc, nbytes);
+      acc >>= nbytes * 8;
+      nbits &= 7;
+    }
+  }
+  // close with sentinel bit
+  std::vector<uint8_t> close() {
+    add(1, 1);
+    if (nbits) {
+      unsigned nbytes = (nbits + 7) >> 3;
+      size_t o = out.size();
+      out.resize(o + nbytes);
+      std::memcpy(&out[o], &acc, nbytes);
+      acc = 0;
+      nbits = 0;
+    }
+    return std::move(out);
+  }
+  // pad to byte, no sentinel (ncount headers)
+  std::vector<uint8_t> finish() {
+    if (nbits) {
+      unsigned nbytes = (nbits + 7) >> 3;
+      size_t o = out.size();
+      out.resize(o + nbytes);
+      std::memcpy(&out[o], &acc, nbytes);
+      acc = 0;
+      nbits = 0;
+    }
+    return std::move(out);
+  }
+};
+
+// Backward reader: container always holds the 8 bytes at `ptr`; peeks take
+// the top bits.  Never reads outside [start, end).
+struct BackwardReader {
+  uint64_t container = 0;
+  unsigned bits_consumed = 0;
+  unsigned virtual_pad = 0;  // phantom zero bits below a short (<8 B) stream
+  const uint8_t* ptr = nullptr;
+  const uint8_t* start = nullptr;
+  bool ok = true;
+
+  void init(const uint8_t* src, size_t size) {
+    start = src;
+    if (size == 0 || src[size - 1] == 0) {
+      ok = false;
+      return;
+    }
+    int hb = highbit(src[size - 1]);
+    if (size >= 8) {
+      ptr = src + size - 8;
+      container = read_u64_unaligned(ptr);
+      bits_consumed = 8 - hb;
+    } else {
+      ptr = src;
+      container = 0;
+      for (size_t i = 0; i < size; i++) container |= (uint64_t)src[i] << (8 * i);
+      container <<= (8 - size) * 8;  // last byte at the container MSB
+      virtual_pad = (unsigned)((8 - size) * 8);
+      bits_consumed = 8 - hb;
+    }
+  }
+  inline uint32_t peek(unsigned n) const {
+    unsigned bc = bits_consumed < 63 ? bits_consumed : 63;
+    return (uint32_t)((container << bc) >> (64 - n));
+  }
+  inline void skip(unsigned n) { bits_consumed += n; }
+  inline uint32_t read(unsigned n) {
+    uint32_t v = n ? peek(n) : 0;
+    skip(n);
+    return v;
+  }
+  inline void reload() {
+    if (bits_consumed <= 7) return;
+    unsigned nb = bits_consumed >> 3;
+    size_t avail = (size_t)(ptr - start);
+    if (nb > avail) nb = (unsigned)avail;
+    if (!nb) return;
+    ptr -= nb;
+    bits_consumed -= nb * 8;
+    container = read_u64_unaligned(ptr);
+  }
+  inline bool exhausted_exactly() const {
+    return ptr == start && bits_consumed == 64 - virtual_pad;
+  }
+  inline long long bits_left() const {
+    return (long long)(ptr - start) * 8 + 64 - (long long)virtual_pad -
+           (long long)bits_consumed;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// FSE (for HUF weight tables)
+// ---------------------------------------------------------------------------
+
+constexpr int FSE_MIN_TABLELOG = 5;
+constexpr int FSE_MAX_TABLELOG = 15;
+
+static int fse_min_table_log(size_t src_size, unsigned max_sv) {
+  int a = src_size > 1 ? highbit((uint32_t)(src_size - 1)) + 1 : 1;
+  int b = max_sv ? highbit(max_sv) + 2 : 2;
+  return a < b ? a : b;
+}
+
+static int fse_optimal_table_log(int max_tl, size_t src_size, unsigned max_sv, int minus) {
+  int tl = max_tl;
+  int max_bits_src = src_size > 1 ? highbit((uint32_t)(src_size - 1)) - minus : 1;
+  if (max_bits_src < tl) tl = max_bits_src;
+  int mb = fse_min_table_log(src_size, max_sv);
+  if (mb > tl) tl = mb;
+  if (tl < FSE_MIN_TABLELOG) tl = FSE_MIN_TABLELOG;
+  if (tl > FSE_MAX_TABLELOG) tl = FSE_MAX_TABLELOG;
+  return tl;
+}
+
+static const uint32_t kRtb[8] = {0, 473195, 504333, 520860, 550000, 700000, 750000, 830000};
+
+// returns false on failure
+static bool fse_normalize(const uint32_t* count, int table_log, size_t total,
+                          unsigned max_sv, int16_t* norm) {
+  uint64_t scale = 62 - table_log;
+  uint64_t step = ((uint64_t)1 << 62) / total;
+  uint64_t v_step = (uint64_t)1 << (scale - 20);
+  int64_t still = (int64_t)1 << table_log;
+  unsigned largest = 0;
+  int16_t largest_p = 0;
+  uint32_t low_threshold = (uint32_t)(total >> table_log);
+  for (unsigned s = 0; s <= max_sv; s++) norm[s] = 0;
+  for (unsigned s = 0; s <= max_sv; s++) {
+    uint32_t c = count[s];
+    if (c == total) return false;  // rle should not reach here
+    if (c == 0) continue;
+    if (c <= low_threshold) {
+      norm[s] = -1;
+      still -= 1;
+    } else {
+      int16_t proba = (int16_t)(((uint64_t)c * step) >> scale);
+      if (proba < 8) {
+        uint64_t rest_to_beat = v_step * kRtb[proba];
+        if ((uint64_t)c * step - ((uint64_t)proba << scale) > rest_to_beat) proba++;
+      }
+      if (proba > largest_p) {
+        largest_p = proba;
+        largest = s;
+      }
+      norm[s] = proba;
+      still -= proba;
+    }
+  }
+  if (-still >= (norm[largest] >> 1)) {
+    // fallback distribution (normalizeM2 equivalent)
+    const int16_t NOT_YET = -2;
+    unsigned distributed = 0;
+    size_t rem_total = total;
+    uint32_t low_one = (uint32_t)((total * 3) >> (table_log + 1));
+    for (unsigned s = 0; s <= max_sv; s++) norm[s] = 0;
+    for (unsigned s = 0; s <= max_sv; s++) {
+      uint32_t c = count[s];
+      if (c == 0) continue;
+      if (c <= low_threshold) {
+        norm[s] = -1;
+        distributed++;
+        rem_total -= c;
+      } else if (c <= low_one) {
+        norm[s] = 1;
+        distributed++;
+        rem_total -= c;
+      } else {
+        norm[s] = NOT_YET;
+      }
+    }
+    int64_t to_distribute = ((int64_t)1 << table_log) - distributed;
+    if (to_distribute == 0) goto done_m2;
+    if (to_distribute && (int64_t)(rem_total / to_distribute) > low_one) {
+      low_one = (uint32_t)((rem_total * 3) / (to_distribute * 2));
+      for (unsigned s = 0; s <= max_sv; s++) {
+        if (norm[s] == NOT_YET && count[s] <= low_one) {
+          norm[s] = 1;
+          distributed++;
+          rem_total -= count[s];
+        }
+      }
+      to_distribute = ((int64_t)1 << table_log) - distributed;
+    }
+    if (distributed == max_sv + 1) {
+      unsigned max_v = 0;
+      uint32_t max_c = 0;
+      for (unsigned s = 0; s <= max_sv; s++)
+        if (count[s] > max_c) {
+          max_c = count[s];
+          max_v = s;
+        }
+      norm[max_v] = (int16_t)(norm[max_v] + to_distribute);
+      goto done_m2;
+    }
+    if (rem_total == 0) {
+      unsigned s = 0;
+      while (to_distribute > 0) {
+        if (norm[s] > 0) {
+          norm[s]++;
+          to_distribute--;
+        }
+        s = (s + 1) % (max_sv + 1);
+      }
+      goto done_m2;
+    }
+    {
+      uint64_t v_step_log = 62 - table_log;
+      uint64_t mid = ((uint64_t)1 << (v_step_log - 1)) - 1;
+      uint64_t r_step = ((((uint64_t)1 << v_step_log) * to_distribute) + mid) / rem_total;
+      uint64_t tmp_total = mid;
+      for (unsigned s = 0; s <= max_sv; s++) {
+        if (norm[s] == NOT_YET) {
+          uint64_t end = tmp_total + count[s] * r_step;
+          uint32_t s_start = (uint32_t)(tmp_total >> v_step_log);
+          uint32_t s_end = (uint32_t)(end >> v_step_log);
+          uint32_t weight = s_end - s_start;
+          if (weight < 1) return false;
+          norm[s] = (int16_t)weight;
+          tmp_total = end;
+        }
+      }
+    }
+  done_m2:
+    for (unsigned s = 0; s <= max_sv; s++)
+      if (norm[s] == NOT_YET) return false;
+    return true;
+  }
+  norm[largest] = (int16_t)(norm[largest] + still);
+  return true;
+}
+
+static bool fse_write_ncount(const int16_t* norm, unsigned max_sv, int table_log,
+                             std::vector<uint8_t>& out) {
+  BitWriter w;
+  int table_size = 1 << table_log;
+  w.add(table_log - FSE_MIN_TABLELOG, 4);
+  int remaining = table_size + 1;
+  int threshold = table_size;
+  int nb_bits = table_log + 1;
+  unsigned symbol = 0;
+  unsigned alphabet = max_sv + 1;
+  bool prev0 = false;
+  while (symbol < alphabet && remaining > 1) {
+    if (prev0) {
+      unsigned start = symbol;
+      while (symbol < alphabet && !norm[symbol]) symbol++;
+      if (symbol == alphabet) return false;
+      while (symbol >= start + 24) {
+        start += 24;
+        w.add(0xFFFF, 16);
+      }
+      while (symbol >= start + 3) {
+        start += 3;
+        w.add(3, 2);
+      }
+      w.add(symbol - start, 2);
+    }
+    int count = norm[symbol++];
+    int mx = (2 * threshold - 1) - remaining;
+    remaining -= count < 0 ? -count : count;
+    count++;
+    if (count >= threshold) count += mx;
+    w.add((uint32_t)count, nb_bits - (count < mx ? 1 : 0));
+    prev0 = (count == 1);
+    if (remaining < 1) return false;
+    while (remaining < threshold) {
+      nb_bits--;
+      threshold >>= 1;
+    }
+  }
+  if (remaining != 1) return false;
+  out = w.finish();
+  return true;
+}
+
+// forward LSB cursor for ncount reading
+struct LSBReader {
+  const uint8_t* data;
+  size_t len;
+  size_t pos = 0;  // bit position
+  uint32_t peek(unsigned n) const {
+    size_t first = pos >> 3;
+    uint64_t window = 0;
+    size_t last = (pos + n + 7) >> 3;
+    for (size_t i = first; i < last && i < len; i++)
+      window |= (uint64_t)data[i] << (8 * (i - first));
+    return (uint32_t)((window >> (pos - 8 * first)) & (((uint64_t)1 << n) - 1));
+  }
+  uint32_t read(unsigned n) {
+    uint32_t v = peek(n);
+    pos += n;
+    return v;
+  }
+};
+
+// returns bytes consumed, or -1 on error
+static int fse_read_ncount(const uint8_t* data, size_t len, int16_t* norm,
+                           unsigned max_limit, unsigned* max_sv_out, int* table_log_out) {
+  LSBReader rd{data, len};
+  int table_log = (int)rd.read(4) + FSE_MIN_TABLELOG;
+  if (table_log > FSE_MAX_TABLELOG) return -1;
+  int remaining = (1 << table_log) + 1;
+  int threshold = 1 << table_log;
+  int nb_bits = table_log + 1;
+  unsigned charnum = 0;
+  bool prev0 = false;
+  while (remaining > 1 && charnum <= max_limit) {
+    if (prev0) {
+      unsigned n0 = 0;
+      while (rd.peek(16) == 0xFFFF) {
+        rd.read(16);
+        n0 += 24;
+      }
+      while (rd.peek(2) == 3) {
+        rd.read(2);
+        n0 += 3;
+      }
+      n0 += rd.read(2);
+      if (charnum + n0 > max_limit) return -1;
+      for (unsigned i = 0; i < n0; i++) norm[charnum++] = 0;
+    }
+    int mx = (2 * threshold - 1) - remaining;
+    int count;
+    if ((int)(rd.peek(nb_bits - 1) & (threshold - 1)) < mx) {
+      count = (int)(rd.read(nb_bits - 1) & (threshold - 1));
+    } else {
+      count = (int)(rd.read(nb_bits) & (2 * threshold - 1));
+      if (count >= threshold) count -= mx;
+    }
+    count--;
+    remaining -= count < 0 ? -count : count;
+    norm[charnum++] = (int16_t)count;
+    prev0 = (count == 0);
+    while (remaining < threshold) {
+      nb_bits--;
+      threshold >>= 1;
+    }
+  }
+  if (remaining != 1) return -1;
+  int consumed = (int)((rd.pos + 7) >> 3);
+  if ((size_t)consumed > len) return -1;
+  *max_sv_out = charnum - 1;
+  *table_log_out = table_log;
+  return consumed;
+}
+
+struct FseTables {
+  int table_log;
+  std::vector<uint16_t> state_table;      // encode: next state
+  std::vector<int32_t> delta_nb_bits;     // encode per symbol
+  std::vector<int32_t> delta_find_state;  // encode per symbol
+  std::vector<uint8_t> d_symbol;          // decode per state
+  std::vector<uint8_t> d_nb_bits;
+  std::vector<uint16_t> d_new_state;
+};
+
+static bool fse_spread(const int16_t* norm, unsigned max_sv, int table_log,
+                       std::vector<uint8_t>& table_symbol) {
+  int table_size = 1 << table_log;
+  int mask = table_size - 1;
+  int step = (table_size >> 1) + (table_size >> 3) + 3;
+  table_symbol.assign(table_size, 0);
+  int high_threshold = table_size - 1;
+  for (unsigned s = 0; s <= max_sv; s++)
+    if (norm[s] == -1) table_symbol[high_threshold--] = (uint8_t)s;
+  int position = 0;
+  for (unsigned s = 0; s <= max_sv; s++) {
+    for (int i = 0; i < norm[s]; i++) {
+      table_symbol[position] = (uint8_t)s;
+      position = (position + step) & mask;
+      while (position > high_threshold) position = (position + step) & mask;
+    }
+  }
+  return position == 0;
+}
+
+static bool fse_build_tables(const int16_t* norm, unsigned max_sv, int table_log,
+                             bool want_encode, bool want_decode, FseTables& t) {
+  t.table_log = table_log;
+  int table_size = 1 << table_log;
+  std::vector<uint8_t> table_symbol;
+  if (!fse_spread(norm, max_sv, table_log, table_symbol)) return false;
+
+  if (want_encode) {
+    std::vector<int32_t> cumul(max_sv + 2, 0);
+    for (unsigned s = 0; s <= max_sv; s++)
+      cumul[s + 1] = cumul[s] + (norm[s] == -1 ? 1 : norm[s]);
+    t.state_table.assign(table_size, 0);
+    std::vector<int32_t> next_slot(cumul.begin(), cumul.end() - 1);
+    for (int u = 0; u < table_size; u++) {
+      uint8_t s = table_symbol[u];
+      t.state_table[next_slot[s]++] = (uint16_t)(table_size + u);
+    }
+    t.delta_nb_bits.assign(max_sv + 1, 0);
+    t.delta_find_state.assign(max_sv + 1, 0);
+    int total = 0;
+    for (unsigned s = 0; s <= max_sv; s++) {
+      int n = norm[s];
+      if (n == 0) {
+        t.delta_nb_bits[s] = ((table_log + 1) << 16) - table_size;
+      } else if (n == -1 || n == 1) {
+        t.delta_nb_bits[s] = (table_log << 16) - table_size;
+        t.delta_find_state[s] = total - 1;
+        total += 1;
+      } else {
+        int max_bits_out = table_log - highbit(n - 1);
+        int min_state_plus = n << max_bits_out;
+        t.delta_nb_bits[s] = (max_bits_out << 16) - min_state_plus;
+        t.delta_find_state[s] = total - n;
+        total += n;
+      }
+    }
+  }
+  if (want_decode) {
+    std::vector<uint16_t> symbol_next(max_sv + 1);
+    for (unsigned s = 0; s <= max_sv; s++) symbol_next[s] = norm[s] == -1 ? 1 : norm[s];
+    t.d_symbol.assign(table_size, 0);
+    t.d_nb_bits.assign(table_size, 0);
+    t.d_new_state.assign(table_size, 0);
+    for (int u = 0; u < table_size; u++) {
+      uint8_t s = table_symbol[u];
+      uint16_t next_state = symbol_next[s]++;
+      uint8_t nb = (uint8_t)(table_log - highbit(next_state));
+      t.d_symbol[u] = s;
+      t.d_nb_bits[u] = nb;
+      t.d_new_state[u] = (uint16_t)((next_state << nb) - table_size);
+    }
+  }
+  return true;
+}
+
+static inline int fse_init_state(const FseTables& t, unsigned symbol) {
+  int nb_out = (t.delta_nb_bits[symbol] + (1 << 15)) >> 16;
+  int value = (nb_out << 16) - t.delta_nb_bits[symbol];
+  return t.state_table[(value >> nb_out) + t.delta_find_state[symbol]];
+}
+
+static inline int fse_encode_symbol(BitWriter& w, const FseTables& t, int state,
+                                    unsigned symbol) {
+  unsigned nb_out = (unsigned)((state + t.delta_nb_bits[symbol]) >> 16);
+  w.add((uint32_t)state, nb_out);
+  return t.state_table[(state >> nb_out) + t.delta_find_state[symbol]];
+}
+
+// FSE-compress `data` (HUF weights).  Returns: 1 = written to out,
+// 0 = incompressible/RLE (store raw weights), -1 = error.
+static int fse_compress_weights(const uint8_t* data, size_t n, std::vector<uint8_t>& out) {
+  if (n <= 1) return 0;
+  uint32_t count[16] = {0};
+  unsigned max_sv = 0;
+  for (size_t i = 0; i < n; i++) {
+    if (data[i] > 12) return -1;
+    count[data[i]]++;
+  }
+  for (unsigned s = 0; s <= 12; s++)
+    if (count[s]) max_sv = s;
+  uint32_t max_count = *std::max_element(count, count + 13);
+  if (max_count == n) return 0;  // rle
+  if (max_count == 1) return 0;  // all unique
+  int table_log = fse_optimal_table_log(6, n, max_sv, 2);
+  int16_t norm[16];
+  if (!fse_normalize(count, table_log, n, max_sv, norm)) return 0;
+  std::vector<uint8_t> header;
+  if (!fse_write_ncount(norm, max_sv, table_log, header)) return 0;
+  FseTables t;
+  if (!fse_build_tables(norm, max_sv, table_log, true, false, t)) return 0;
+  if (n <= 2) return 0;
+  BitWriter w;
+  int c1, c2;
+  size_t ip;
+  if (n & 1) {
+    c1 = fse_init_state(t, data[n - 1]);
+    c2 = fse_init_state(t, data[n - 2]);
+    c1 = fse_encode_symbol(w, t, c1, data[n - 3]);
+    ip = n - 3;
+  } else {
+    c2 = fse_init_state(t, data[n - 1]);
+    c1 = fse_init_state(t, data[n - 2]);
+    ip = n - 2;
+  }
+  while (ip > 0) {
+    c2 = fse_encode_symbol(w, t, c2, data[ip - 1]);
+    c1 = fse_encode_symbol(w, t, c1, data[ip - 2]);
+    ip -= 2;
+  }
+  w.add((uint32_t)c2, table_log);
+  w.add((uint32_t)c1, table_log);
+  std::vector<uint8_t> payload = w.close();
+  out = std::move(header);
+  out.insert(out.end(), payload.begin(), payload.end());
+  return 1;
+}
+
+// decode FSE weights stream into out (size from stream end); returns count or -1
+static int fse_decompress_weights(const uint8_t* data, size_t len, uint8_t* out,
+                                  int max_out) {
+  int16_t norm[256];
+  unsigned max_sv;
+  int table_log;
+  int consumed = fse_read_ncount(data, len, norm, 255, &max_sv, &table_log);
+  if (consumed < 0) return -1;
+  FseTables t;
+  if (!fse_build_tables(norm, max_sv, table_log, false, true, t)) return -1;
+  BackwardReader rd;
+  rd.init(data + consumed, len - consumed);
+  if (!rd.ok) return -1;
+  long long bits_left = rd.bits_left();
+  int s1 = (int)rd.read(table_log);
+  rd.reload();
+  int s2 = (int)rd.read(table_log);
+  rd.reload();
+  bits_left -= 2 * table_log;
+  if (bits_left < 0) return -1;
+  int states[2] = {s1, s2};
+  int n = 0;
+  for (int i = 0;; i ^= 1) {
+    if (n > max_out) return -1;
+    int st = states[i];
+    out[n++] = t.d_symbol[st];
+    unsigned nb = t.d_nb_bits[st];
+    uint32_t bits = rd.read(nb);
+    bits_left -= nb;
+    if (bits_left < 0) {
+      if (n > max_out) return -1;
+      out[n++] = t.d_symbol[states[i ^ 1]];
+      break;
+    }
+    states[i] = t.d_new_state[st] + bits;
+    rd.reload();
+  }
+  return n;
+}
+
+// ---------------------------------------------------------------------------
+// HUF
+// ---------------------------------------------------------------------------
+
+constexpr int HUF_TABLELOG_MAX = 12;
+constexpr int HUF_TABLELOG_DEFAULT = 11;
+constexpr size_t HUF_BLOCKSIZE_MAX = 128 * 1024;
+
+// heap Huffman (same tie-breaks as the Python model: (freq, id) with
+// symbol ids < 256 and internal node ids counting up from 256)
+struct HeapNode {
+  uint64_t freq;
+  int id;
+  int left, right;  // -1 for leaves
+};
+
+static bool huffman_lengths(const uint32_t* count, uint8_t* lengths /*256*/,
+                            int* max_len_out) {
+  struct QEnt {
+    uint64_t freq;
+    int id;
+    int node;
+  };
+  struct Cmp {
+    bool operator()(const QEnt& a, const QEnt& b) const {
+      if (a.freq != b.freq) return a.freq > b.freq;
+      return a.id > b.id;
+    }
+  };
+  std::vector<HeapNode> nodes;
+  std::priority_queue<QEnt, std::vector<QEnt>, Cmp> pq;
+  for (int s = 0; s < 256; s++) {
+    if (count[s]) {
+      nodes.push_back({count[s], s, -1, -1});
+      pq.push({count[s], s, (int)nodes.size() - 1});
+    }
+  }
+  if (pq.size() < 2) return false;
+  int tick = 256;
+  while (pq.size() > 1) {
+    QEnt a = pq.top();
+    pq.pop();
+    QEnt b = pq.top();
+    pq.pop();
+    nodes.push_back({a.freq + b.freq, tick, a.node, b.node});
+    pq.push({a.freq + b.freq, tick, (int)nodes.size() - 1});
+    tick++;
+  }
+  // iterative depth walk; mirror python: children pushed (left, d+1) then
+  // (right, d+1), popped LIFO — order does not affect depths
+  std::memset(lengths, 0, 256);
+  int max_len = 0;
+  std::vector<std::pair<int, int>> stack;
+  stack.push_back({pq.top().node, 0});
+  while (!stack.empty()) {
+    auto [nd, d] = stack.back();
+    stack.pop_back();
+    const HeapNode& h = nodes[nd];
+    if (h.left < 0) {
+      int l = d > 1 ? d : 1;
+      lengths[h.id] = (uint8_t)l;
+      if (l > max_len) max_len = l;
+    } else {
+      stack.push_back({h.left, d + 1});
+      stack.push_back({h.right, d + 1});
+    }
+  }
+  *max_len_out = max_len;
+  return true;
+}
+
+// package-merge, boundary form; same ordering as python model
+static bool package_merge_lengths(const uint32_t* count, int max_len,
+                                  uint8_t* lengths /*256*/) {
+  struct Item {
+    uint64_t freq;
+    std::vector<uint8_t> syms;
+    bool operator<(const Item& o) const {
+      if (freq != o.freq) return freq < o.freq;
+      return syms < o.syms;
+    }
+  };
+  std::vector<Item> leaves;
+  for (int s = 0; s < 256; s++)
+    if (count[s]) leaves.push_back({count[s], {(uint8_t)s}});
+  size_t n = leaves.size();
+  if (n < 2 || ((size_t)1 << max_len) < n) return false;
+  std::sort(leaves.begin(), leaves.end());
+  std::vector<Item> prev;
+  for (int level = 0; level < max_len; level++) {
+    std::vector<Item> cur = leaves;
+    for (size_t i = 0; i + 1 < prev.size(); i += 2) {
+      Item merged;
+      merged.freq = prev[i].freq + prev[i + 1].freq;
+      merged.syms = prev[i].syms;
+      merged.syms.insert(merged.syms.end(), prev[i + 1].syms.begin(), prev[i + 1].syms.end());
+      cur.push_back(std::move(merged));
+    }
+    std::sort(cur.begin(), cur.end());
+    prev = std::move(cur);
+  }
+  std::memset(lengths, 0, 256);
+  for (size_t i = 0; i < 2 * (n - 1) && i < prev.size(); i++)
+    for (uint8_t s : prev[i].syms) lengths[s]++;
+  return true;
+}
+
+struct HufCTable {
+  uint8_t lengths[256];
+  uint16_t vals[256];
+  int table_log;
+  unsigned max_sv;
+};
+
+static void canonical_values(HufCTable& ct) {
+  int nb_per_rank[HUF_TABLELOG_MAX + 2] = {0};
+  for (int s = 0; s < 256; s++) nb_per_rank[ct.lengths[s]]++;
+  int val_per_rank[HUF_TABLELOG_MAX + 2] = {0};
+  int mn = 0;
+  for (int l = ct.table_log; l > 0; l--) {
+    val_per_rank[l] = mn;
+    mn += nb_per_rank[l];
+    mn >>= 1;
+  }
+  int nxt[HUF_TABLELOG_MAX + 2];
+  std::memcpy(nxt, val_per_rank, sizeof(nxt));
+  for (int s = 0; s < 256; s++) {
+    int l = ct.lengths[s];
+    ct.vals[s] = l ? (uint16_t)nxt[l]++ : 0;
+  }
+}
+
+// weight header: FSE-compressed or raw 4-bit; false => store chunk raw
+static bool huf_write_ctable(const HufCTable& ct, std::vector<uint8_t>& out) {
+  unsigned max_sv = ct.max_sv;
+  std::vector<uint8_t> weights(max_sv);
+  for (unsigned s = 0; s < max_sv; s++)
+    weights[s] = ct.lengths[s] ? (uint8_t)(ct.table_log + 1 - ct.lengths[s]) : 0;
+  if (max_sv > 1) {
+    std::vector<uint8_t> comp;
+    int r = fse_compress_weights(weights.data(), weights.size(), comp);
+    if (r == 1 && comp.size() > 1 && comp.size() < max_sv / 2.0 && comp.size() < 128) {
+      out.clear();
+      out.push_back((uint8_t)comp.size());
+      out.insert(out.end(), comp.begin(), comp.end());
+      return true;
+    }
+  }
+  if (max_sv > 128) return false;
+  out.clear();
+  out.push_back((uint8_t)(127 + max_sv));
+  weights.push_back(0);
+  for (unsigned i = 0; i < max_sv; i += 2) out.push_back((uint8_t)((weights[i] << 4) | weights[i + 1]));
+  return true;
+}
+
+struct HufDTable {
+  uint8_t sym[1 << HUF_TABLELOG_MAX];
+  uint8_t nb[1 << HUF_TABLELOG_MAX];
+  int table_log;
+};
+
+// returns bytes consumed or -1
+static int huf_read_dtable(const uint8_t* data, size_t len, HufDTable& dt) {
+  if (len == 0) return -1;
+  unsigned i_size = data[0];
+  uint8_t weights[256];
+  int o_size;
+  int consumed;
+  if (i_size >= 128) {
+    o_size = (int)i_size - 127;
+    int packed = (o_size + 1) / 2;
+    if ((size_t)(1 + packed) > len) return -1;
+    for (int i = 0; i < o_size; i++) {
+      uint8_t b = data[1 + (i >> 1)];
+      weights[i] = (i & 1) == 0 ? (b >> 4) : (b & 15);
+    }
+    consumed = 1 + packed;
+  } else {
+    if ((size_t)(1 + i_size) > len) return -1;
+    o_size = fse_decompress_weights(data + 1, i_size, weights, 255);
+    if (o_size < 0) return -1;
+    consumed = 1 + (int)i_size;
+  }
+  uint32_t rank_stats[HUF_TABLELOG_MAX + 1] = {0};
+  uint64_t weight_total = 0;
+  for (int i = 0; i < o_size; i++) {
+    if (weights[i] > HUF_TABLELOG_MAX) return -1;
+    rank_stats[weights[i]]++;
+    weight_total += ((uint64_t)1 << weights[i]) >> 1;
+  }
+  if (weight_total == 0) return -1;
+  int table_log = highbit((uint32_t)weight_total) + 1;
+  if (table_log > HUF_TABLELOG_MAX) return -1;
+  uint64_t rest = ((uint64_t)1 << table_log) - weight_total;
+  int last_weight = highbit((uint32_t)rest) + 1;
+  if (rest != ((uint64_t)1 << (last_weight - 1))) return -1;
+  if (o_size >= 256) return -1;
+  weights[o_size] = (uint8_t)last_weight;
+  rank_stats[last_weight]++;
+  if (rank_stats[1] < 2 || (rank_stats[1] & 1)) return -1;
+  int n_symbols = o_size + 1;
+
+  // fill decode table
+  uint32_t rank_val[HUF_TABLELOG_MAX + 2] = {0};
+  uint32_t next_start = 0;
+  for (int nn = 1; nn <= table_log; nn++) {
+    uint32_t cur = next_start;
+    next_start += rank_stats[nn] << (nn - 1);
+    rank_val[nn] = cur;
+  }
+  dt.table_log = table_log;
+  for (int s = 0; s < n_symbols; s++) {
+    int w = weights[s];
+    if (!w) continue;
+    uint32_t length = (1u << w) >> 1;
+    uint32_t start = rank_val[w];
+    std::memset(dt.sym + start, s, length);
+    std::memset(dt.nb + start, table_log + 1 - w, length);
+    rank_val[w] += length;
+  }
+  return consumed;
+}
+
+// encode one stream: symbols in descending index order + sentinel
+static void huf_encode_stream(const uint8_t* part, size_t n, const HufCTable& ct,
+                              std::vector<uint8_t>& out) {
+  BitWriter w;
+  w.out.reserve(n);
+  for (size_t i = n; i > 0; i--) {
+    uint8_t s = part[i - 1];
+    w.add(ct.vals[s], ct.lengths[s]);
+  }
+  out = w.close();
+}
+
+// decode one stream of exactly out_len symbols; returns false on corruption
+static bool huf_decode_stream(const uint8_t* stream, size_t stream_len,
+                              const HufDTable& dt, uint8_t* out, size_t out_len) {
+  BackwardReader rd;
+  rd.init(stream, stream_len);
+  if (!rd.ok) return false;
+  const int tlog = dt.table_log;
+  size_t i = 0;
+  // fast path: 4 symbols per reload (4*12 bits fits the 56-bit refill budget)
+  while (i + 4 <= out_len && rd.ptr > rd.start) {
+    for (int k = 0; k < 4; k++) {
+      uint32_t idx = rd.peek(tlog);
+      out[i++] = dt.sym[idx];
+      rd.skip(dt.nb[idx]);
+    }
+    rd.reload();
+  }
+  while (i < out_len) {
+    uint32_t idx = rd.peek(tlog);
+    out[i++] = dt.sym[idx];
+    rd.skip(dt.nb[idx]);
+    rd.reload();
+  }
+  return rd.exhausted_exactly();
+}
+
+// HUF-compress a block.  Result codes: >0 compressed size in out;
+// 0 => store raw; -1 => 1-byte RLE (out[0] set).
+static long long huf_compress_block(const uint8_t* data, size_t n,
+                                    std::vector<uint8_t>& out) {
+  if (n == 0 || n > HUF_BLOCKSIZE_MAX) return 0;
+  uint32_t count[256] = {0};
+  for (size_t i = 0; i < n; i++) count[data[i]]++;
+  unsigned max_sv = 0;
+  uint32_t largest = 0;
+  for (int s = 0; s < 256; s++) {
+    if (count[s]) max_sv = s;
+    if (count[s] > largest) largest = count[s];
+  }
+  if (largest == n) {
+    out.assign(1, data[0]);
+    return -1;
+  }
+  if (largest <= (n >> 7) + 4) return 0;
+  if (n < 12) return 0;
+
+  int table_log = fse_optimal_table_log(HUF_TABLELOG_DEFAULT, n, max_sv, 1);
+  HufCTable ct;
+  int max_len;
+  if (!huffman_lengths(count, ct.lengths, &max_len)) return 0;
+  if (max_len > table_log) {
+    if (!package_merge_lengths(count, table_log, ct.lengths)) return 0;
+    max_len = 0;
+    for (int s = 0; s < 256; s++)
+      if (ct.lengths[s] > max_len) max_len = ct.lengths[s];
+  }
+  ct.table_log = max_len;
+  ct.max_sv = max_sv;
+  std::vector<uint8_t> header;
+  if (!huf_write_ctable(ct, header)) return 0;
+  if (header.size() + 12 >= n) return 0;
+  canonical_values(ct);
+
+  size_t seg = (n + 3) / 4;
+  size_t sizes[4] = {seg, seg, seg, n - 3 * seg};
+  std::vector<uint8_t> streams[4];
+  const uint8_t* p = data;
+  for (int k = 0; k < 4; k++) {
+    huf_encode_stream(p, sizes[k], ct, streams[k]);
+    if (streams[k].empty() || streams[k].size() > 65535) return 0;
+    p += sizes[k];
+  }
+  out.clear();
+  out.reserve(header.size() + 6 + streams[0].size() + streams[1].size() +
+              streams[2].size() + streams[3].size());
+  out.insert(out.end(), header.begin(), header.end());
+  uint8_t jump[6];
+  write_le16(jump + 0, (uint16_t)streams[0].size());
+  write_le16(jump + 2, (uint16_t)streams[1].size());
+  write_le16(jump + 4, (uint16_t)streams[2].size());
+  out.insert(out.end(), jump, jump + 6);
+  for (int k = 0; k < 4; k++) out.insert(out.end(), streams[k].begin(), streams[k].end());
+  if (out.size() >= n - 1) return 0;
+  return (long long)out.size();
+}
+
+// decompress one block (with raw/RLE conventions); returns false on error
+static bool huf_decompress_block(const uint8_t* data, size_t c_size, uint8_t* out,
+                                 size_t dst_size) {
+  if (dst_size == 0 || c_size > dst_size) return false;
+  if (c_size == dst_size) {
+    std::memcpy(out, data, dst_size);
+    return true;
+  }
+  if (c_size == 1) {
+    std::memset(out, data[0], dst_size);
+    return true;
+  }
+  HufDTable dt;
+  int consumed = huf_read_dtable(data, c_size, dt);
+  if (consumed < 0) return false;
+  const uint8_t* rest = data + consumed;
+  size_t rest_len = c_size - consumed;
+  if (rest_len < 6) return false;
+  size_t l[4];
+  l[0] = rest[0] | (rest[1] << 8);
+  l[1] = rest[2] | (rest[3] << 8);
+  l[2] = rest[4] | (rest[5] << 8);
+  if (6 + l[0] + l[1] + l[2] > rest_len) return false;
+  l[3] = rest_len - 6 - l[0] - l[1] - l[2];
+  size_t seg = (dst_size + 3) / 4;
+  size_t sizes[4] = {seg, seg, seg, dst_size - 3 * seg};
+  const uint8_t* sp = rest + 6;
+  uint8_t* op = out;
+  for (int k = 0; k < 4; k++) {
+    if (!huf_decode_stream(sp, l[k], dt, op, sizes[k])) return false;
+    sp += l[k];
+    op += sizes[k];
+  }
+  return true;
+}
+
+// ---------------------------------------------------------------------------
+// byte-plane transforms (reference semantics, dtype16.c / dtype32.c)
+// ---------------------------------------------------------------------------
+
+static void reorder16(const uint8_t* src, uint8_t* dst, size_t len) {
+  size_t nwords = len / 4;
+  for (size_t i = 0; i < nwords; i++) {
+    uint32_t u;
+    std::memcpy(&u, src + 4 * i, 4);
+    u = ((u << 1) & 0xFF00FF00u) | ((u >> 8) & 0x800080u) | (u & 0x7F007Fu);
+    std::memcpy(dst + 4 * i, &u, 4);
+  }
+  for (size_t i = nwords * 4; i < len; i++) dst[i] = src[i];
+}
+
+static void revert16_inplace(uint8_t* buf, size_t len) {
+  size_t nwords = len / 4;
+  for (size_t i = 0; i < nwords; i++) {
+    uint32_t u;
+    std::memcpy(&u, buf + 4 * i, 4);
+    u = ((u << 8) & 0x80008000u) | ((u >> 1) & 0x7F807F80u) | (u & 0x7F007Fu);
+    std::memcpy(buf + 4 * i, &u, 4);
+  }
+}
+
+static void reorder32(const uint8_t* src, uint8_t* dst, size_t len) {
+  size_t nwords = len / 4;
+  for (size_t i = 0; i < nwords; i++) {
+    uint32_t u;
+    std::memcpy(&u, src + 4 * i, 4);
+    u = ((u << 1) & 0xFF000000u) | ((u >> 8) & 0x800000u) | (u & 0x7FFFFFu);
+    std::memcpy(dst + 4 * i, &u, 4);
+  }
+  for (size_t i = nwords * 4; i < len; i++) dst[i] = src[i];
+}
+
+static void revert32_inplace(uint8_t* buf, size_t len) {
+  size_t nwords = len / 4;
+  for (size_t i = 0; i < nwords; i++) {
+    uint32_t u;
+    std::memcpy(&u, buf + 4 * i, 4);
+    u = ((u << 8) & 0x80000000u) | ((u >> 1) & 0x7F800000u) | (u & 0x7FFFFFu);
+    std::memcpy(buf + 4 * i, &u, 4);
+  }
+}
+
+static void plane_lengths(size_t total, unsigned num_buf, size_t* lens) {
+  size_t q = total / num_buf, r = total % num_buf;
+  for (unsigned b = 0; b < num_buf; b++) lens[b] = q + (b < r ? 1 : 0);
+}
+
+// split chunk into planes (planes buffer must hold `len` bytes contiguously,
+// partitioned per plane_lengths)
+static void split_planes(const uint8_t* chunk, size_t len, unsigned num_buf,
+                         int bit_reorder, uint8_t* scratch_reordered,
+                         uint8_t** plane_ptrs, size_t* plane_lens) {
+  const uint8_t* src = chunk;
+  if (num_buf == 2 && bit_reorder) {
+    reorder16(chunk, scratch_reordered, len);
+    src = scratch_reordered;
+  } else if (num_buf == 4 && bit_reorder) {
+    reorder32(chunk, scratch_reordered, len);
+    src = scratch_reordered;
+  }
+  plane_lengths(len, num_buf, plane_lens);
+  if (num_buf == 1) {
+    std::memcpy(plane_ptrs[0], src, len);
+    return;
+  }
+  if (num_buf == 2) {
+    uint8_t* d0 = plane_ptrs[0];
+    uint8_t* d1 = plane_ptrs[1];
+    size_t half = len / 2;
+    for (size_t i = 0; i < half; i++) {
+      d0[i] = src[2 * i];
+      d1[i] = src[2 * i + 1];
+    }
+    if (len & 1) d0[half] = src[len - 1];
+    return;
+  }
+  // num_buf == 4
+  uint8_t* d0 = plane_ptrs[0];
+  uint8_t* d1 = plane_ptrs[1];
+  uint8_t* d2 = plane_ptrs[2];
+  uint8_t* d3 = plane_ptrs[3];
+  size_t q = len / 4;
+  for (size_t i = 0; i < q; i++) {
+    d0[i] = src[4 * i];
+    d1[i] = src[4 * i + 1];
+    d2[i] = src[4 * i + 2];
+    d3[i] = src[4 * i + 3];
+  }
+  size_t r = len % 4;
+  for (size_t b = 0; b < r; b++) plane_ptrs[b][q] = src[4 * q + b];
+}
+
+static void combine_planes(uint8_t* const* plane_ptrs, const size_t* plane_lens,
+                           uint8_t* out, size_t len, unsigned num_buf,
+                           int bit_reorder) {
+  if (num_buf == 1) {
+    std::memcpy(out, plane_ptrs[0], len);
+    return;
+  }
+  if (num_buf == 2) {
+    const uint8_t* s0 = plane_ptrs[0];
+    const uint8_t* s1 = plane_ptrs[1];
+    size_t half = len / 2;
+    for (size_t i = 0; i < half; i++) {
+      out[2 * i] = s0[i];
+      out[2 * i + 1] = s1[i];
+    }
+    if (len & 1) out[len - 1] = s0[half];
+    if (bit_reorder) revert16_inplace(out, len);
+    return;
+  }
+  const uint8_t* s0 = plane_ptrs[0];
+  const uint8_t* s1 = plane_ptrs[1];
+  const uint8_t* s2 = plane_ptrs[2];
+  const uint8_t* s3 = plane_ptrs[3];
+  size_t q = len / 4;
+  for (size_t i = 0; i < q; i++) {
+    out[4 * i] = s0[i];
+    out[4 * i + 1] = s1[i];
+    out[4 * i + 2] = s2[i];
+    out[4 * i + 3] = s3[i];
+  }
+  size_t r = len % 4;
+  for (size_t b = 0; b < r; b++) out[4 * q + b] = plane_ptrs[b][q];
+  if (bit_reorder) revert32_inplace(out, len);
+}
+
+// ---------------------------------------------------------------------------
+// chunk pipeline
+// ---------------------------------------------------------------------------
+
+struct ChunkResult {
+  std::vector<uint8_t> blob[4];
+  uint8_t type[4];
+  uint64_t size[4];
+};
+
+static void run_pool(unsigned threads, size_t n_items,
+                     const std::function<void(size_t)>& fn) {
+  if (threads <= 1 || n_items <= 1) {
+    for (size_t i = 0; i < n_items; i++) fn(i);
+    return;
+  }
+  std::atomic<size_t> next{0};
+  unsigned n_threads = std::min<size_t>(threads, n_items);
+  std::vector<std::thread> pool;
+  pool.reserve(n_threads);
+  for (unsigned t = 0; t < n_threads; t++) {
+    pool.emplace_back([&]() {
+      for (;;) {
+        size_t i = next.fetch_add(1, std::memory_order_relaxed);
+        if (i >= n_items) return;
+        fn(i);
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+}
+}  // namespace
+
+extern "C" {
+
+// Compress `data` into the table+planes payload.  Returns payload size, or
+// -1 on error / insufficient capacity.
+long long ztpu_compress(const uint8_t* data, size_t len, unsigned num_buf,
+                        int bit_reorder, int byte_reorder, size_t chunk_size,
+                        double threshold, int threads, uint8_t* out,
+                        size_t out_cap) {
+  (void)byte_reorder;  // plane count fully determines the live split modes
+  if (num_buf != 1 && num_buf != 2 && num_buf != 4) return -1;
+  size_t n_chunks = chunk_size ? (len + chunk_size - 1) / chunk_size : 0;
+  std::vector<ChunkResult> results(n_chunks);
+  std::atomic<bool> failed{false};
+
+  run_pool((unsigned)threads, n_chunks, [&](size_t c) {
+    if (failed.load(std::memory_order_relaxed)) return;
+    size_t off = c * chunk_size;
+    size_t clen = std::min(chunk_size, len - off);
+    std::vector<uint8_t> reordered(bit_reorder ? clen : 0);
+    std::vector<uint8_t> planes(clen);
+    size_t plens[4];
+    uint8_t* pptrs[4] = {nullptr, nullptr, nullptr, nullptr};
+    plane_lengths(clen, num_buf, plens);
+    size_t acc = 0;
+    for (unsigned b = 0; b < num_buf; b++) {
+      pptrs[b] = planes.data() + acc;
+      acc += plens[b];
+    }
+    split_planes(data + off, clen, num_buf, bit_reorder, reordered.data(), pptrs,
+                 plens);
+    ChunkResult& r = results[c];
+    for (unsigned b = 0; b < num_buf; b++) {
+      std::vector<uint8_t> comp;
+      long long cs = huf_compress_block(pptrs[b], plens[b], comp);
+      bool use_comp = false;
+      if (cs == -1) {
+        use_comp = ((double)comp.size() < (double)plens[b] * threshold);
+      } else if (cs > 0) {
+        use_comp = ((double)cs < (double)plens[b] * threshold);
+      }
+      if (use_comp) {
+        r.type[b] = 1;
+        r.size[b] = comp.size();
+        r.blob[b] = std::move(comp);
+      } else {
+        r.type[b] = 0;
+        r.size[b] = plens[b];
+        r.blob[b].assign(pptrs[b], pptrs[b] + plens[b]);
+      }
+    }
+  });
+  if (failed.load()) return -1;
+
+  // assemble: types, cumulative sizes, plane-major data
+  size_t tables = n_chunks * num_buf * 9;
+  size_t total = tables;
+  for (size_t c = 0; c < n_chunks; c++)
+    for (unsigned b = 0; b < num_buf; b++) total += results[c].size[b];
+  if (total > out_cap) return -1;
+
+  uint8_t* tp = out;
+  for (unsigned b = 0; b < num_buf; b++)
+    for (size_t c = 0; c < n_chunks; c++) *tp++ = results[c].type[b];
+  uint8_t* sp = tp;  // cumulative-size table (unaligned-safe writes)
+  std::vector<std::vector<uint64_t>> cum_start(num_buf);
+  std::vector<uint64_t> plane_totals(num_buf, 0);
+  for (unsigned b = 0; b < num_buf; b++) {
+    cum_start[b].resize(n_chunks + 1, 0);
+    uint64_t cum = 0;
+    for (size_t c = 0; c < n_chunks; c++) {
+      cum_start[b][c] = cum;
+      cum += results[c].size[b];
+      write_u64_unaligned(sp + 8 * (b * n_chunks + c), cum);
+    }
+    plane_totals[b] = cum;
+  }
+  // parallel interleave copy (plane-major regions)
+  std::vector<uint64_t> plane_base(num_buf, 0);
+  for (unsigned b = 1; b < num_buf; b++)
+    plane_base[b] = plane_base[b - 1] + plane_totals[b - 1];
+  uint8_t* dbase = out + tables;
+  run_pool((unsigned)threads, n_chunks, [&](size_t c) {
+    for (unsigned b = 0; b < num_buf; b++) {
+      std::memcpy(dbase + plane_base[b] + cum_start[b][c],
+                  results[c].blob[b].data(), results[c].size[b]);
+    }
+  });
+  return (long long)total;
+}
+
+// Decompress the table+planes payload into `out` (orig_size bytes).
+// Returns 0 on success, negative on error.
+long long ztpu_decompress(const uint8_t* payload, size_t payload_len,
+                          unsigned num_buf, int bit_reorder, int byte_reorder,
+                          size_t chunk_size, size_t orig_size, int threads,
+                          uint8_t* out) {
+  (void)byte_reorder;
+  if (num_buf != 1 && num_buf != 2 && num_buf != 4) return -1;
+  size_t n_chunks = chunk_size ? (orig_size + chunk_size - 1) / chunk_size : 0;
+  if (n_chunks == 0) return 0;
+  size_t tables = n_chunks * num_buf * 9;
+  if (payload_len < tables) return -2;
+  const uint8_t* types = payload;
+  const uint8_t* cum_raw = payload + n_chunks * num_buf;
+  auto cum = [&](unsigned b, size_t c) -> uint64_t {
+    return read_u64_unaligned(cum_raw + 8 * (b * n_chunks + c));
+  };
+  const uint8_t* dbase = payload + tables;
+  size_t data_len = payload_len - tables;
+
+  std::vector<uint64_t> plane_base(num_buf, 0);
+  for (unsigned b = 1; b < num_buf; b++)
+    plane_base[b] = plane_base[b - 1] + cum(b - 1, n_chunks - 1);
+  uint64_t total_data = plane_base[num_buf - 1] + cum(num_buf - 1, n_chunks - 1);
+  if (total_data > data_len) return -3;
+
+  std::atomic<long long> status{0};
+  run_pool((unsigned)threads, n_chunks, [&](size_t c) {
+    if (status.load(std::memory_order_relaxed) != 0) return;
+    size_t off = c * chunk_size;
+    size_t clen = std::min(chunk_size, orig_size - off);
+    size_t plens[4];
+    plane_lengths(clen, num_buf, plens);
+    // decode each plane (raw planes point into the payload, zero copy)
+    std::vector<uint8_t> scratch;
+    uint8_t* pptrs[4];
+    size_t scratch_need = 0;
+    for (unsigned b = 0; b < num_buf; b++)
+      if (types[b * n_chunks + c] == 1) scratch_need += plens[b];
+    scratch.resize(scratch_need);
+    size_t sacc = 0;
+    for (unsigned b = 0; b < num_buf; b++) {
+      uint64_t start = (c == 0) ? 0 : cum(b, c - 1);
+      uint64_t end = cum(b, c);
+      const uint8_t* blob = dbase + plane_base[b] + start;
+      size_t blen = (size_t)(end - start);
+      uint8_t t = types[b * n_chunks + c];
+      if (t == 0) {
+        if (blen != plens[b]) {
+          status.store(-4);
+          return;
+        }
+        pptrs[b] = const_cast<uint8_t*>(blob);
+      } else if (t == 1) {
+        uint8_t* dst = scratch.data() + sacc;
+        sacc += plens[b];
+        if (!huf_decompress_block(blob, blen, dst, plens[b])) {
+          status.store(-5);
+          return;
+        }
+        pptrs[b] = dst;
+      } else {
+        status.store(-6);
+        return;
+      }
+    }
+    combine_planes(pptrs, plens, out + off, clen, num_buf, bit_reorder);
+  });
+  return status.load();
+}
+
+// single-block entry points (for cross-validation tests)
+long long ztpu_huf_compress(const uint8_t* data, size_t n, uint8_t* out,
+                            size_t out_cap) {
+  std::vector<uint8_t> comp;
+  long long r = huf_compress_block(data, n, comp);
+  if (r == 0) return 0;
+  size_t sz = comp.size();
+  if (sz > out_cap) return -1;
+  std::memcpy(out, comp.data(), sz);
+  return (long long)sz;
+}
+
+long long ztpu_huf_decompress(const uint8_t* data, size_t c_size, uint8_t* out,
+                              size_t dst_size) {
+  return huf_decompress_block(data, c_size, out, dst_size) ? (long long)dst_size : -1;
+}
+
+}  // extern "C"

@@ -1,0 +1,184 @@
+"""ctypes binding for the native C++ host codec (csrc/ztpu_core.cpp).
+
+The shared library is compiled on first use with the system g++ (no
+pip/pybind11 dependency) and cached next to the source.  Produces
+byte-identical containers to the numpy engine; cross-validated in
+tests/test_native.py.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "csrc", "ztpu_core.cpp")
+_LIB_PATH = os.path.join(os.path.dirname(_SRC), "libztpu_core.so")
+_LOCK = threading.Lock()
+_LIB = None
+
+
+class NativeUnavailable(RuntimeError):
+    pass
+
+
+def _build() -> None:
+    cmd = [
+        "g++",
+        "-O3",
+        "-march=native",
+        "-std=c++17",
+        "-shared",
+        "-fPIC",
+        "-pthread",
+        "-Wall",
+        "-o",
+        _LIB_PATH,
+        _SRC,
+    ]
+    res = subprocess.run(cmd, capture_output=True, text=True)
+    if res.returncode != 0:
+        raise NativeUnavailable(f"native build failed:\n{res.stderr}")
+
+
+def _load():
+    global _LIB
+    with _LOCK:
+        if _LIB is not None:
+            return _LIB
+        if not os.path.exists(_SRC):
+            raise NativeUnavailable(f"source not found: {_SRC}")
+        if (not os.path.exists(_LIB_PATH)) or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC):
+            _build()
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.ztpu_compress.restype = ctypes.c_longlong
+        lib.ztpu_compress.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_uint,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_size_t,
+            ctypes.c_double,
+            ctypes.c_int,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+        ]
+        lib.ztpu_decompress.restype = ctypes.c_longlong
+        lib.ztpu_decompress.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_uint,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_size_t,
+            ctypes.c_size_t,
+            ctypes.c_int,
+            ctypes.c_void_p,
+        ]
+        lib.ztpu_huf_compress.restype = ctypes.c_longlong
+        lib.ztpu_huf_compress.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+        ]
+        lib.ztpu_huf_decompress.restype = ctypes.c_longlong
+        lib.ztpu_huf_decompress.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+        ]
+        _LIB = lib
+        return lib
+
+
+# trigger load (and build) at import so `engine="auto"` can probe availability
+_load()
+
+
+def compress_payload(
+    data: np.ndarray,
+    num_buf: int,
+    bit_reorder: int,
+    byte_reorder: int,
+    chunk_size: int,
+    threshold: float,
+    threads: int,
+) -> bytes:
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.uint8).reshape(-1)
+    n = data.size
+    n_chunks = (n + chunk_size - 1) // chunk_size
+    cap = n + n_chunks * num_buf * 9 + 4096 + (n_chunks + 1) * 64
+    out = np.empty(cap, dtype=np.uint8)
+    r = lib.ztpu_compress(
+        data.ctypes.data,
+        n,
+        num_buf,
+        bit_reorder,
+        byte_reorder,
+        chunk_size,
+        threshold,
+        threads or os.cpu_count() or 1,
+        out.ctypes.data,
+        cap,
+    )
+    if r < 0:
+        raise RuntimeError(f"native compress failed: {r}")
+    return out[:r].tobytes()
+
+
+def decompress_payload(
+    payload,
+    num_buf: int,
+    bit_reorder: int,
+    byte_reorder: int,
+    chunk_size: int,
+    orig_size: int,
+    threads: int,
+) -> np.ndarray:
+    lib = _load()
+    buf = np.frombuffer(payload, dtype=np.uint8) if not isinstance(payload, np.ndarray) else payload
+    buf = np.ascontiguousarray(buf, dtype=np.uint8)
+    out = np.empty(orig_size, dtype=np.uint8)
+    r = lib.ztpu_decompress(
+        buf.ctypes.data,
+        buf.size,
+        num_buf,
+        bit_reorder,
+        byte_reorder,
+        chunk_size,
+        orig_size,
+        threads or os.cpu_count() or 1,
+        out.ctypes.data,
+    )
+    if r != 0:
+        raise RuntimeError(f"native decompress failed: {r}")
+    return out
+
+
+def huf_compress(data: np.ndarray):
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.uint8).reshape(-1)
+    cap = data.size + 4096
+    out = np.empty(cap, dtype=np.uint8)
+    r = lib.ztpu_huf_compress(data.ctypes.data, data.size, out.ctypes.data, cap)
+    if r < 0:
+        raise RuntimeError("huf compress error")
+    if r == 0:
+        return None
+    return out[:r].tobytes()
+
+
+def huf_decompress(data: bytes, dst_size: int) -> np.ndarray:
+    lib = _load()
+    buf = np.frombuffer(bytes(data), dtype=np.uint8)
+    out = np.empty(dst_size, dtype=np.uint8)
+    r = lib.ztpu_huf_decompress(buf.ctypes.data, buf.size, out.ctypes.data, dst_size)
+    if r < 0:
+        raise RuntimeError("huf decompress error")
+    return out

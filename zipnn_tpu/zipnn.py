@@ -429,6 +429,8 @@ class ZipNN:
                 )
 
         mv_data = memoryview(data)
+        if len(mv_data) < HEADER_LEN or bytes(mv_data[0:2]) != b"ZN":
+            raise ValueError("Header should start with ZN")
         was_delta = mv_data[9]
         if was_delta == 0 and self.delta_compressed_type not in (0, "0", None):
             raise ValueError(
