@@ -1,0 +1,212 @@
+"""TPU (JAX) engine: bit-identity against the numpy golden model.
+
+Covers the device transforms, the lockstep entropy kernels, and the full
+engine="tpu" payload pipeline, all on the CPU backend (conftest.py pins
+JAX_PLATFORMS=cpu with 8 virtual devices).
+"""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from zipnn_tpu import codec  # noqa: E402
+from zipnn_tpu.ops import byte_group, jax_codec, jax_entropy, jax_transforms  # noqa: E402
+from zipnn_tpu.ops.entropy import huf  # noqa: E402
+
+RNG = np.random.default_rng(42)
+
+
+def _bf16ish(n: int) -> np.ndarray:
+    """Byte pattern resembling bf16 weights (compressible exponent plane)."""
+    vals = (RNG.standard_normal(n // 2) * 0.05).astype(np.float32)
+    u = (vals.view(np.uint32) >> 16).astype(np.uint16)
+    return u.view(np.uint8)[:n].copy()
+
+
+# ---------------------------------------------------------------------------
+# transforms
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("num_buf,byte_reorder,bit_reorder", [
+    (2, 10, 1), (2, 10, 0), (4, 220, 1), (4, 220, 0), (1, 10, 0),
+])
+def test_device_split_combine_matches_numpy(num_buf, byte_reorder, bit_reorder):
+    chunk = 4096
+    data = RNG.integers(0, 256, size=(3 * chunk,), dtype=np.uint8)
+    words = jnp.asarray(data.view("<u4").reshape(3, chunk // 4))
+
+    planes_dev = jax_transforms.split_device(words, num_buf, byte_reorder, bit_reorder)
+    got = np.asarray(planes_dev).astype("<u4").view(np.uint8).reshape(
+        3, num_buf, chunk // num_buf
+    )
+    for c in range(3):
+        want = byte_group.split(
+            data[c * chunk : (c + 1) * chunk], num_buf, byte_reorder, bit_reorder
+        )
+        for b in range(num_buf):
+            assert np.array_equal(got[c, b], want[b]), (c, b)
+
+    back = jax_transforms.combine_device(planes_dev, num_buf, byte_reorder, bit_reorder)
+    assert np.array_equal(
+        np.asarray(back).astype("<u4").view(np.uint8).reshape(-1), data
+    )
+
+
+def test_sign_rotation_matches_numpy():
+    data = RNG.integers(0, 256, size=4096, dtype=np.uint8)
+    w = jnp.asarray(data.view("<u4"))
+    for dev, host in [
+        (jax_transforms.reorder_sign_16, byte_group.reorder_sign_16),
+        (jax_transforms.revert_sign_16, byte_group.revert_sign_16),
+        (jax_transforms.reorder_sign_32, byte_group.reorder_sign_32),
+        (jax_transforms.revert_sign_32, byte_group.revert_sign_32),
+    ]:
+        got = np.asarray(dev(w)).astype("<u4").view(np.uint8)
+        assert np.array_equal(got, host(data)), dev.__name__
+
+
+# ---------------------------------------------------------------------------
+# lockstep entropy kernels
+# ---------------------------------------------------------------------------
+
+def _huf_block_parts(data: np.ndarray):
+    comp = huf.compress(data)
+    assert comp is not None and len(comp) > 1
+    weights, rank_stats, tlog, _, consumed = huf.read_stats(comp)
+    sym_t, nb_t = huf.build_dtable(weights, rank_stats, tlog)
+    rest = comp[consumed:]
+    l1 = int.from_bytes(rest[0:2], "little")
+    l2 = int.from_bytes(rest[2:4], "little")
+    l3 = int.from_bytes(rest[4:6], "little")
+    l4 = len(rest) - 6 - l1 - l2 - l3
+    offs, streams = 6, []
+    for ln in (l1, l2, l3, l4):
+        streams.append(rest[offs : offs + ln])
+        offs += ln
+    return comp, streams, sym_t, nb_t, tlog
+
+
+def test_decode_streams_matches_scalar():
+    n = 8192  # seg = 2048, all four segments equal
+    data = _bf16ish(2 * n)[1::2][:n].copy()  # exponent-ish plane
+    comp, streams, sym_t, nb_t, tlog = _huf_block_parts(data)
+    seg = n // 4
+
+    ent = np.zeros(4096, dtype=np.int32)
+    ent[: sym_t.size] = sym_t.astype(np.int32) | (nb_t.astype(np.int32) << 8)
+    wpr = jax_codec._round_words(max(len(s) for s in streams))
+    words = jax_entropy.pack_streams_np(streams, wpr)
+    bits = np.asarray([jax_entropy.sentinel_bits(s) for s in streams], dtype=np.int32)
+
+    syms, left = jax_entropy.decode_streams(
+        jnp.asarray(words.reshape(-1)),
+        jnp.asarray(bits),
+        jnp.asarray(np.full(4, tlog, dtype=np.int32)),
+        jnp.asarray(np.zeros(4, dtype=np.int32)),
+        jnp.asarray(ent),
+        seg_len=seg,
+        words_per_row=wpr,
+    )
+    assert np.all(np.asarray(left) == 0)
+    got = np.asarray(syms).reshape(-1)
+    assert np.array_equal(got, data)
+
+
+def test_encode_streams_matches_host_encoder():
+    n = 4096
+    data = _bf16ish(2 * n)[1::2][:n].copy()
+    count = np.bincount(data, minlength=256).astype(np.int64)
+    plan = jax_codec._plan_cell(count, n)
+    assert plan[0] == "huf"
+    _, header, tlog, lengths, vals = plan
+
+    seg = n // 4
+    syms = jnp.asarray(data.reshape(4, seg))
+    wpr = jax_codec._round_words((seg * 12 + 8) // 8)
+    words, total_bits = jax_entropy.encode_streams(
+        syms,
+        jnp.asarray(lengths.astype(np.uint32)),
+        jnp.asarray(vals.astype(np.uint32)),
+        jnp.asarray(np.zeros(4, dtype=np.int32)),
+        seg_len=seg,
+        words_per_row=wpr,
+    )
+    words = np.asarray(words)
+    total_bits = np.asarray(total_bits)
+    for i in range(4):
+        want = huf.encode_stream(data[i * seg : (i + 1) * seg], vals, lengths)
+        nbytes = (int(total_bits[i]) + 7) // 8
+        got = words[i].astype("<u4").view(np.uint8)[:nbytes]
+        assert np.array_equal(got, np.frombuffer(want, dtype=np.uint8)), i
+
+
+def test_histogram_cells():
+    data = RNG.integers(0, 256, size=(5, 1024), dtype=np.uint8)
+    got = np.asarray(jax_entropy.histogram_cells(jnp.asarray(data)))
+    for c in range(5):
+        assert np.array_equal(got[c], np.bincount(data[c], minlength=256))
+
+
+# ---------------------------------------------------------------------------
+# full payload pipeline: engine parity
+# ---------------------------------------------------------------------------
+
+CASES = [
+    # (num_buf, bit_reorder, byte_reorder, chunk, size)
+    (2, 1, 10, 8192, 8192 * 3),        # bf16, exact chunk multiple
+    (2, 1, 10, 8192, 8192 * 3 + 1234), # bf16, ragged tail
+    (2, 0, 10, 8192, 20000),           # fp16 mode
+    (4, 1, 220, 16384, 16384 * 2),     # fp32
+    (1, 0, 10, 4096, 4096 * 2 + 17),   # fp8 single plane
+]
+
+
+@pytest.mark.parametrize("num_buf,bit_reorder,byte_reorder,chunk,size", CASES)
+def test_tpu_engine_payload_parity(num_buf, bit_reorder, byte_reorder, chunk, size):
+    data = _bf16ish(size + (size & 1))[:size].copy()
+    want = codec.compress_payload_numpy(
+        data, num_buf, bit_reorder, byte_reorder, chunk
+    )
+    got = jax_codec.compress_payload(
+        data, num_buf, bit_reorder, byte_reorder, chunk
+    )
+    assert got == want
+
+    back = jax_codec.decompress_payload(
+        want, num_buf, bit_reorder, byte_reorder, chunk, size
+    )
+    assert np.array_equal(back, data)
+
+
+def test_tpu_engine_raw_planes():
+    """Incompressible noise: every plane stays raw, parity must still hold."""
+    data = RNG.integers(0, 256, size=3 * 8192 + 5, dtype=np.uint8)
+    want = codec.compress_payload_numpy(data, 2, 1, 10, 8192)
+    got = jax_codec.compress_payload(data, 2, 1, 10, 8192)
+    assert got == want
+    back = jax_codec.decompress_payload(want, 2, 1, 10, 8192, data.size)
+    assert np.array_equal(back, data)
+
+
+def test_tpu_engine_rle_planes():
+    """All-zero data: RLE (1-byte) blocks on both planes."""
+    data = np.zeros(2 * 8192, dtype=np.uint8)
+    want = codec.compress_payload_numpy(data, 2, 1, 10, 8192)
+    got = jax_codec.compress_payload(data, 2, 1, 10, 8192)
+    assert got == want
+    back = jax_codec.decompress_payload(want, 2, 1, 10, 8192, data.size)
+    assert np.array_equal(back, data)
+
+
+def test_zipnn_api_tpu_engine_roundtrip():
+    from zipnn_tpu import ZipNN
+
+    data = _bf16ish(300_000).tobytes()
+    z_np = ZipNN(engine="numpy", compression_chunk=65536)
+    z_tpu = ZipNN(engine="tpu", compression_chunk=65536)
+    c_np = z_np.compress(data)
+    c_tpu = z_tpu.compress(data)
+    assert bytes(c_np) == bytes(c_tpu)
+    assert ZipNN(engine="tpu").decompress(c_np) == data
+    assert ZipNN(engine="numpy").decompress(c_tpu) == data
