@@ -44,6 +44,67 @@ def _round_words(nbytes: int) -> int:
     return ((words + _WORD_GRAN - 1) // _WORD_GRAN) * _WORD_GRAN
 
 
+def _mesh():
+    from ..parallel import get_default_mesh  # noqa: PLC0415
+
+    return get_default_mesh()
+
+
+def _decode(words2d, bits, tlog, tbl_off, dtable, seg_len, wpr):
+    """Decode dispatch: shard_map over the ambient mesh when one is set."""
+    mesh = _mesh()
+    if mesh is not None:
+        from ..parallel import sharded_decode_streams  # noqa: PLC0415
+
+        return sharded_decode_streams(
+            mesh, words2d, bits, tlog, tbl_off, dtable, seg_len, wpr
+        )
+    return jax_entropy.decode_streams(
+        words2d.reshape(-1), bits, tlog, tbl_off, dtable,
+        seg_len=seg_len, words_per_row=wpr,
+    )
+
+
+def _encode(syms, nb_tbl, val_tbl, cell_off, seg_len, wpr):
+    mesh = _mesh()
+    if mesh is not None:
+        from ..parallel import sharded_encode_streams  # noqa: PLC0415
+
+        return sharded_encode_streams(
+            mesh, syms, nb_tbl, val_tbl, cell_off, seg_len, wpr
+        )
+    return jax_entropy.encode_streams(
+        syms, nb_tbl, val_tbl, cell_off, seg_len=seg_len, words_per_row=wpr
+    )
+
+
+def _split(words, num_buf, byte_reorder, bit_reorder):
+    mesh = _mesh()
+    if mesh is not None:
+        from ..parallel import sharded_split  # noqa: PLC0415
+
+        return sharded_split(mesh, words, num_buf, byte_reorder, bit_reorder)
+    return jax_transforms.split_device(words, num_buf, byte_reorder, bit_reorder)
+
+
+def _combine(planes, num_buf, byte_reorder, bit_reorder):
+    mesh = _mesh()
+    if mesh is not None:
+        from ..parallel import sharded_combine  # noqa: PLC0415
+
+        return sharded_combine(mesh, planes, num_buf, byte_reorder, bit_reorder)
+    return jax_transforms.combine_device(planes, num_buf, byte_reorder, bit_reorder)
+
+
+def _histogram(cells):
+    mesh = _mesh()
+    if mesh is not None:
+        from ..parallel import sharded_histogram  # noqa: PLC0415
+
+        return sharded_histogram(mesh, cells)
+    return jax_entropy.histogram_cells(cells)
+
+
 # ---------------------------------------------------------------------------
 # decompress
 # ---------------------------------------------------------------------------
@@ -143,14 +204,14 @@ def decompress_payload(
             words = jax_entropy.pack_streams_np(stream_blobs, wpr)
             n_cells = len(huf_cells)
             tbl_off = np.repeat(np.arange(n_cells, dtype=np.int32) * _DTABLE_PAD, 4)
-            syms, bits_left = jax_entropy.decode_streams(
-                jnp.asarray(words.reshape(-1)),
+            syms, bits_left = _decode(
+                jnp.asarray(words),
                 jnp.asarray(np.asarray(stream_bits, dtype=np.int32)),
                 jnp.asarray(np.asarray(stream_tlog, dtype=np.int32)),
                 jnp.asarray(tbl_off),
                 jnp.asarray(np.concatenate(dtables)),
-                seg_len=seg,
-                words_per_row=wpr,
+                seg,
+                wpr,
             )
             if np.any(np.asarray(bits_left) != 0):
                 raise ValueError("corrupt HUF stream (not fully consumed)")
@@ -162,7 +223,7 @@ def decompress_payload(
         # bytes -> uint32 words, combine planes, one device->host copy
         pw = planes_dev.reshape(full, num_buf, plane_bytes // 4, 4).astype(jnp.uint32)
         pwords = pw[..., 0] | (pw[..., 1] << 8) | (pw[..., 2] << 16) | (pw[..., 3] << 24)
-        owords = jax_transforms.combine_device(pwords, num_buf, byte_reorder, bit_reorder)
+        owords = _combine(pwords, num_buf, byte_reorder, bit_reorder)
         host = np.asarray(owords).astype("<u4", copy=False)
         out[: full * chunk_size] = host.reshape(-1).view(np.uint8)
 
@@ -254,16 +315,15 @@ def compress_payload(
     if full:
         # device: split planes + per-cell histograms
         words = data[: full * chunk_size].view("<u4").reshape(full, chunk_size // 4)
-        planes_dev = jax_transforms.split_device(
-            jnp.asarray(words), num_buf, byte_reorder, bit_reorder
-        )  # [full, num_buf, plane_words] uint32
+        planes_dev = _split(jnp.asarray(words), num_buf, byte_reorder, bit_reorder)
+        # [full, num_buf, plane_words] uint32
         pw = planes_dev
         pbytes = jnp.stack(
             [pw & 0xFF, (pw >> 8) & 0xFF, (pw >> 16) & 0xFF, (pw >> 24) & 0xFF],
             axis=-1,
         ).astype(jnp.uint8).reshape(full, num_buf, plane_bytes)
         hist = np.asarray(
-            jax_entropy.histogram_cells(pbytes.reshape(full * num_buf, plane_bytes))
+            _histogram(pbytes.reshape(full * num_buf, plane_bytes))
         ).reshape(full, num_buf, 256)
 
         # host: per-cell coding plan
@@ -292,13 +352,13 @@ def compress_payload(
             # worst-case bits per stream: 12 bits/symbol + sentinel
             wpr = _round_words((seg * huf.HUF_TABLELOG_MAX + 1 + 7) // 8)
             cell_off = np.repeat(np.arange(n_enc, dtype=np.int32) * 256, 4)
-            words_out, total_bits = jax_entropy.encode_streams(
+            words_out, total_bits = _encode(
                 cell_syms,
                 jnp.asarray(nb_tbl.reshape(-1)),
                 jnp.asarray(val_tbl.reshape(-1)),
                 jnp.asarray(cell_off),
-                seg_len=seg,
-                words_per_row=wpr,
+                seg,
+                wpr,
             )
             words_host = np.asarray(words_out)
             bits_host = np.asarray(total_bits)
