@@ -210,3 +210,68 @@ def test_zipnn_api_tpu_engine_roundtrip():
     assert bytes(c_np) == bytes(c_tpu)
     assert ZipNN(engine="tpu").decompress(c_np) == data
     assert ZipNN(engine="numpy").decompress(c_tpu) == data
+
+
+# ---------------------------------------------------------------------------
+# shared-table (TPU-optimal) encode profile
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("num_buf,bit_reorder,byte_reorder,chunk,size", [
+    (2, 1, 10, 8192, 8192 * 3),
+    (2, 1, 10, 8192, 8192 * 2 + 777),
+    (4, 1, 220, 16384, 16384 * 2),
+    (1, 0, 10, 4096, 4096),
+])
+def test_shared_tables_payload_parity(num_buf, bit_reorder, byte_reorder, chunk, size):
+    data = _bf16ish(size + (size & 1))[:size].copy()
+    want = codec.compress_payload_numpy(
+        data, num_buf, bit_reorder, byte_reorder, chunk, shared_tables=True
+    )
+    got = jax_codec.compress_payload(
+        data, num_buf, bit_reorder, byte_reorder, chunk, shared_tables=True
+    )
+    assert got == want
+    # decodable by every engine (it is a plain standard container)
+    back = codec.decompress_payload_numpy(
+        want, num_buf, bit_reorder, byte_reorder, chunk, size
+    )
+    assert np.array_equal(back, data)
+    back2 = jax_codec.decompress_payload(
+        want, num_buf, bit_reorder, byte_reorder, chunk, size
+    )
+    assert np.array_equal(back2, data)
+
+
+def test_shared_tables_ratio_close_to_per_chunk():
+    data = _bf16ish(8192 * 16)
+    per_chunk = codec.compress_payload_numpy(data, 2, 1, 10, 8192)
+    shared = codec.compress_payload_numpy(data, 2, 1, 10, 8192, shared_tables=True)
+    # shared tables trade a little ratio for lockstep decode; stay within 3%
+    assert len(shared) < len(per_chunk) * 1.03
+
+
+def test_shared_tables_zipnn_api():
+    from zipnn_tpu import ZipNN
+
+    data = _bf16ish(300_000).tobytes()
+    z = ZipNN(engine="numpy", huffman_table="shared", compression_chunk=16384)
+    c = z.compress(data)
+    # decompressible with the default (per-chunk-capable) configuration
+    assert ZipNN(engine="numpy").decompress(c) == data
+    assert ZipNN(engine="tpu").decompress(c) == data
+    # native engine decodes shared containers too (format is unchanged)
+    try:
+        d = ZipNN(engine="native").decompress(c)
+        assert d == data
+    except Exception as exc:  # pragma: no cover
+        raise AssertionError(f"native engine must read shared containers: {exc}")
+
+
+def test_shared_tables_native_roundtrip_identity():
+    """Shared-mode compress via engine='auto' (routed to numpy) roundtrips."""
+    from zipnn_tpu import ZipNN
+
+    data = _bf16ish(100_000).tobytes()
+    z = ZipNN(huffman_table="shared")
+    c = z.compress(data)
+    assert ZipNN().decompress(c) == data

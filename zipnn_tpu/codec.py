@@ -58,8 +58,18 @@ def compress_payload_numpy(
     byte_reorder: int,
     chunk_size: int,
     threshold: float = DEFAULT_THRESHOLD,
+    shared_tables: bool = False,
 ) -> bytes:
-    """Compress a flat uint8 buffer into the table+planes payload (no header)."""
+    """Compress a flat uint8 buffer into the table+planes payload (no header).
+
+    ``shared_tables=True`` selects the TPU-optimal encode profile: one
+    <=8-bit Huffman table per byte plane (built from the plane-global
+    histogram) instead of a per-chunk table.  The container stays 100%
+    format-standard — identical weight headers are simply repeated per
+    block — and becomes eligible for the Pallas lockstep fast decode path
+    (ops/pallas_huf.py).  This function is the byte-level specification the
+    tpu engine's implementation is tested against.
+    """
     data = np.ascontiguousarray(data, dtype=np.uint8).reshape(-1)
     n = data.size
     n_chunks = num_chunks_for(n, chunk_size)
@@ -68,12 +78,30 @@ def compress_payload_numpy(
     chunk_sizes = np.zeros((num_buf, n_chunks), dtype=np.uint64)
     plane_blobs: List[List[bytes]] = [[] for _ in range(num_buf)]
 
+    all_planes: List[List[np.ndarray]] = [[] for _ in range(num_buf)]
     for c in range(n_chunks):
         chunk = data[c * chunk_size : min((c + 1) * chunk_size, n)]
         planes = byte_group.split(chunk, num_buf, byte_reorder, bit_reorder)
         for b in range(num_buf):
-            plane = planes[b]
-            comp = huf.compress(plane)
+            all_planes[b].append(planes[b])
+
+    shared = [None] * num_buf
+    if shared_tables:
+        for b in range(num_buf):
+            count = np.zeros(256, dtype=np.int64)
+            for plane in all_planes[b]:
+                if plane.size:
+                    count += np.bincount(plane, minlength=256)
+            if count.sum():
+                shared[b] = huf.build_shared_table(count)
+
+    for c in range(n_chunks):
+        for b in range(num_buf):
+            plane = all_planes[b][c]
+            if shared_tables:
+                comp = compress_cell_shared(plane, shared[b])
+            else:
+                comp = huf.compress(plane)
             if comp is not None and len(comp) < plane.size * threshold:
                 chunk_types[b, c] = 1
                 chunk_sizes[b, c] = len(comp)
@@ -88,6 +116,21 @@ def compress_payload_numpy(
     for b in range(num_buf):
         parts.extend(plane_blobs[b])
     return b"".join(parts)
+
+
+def compress_cell_shared(plane: np.ndarray, table) -> Optional[bytes]:
+    """Per-cell decision for shared-table mode (specification for all
+    engines): RLE for single-symbol cells, the shared table otherwise."""
+    n = plane.size
+    if n == 0:
+        return None
+    count = np.bincount(plane, minlength=256)
+    if int(count.max()) == n:
+        return bytes(plane[:1])  # 1-byte RLE block
+    if table is None:
+        return None
+    lengths, vals, header, _ = table
+    return huf.compress_with_table(plane, lengths, vals, header)
 
 
 # ---------------------------------------------------------------------------
@@ -209,8 +252,10 @@ def _native():
     return _NATIVE
 
 
-def resolve_engine(engine: str) -> str:
+def resolve_engine(engine: str, shared_tables: bool = False) -> str:
     if engine == "auto":
+        if shared_tables:
+            return "numpy"  # native core does per-chunk tables only
         return "native" if _native() is not None else "numpy"
     return engine
 
@@ -224,11 +269,13 @@ def compress_payload(
     threshold: float = DEFAULT_THRESHOLD,
     threads: int = 0,
     engine: str = "auto",
+    shared_tables: bool = False,
 ) -> bytes:
-    engine = resolve_engine(engine)
-    if engine == "numpy":
+    engine = resolve_engine(engine, shared_tables)
+    if engine == "numpy" or (shared_tables and engine == "native"):
         return compress_payload_numpy(
-            data, num_buf, bit_reorder, byte_reorder, chunk_size, threshold
+            data, num_buf, bit_reorder, byte_reorder, chunk_size, threshold,
+            shared_tables=shared_tables,
         )
     if engine == "native":
         return _native().compress_payload(
@@ -238,7 +285,8 @@ def compress_payload(
         from .ops import jax_codec  # noqa: PLC0415
 
         return jax_codec.compress_payload(
-            data, num_buf, bit_reorder, byte_reorder, chunk_size, threshold
+            data, num_buf, bit_reorder, byte_reorder, chunk_size, threshold,
+            shared_tables=shared_tables,
         )
     raise ValueError(f"unknown engine {engine!r}")
 

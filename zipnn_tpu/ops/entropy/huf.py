@@ -361,3 +361,54 @@ def decompress(data: bytes, dst_size: int) -> np.ndarray:
         off_in += stream_len
         off_out += seg
     return out
+
+
+def compress_with_table(
+    data: np.ndarray, lengths: np.ndarray, vals: np.ndarray, header: bytes
+) -> Optional[bytes]:
+    """HUF-compress one block with a caller-supplied (shared) code table.
+
+    Used by the shared-table encode mode: ``header`` is the serialized
+    weight table (identical bytes for every block sharing the table).  The
+    caller decides RLE/raw per block; this returns None on the same
+    size-guard paths as :func:`compress` so chunk-type decisions stay
+    engine-independent.
+    """
+    data = np.ascontiguousarray(data, dtype=np.uint8).reshape(-1)
+    n = data.size
+    if n == 0 or n > HUF_BLOCKSIZE_MAX or n < 12:
+        return None
+    if np.any(lengths[data] == 0):
+        raise ValueError("shared table lacks a code for a present symbol")
+    segs = segment_sizes(n)
+    streams = []
+    off = 0
+    for s in segs:
+        enc = encode_stream(data[off : off + s], vals, lengths)
+        if len(enc) == 0 or len(enc) > 65535:
+            return None
+        streams.append(enc)
+        off += s
+    jump = b"".join(len(streams[i]).to_bytes(2, "little") for i in range(3))
+    out = header + jump + b"".join(streams)
+    if len(out) >= n - 1:
+        return None
+    return out
+
+
+def build_shared_table(count: np.ndarray, max_bits: int = 8):
+    """Shared-table plan from a (plane-)global histogram.
+
+    Returns (lengths, vals, header, table_log) or None when no usable table
+    exists (fewer than 2 distinct symbols, or the header does not serialize).
+    """
+    lengths = build_code_lengths(count.astype(np.int64), max_bits)
+    if lengths is None:
+        return None
+    table_log = int(lengths.max())
+    max_sv = int(np.nonzero(count)[0][-1])
+    header = write_ctable(lengths, max_sv, table_log)
+    if header is None:
+        return None
+    vals = canonical_values(lengths, table_log)
+    return lengths, vals, header, table_log

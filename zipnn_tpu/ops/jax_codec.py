@@ -26,7 +26,7 @@ import numpy as np
 
 from . import byte_group
 from .entropy import huf, fse
-from . import jax_entropy, jax_transforms
+from . import jax_entropy, jax_transforms, pallas_huf
 
 DEFAULT_THRESHOLD = 0.95
 _DTABLE_PAD = 1 << huf.HUF_TABLELOG_MAX  # 4096
@@ -109,6 +109,152 @@ def _histogram(cells):
 # decompress
 # ---------------------------------------------------------------------------
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _fused_fast_decode(
+    SW: int,
+    seg: int,
+    full: int,
+    num_buf: int,
+    plane_bytes: int,
+    byte_reorder: int,
+    bit_reorder: int,
+    n_stored: int,
+    n_rle: int,
+    n_huf: int,
+):
+    """One-call device pipeline for shared-table containers.
+
+    Everything — right-aligned stream slicing, the Pallas lockstep decode,
+    stored-plane gathering from the compressed payload itself, RLE fills,
+    plane scatter, and the byte-group combine — happens inside a single jit,
+    so one dispatch (and one payload upload) decompresses the whole buffer.
+    Returns (owords [full, chunk_words] uint32, pend [S] int32).
+    """
+    import jax  # noqa: PLC0415
+    import jax.numpy as jnp  # noqa: PLC0415
+
+    from . import pallas_huf  # noqa: PLC0415
+
+    S = n_huf * 4
+    S_pad = -(-max(S, 1) // pallas_huf.BLOCK) * pallas_huf.BLOCK
+    n_blocks = S_pad // pallas_huf.BLOCK
+    kernel = pallas_huf._decode_call(SW, seg, n_blocks)
+    pad = 4 * SW
+
+    def run(region, row_starts, p0, tbl8, stored_starts, stored_idx, rle_vals,
+            rle_idx, huf_idx):
+        regionp = jnp.concatenate([jnp.zeros(pad, jnp.uint8), region])
+
+        planes = jnp.zeros((full, num_buf, plane_bytes), jnp.uint8)
+        if n_stored:
+            rows = jax.vmap(
+                lambda st: jax.lax.dynamic_slice(region, (st,), (plane_bytes,))
+            )(stored_starts)
+            planes = planes.at[stored_idx[:, 0], stored_idx[:, 1]].set(rows)
+        if n_rle:
+            rows = jnp.broadcast_to(rle_vals[:, None], (n_rle, plane_bytes))
+            planes = planes.at[rle_idx[:, 0], rle_idx[:, 1]].set(rows)
+        if n_huf:
+            rrows = jax.vmap(
+                lambda st: jax.lax.dynamic_slice(regionp, (st,), (4 * SW,))
+            )(row_starts)  # [S_pad, 4*SW] uint8
+            w = rrows.reshape(S_pad, SW, 4).astype(jnp.uint32)
+            words = w[..., 0] | (w[..., 1] << 8) | (w[..., 2] << 16) | (w[..., 3] << 24)
+            blocks = words.reshape(n_blocks, 8, 128, SW).transpose(0, 3, 1, 2)
+            out, pend = kernel(blocks, p0, tbl8)
+            ow = out.transpose(0, 2, 3, 1).reshape(S_pad, seg // 4)
+            b = jnp.stack(
+                [ow & 0xFF, (ow >> 8) & 0xFF, (ow >> 16) & 0xFF, (ow >> 24) & 0xFF],
+                axis=-1,
+            ).astype(jnp.uint8).reshape(S_pad, seg)
+            huf_planes = b[:S].reshape(n_huf, plane_bytes)
+            planes = planes.at[huf_idx[:, 0], huf_idx[:, 1]].set(huf_planes)
+            pend_flat = pend.reshape(-1)[:S]
+        else:
+            pend_flat = jnp.zeros((0,), jnp.int32)
+
+        pw = planes.reshape(full, num_buf, plane_bytes // 4, 4).astype(jnp.uint32)
+        pwords = pw[..., 0] | (pw[..., 1] << 8) | (pw[..., 2] << 16) | (pw[..., 3] << 24)
+        owords = jax_transforms.combine_device(pwords, num_buf, byte_reorder, bit_reorder)
+        return owords, pend_flat
+
+    return jax.jit(run)
+
+
+
+
+def _make_fast_args(
+    payload_np, cs, stored_mask, rle_mask, huf_b, huf_c,
+    sstarts, slens, tbl8, seg, full, num_buf, plane_bytes,
+    byte_reorder, bit_reorder,
+):
+    """Build the fused fast-path callable + its device arguments.
+
+    Shared by decompress_payload and the benchmark harness (which times
+    repeated ``run(*dev_args)`` invocations with device-resident inputs).
+    """
+    jnp = _jnp()
+    n_huf = huf_b.size
+    st_b, st_c = np.nonzero(stored_mask)
+    rl_b, rl_c = np.nonzero(rle_mask)
+    n_stored, n_rle = st_b.size, rl_b.size
+    if n_huf:
+        sends = sstarts + slens
+        last = payload_np[sends - 1]
+        if np.any(last == 0):
+            raise ValueError("corrupt bitstream: missing sentinel bit")
+        SW = pallas_huf._round_sw(int(slens.max()))
+        S = n_huf * 4
+        S_pad = -(-S // pallas_huf.BLOCK) * pallas_huf.BLOCK
+        n_blocks = S_pad // pallas_huf.BLOCK
+        row_starts = np.zeros(S_pad, dtype=np.int32)
+        row_starts[:S] = sends.astype(np.int32)  # +pad-4*SW applied in-kernel
+        msb = np.floor(np.log2(last.astype(np.int64))).astype(np.int32)
+        p0 = np.full(S_pad, 8 * (4 * SW - 1), dtype=np.int32)
+        p0[:S] += msb
+        p0 = p0.reshape(n_blocks, 8, 128)
+        tbl_dev = jnp.asarray(tbl8)
+    else:
+        SW = 64
+        row_starts = np.zeros(0, dtype=np.int32)
+        p0 = np.zeros((0, 8, 128), dtype=np.int32)
+        tbl_dev = jnp.zeros((8, 128), jnp.int32)
+
+    run = _fused_fast_decode(
+        SW, seg, full, num_buf, plane_bytes, byte_reorder, bit_reorder,
+        n_stored, n_rle, n_huf,
+    )
+    dev_args = (
+        jnp.asarray(payload_np),
+        jnp.asarray(row_starts),
+        jnp.asarray(p0),
+        tbl_dev,
+        jnp.asarray(cs[st_b, st_c].astype(np.int32))
+        if n_stored else jnp.zeros((0,), jnp.int32),
+        jnp.asarray(np.stack([st_c, st_b], axis=1).astype(np.int32))
+        if n_stored else jnp.zeros((0, 2), jnp.int32),
+        jnp.asarray(payload_np[cs[rl_b, rl_c].astype(np.int64)])
+        if n_rle else jnp.zeros((0,), jnp.uint8),
+        jnp.asarray(np.stack([rl_c, rl_b], axis=1).astype(np.int32))
+        if n_rle else jnp.zeros((0, 2), jnp.int32),
+        jnp.asarray(np.stack([huf_c, huf_b], axis=1).astype(np.int32))
+        if n_huf else jnp.zeros((0, 2), jnp.int32),
+    )
+    return run, dev_args, SW
+
+
+def _platform_is_tpu() -> bool:
+    try:
+        import jax  # noqa: PLC0415
+
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 def decompress_payload(
     payload,
     num_buf: int,
@@ -117,7 +263,13 @@ def decompress_payload(
     chunk_size: int,
     orig_size: int,
 ) -> np.ndarray:
-    """Decompress the table+planes payload to flat bytes (device pipeline)."""
+    """Decompress the table+planes payload to flat bytes (device pipeline).
+
+    Containers whose full-chunk HUF blocks all share one <=8-bit table (our
+    ``huffman_table="shared"`` encode profile) take the Pallas lockstep
+    kernel (ops/pallas_huf.py); anything else — per-chunk tables, reference
+    -produced files — takes the XLA lockstep decoder.
+    """
     jnp = _jnp()
     n_chunks = (orig_size + chunk_size - 1) // chunk_size
     out = np.empty(orig_size, dtype=np.uint8)
@@ -128,6 +280,7 @@ def decompress_payload(
 
     types, starts, data_start = codec.parse_tables(payload, num_buf, n_chunks)
     mv = memoryview(payload)
+    payload_np = np.frombuffer(mv, dtype=np.uint8)
 
     full = n_chunks if orig_size == n_chunks * chunk_size else n_chunks - 1
     plane_bytes = chunk_size // num_buf
@@ -136,74 +289,136 @@ def decompress_payload(
     plane_base = np.zeros(num_buf, dtype=np.int64)
     for b in range(1, num_buf):
         plane_base[b] = plane_base[b - 1] + starts[b - 1, n_chunks]
+    cell_start = data_start + plane_base[:, None] + starts[:, :-1]  # [nb, nc]
+    cell_size = starts[:, 1:] - starts[:, :-1]
 
-    # ---- classify cells, host-parse HUF headers -------------------------
-    huf_cells: List[Tuple[int, int]] = []  # (b, c)
-    dtables: List[np.ndarray] = []
-    stream_blobs: List[bytes] = []
-    stream_bits: List[int] = []
-    stream_tlog: List[int] = []
-    raw_planes = np.empty((full, num_buf, plane_bytes), dtype=np.uint8) if full else None
-
-    for c in range(full):
-        for b in range(num_buf):
-            lo = int(data_start + plane_base[b] + starts[b, c])
-            hi = int(data_start + plane_base[b] + starts[b, c + 1])
-            blob = mv[lo:hi]
-            if types[b, c] == 0:
-                if hi - lo != plane_bytes:
-                    raise ValueError(
-                        f"raw chunk size mismatch: plane {b} chunk {c}: {hi - lo} != {plane_bytes}"
-                    )
-                raw_planes[c, b] = np.frombuffer(blob, dtype=np.uint8)
-            elif types[b, c] == 1:
-                c_size = hi - lo
-                if c_size > plane_bytes:
-                    raise ValueError("corrupt HUF block (larger than destination)")
-                if c_size == plane_bytes:
-                    raw_planes[c, b] = np.frombuffer(blob, dtype=np.uint8)
-                elif c_size == 1:
-                    raw_planes[c, b] = blob[0]
-                else:
-                    data = bytes(blob)
-                    weights, rank_stats, tlog, _, consumed = huf.read_stats(data)
-                    sym_t, nb_t = huf.build_dtable(weights, rank_stats, tlog)
-                    ent = np.zeros(_DTABLE_PAD, dtype=np.int32)
-                    ent[: sym_t.size] = sym_t.astype(np.int32) | (
-                        nb_t.astype(np.int32) << 8
-                    )
-                    rest = data[consumed:]
-                    if len(rest) < 6:
-                        raise ValueError("corrupt HUF block (missing jump table)")
-                    l1 = int.from_bytes(rest[0:2], "little")
-                    l2 = int.from_bytes(rest[2:4], "little")
-                    l3 = int.from_bytes(rest[4:6], "little")
-                    l4 = len(rest) - 6 - l1 - l2 - l3
-                    if l4 <= 0:
-                        raise ValueError("corrupt HUF block (jump table overruns input)")
-                    off = 6
-                    for ln in (l1, l2, l3, l4):
-                        s = rest[off : off + ln]
-                        if not s:
-                            raise ValueError("corrupt HUF block (empty stream)")
-                        stream_blobs.append(s)
-                        stream_bits.append(jax_entropy.sentinel_bits(s))
-                        stream_tlog.append(tlog)
-                        off += ln
-                    huf_cells.append((b, c))
-                    dtables.append(ent)
-            else:
-                raise ValueError(f"unknown chunk type {types[b, c]}")
-
-    # ---- device decode of all full-chunk HUF streams ---------------------
     if full:
-        planes_dev = jnp.asarray(raw_planes)
-        if huf_cells:
-            S = len(stream_blobs)
+        t = types[:, :full]
+        cs = cell_start[:, :full]
+        sz = cell_size[:, :full]
+        if np.any(t > 1):
+            raise ValueError(f"unknown chunk type {int(t.max())}")
+        raw_mask = t == 0
+        if np.any(sz[raw_mask] != plane_bytes):
+            raise ValueError("raw chunk size mismatch")
+        if np.any(sz[t == 1] > plane_bytes):
+            raise ValueError("corrupt HUF block (larger than destination)")
+        rle_mask = (t == 1) & (sz == 1)
+        stored_mask = raw_mask | ((t == 1) & (sz == plane_bytes))
+        huf_mask = (t == 1) & ~rle_mask & ~stored_mask
+
+        huf_b, huf_c = np.nonzero(huf_mask)
+        n_huf = huf_b.size
+        huf_planes = None
+
+        fast = False
+        hcs = hsz = None
+        if n_huf:
+            hcs = cs[huf_b, huf_c].astype(np.int64)
+            hsz = sz[huf_b, huf_c].astype(np.int64)
+            first = bytes(payload_np[int(hcs[0]) : int(hcs[0] + hsz[0])])
+            weights, rank_stats, tlog, _, consumed = huf.read_stats(first)
+
+            if tlog <= pallas_huf.TMAX and _platform_is_tpu():
+                hdr = payload_np[int(hcs[0]) : int(hcs[0]) + consumed]
+                ok = np.all(hsz > consumed + 6)
+                if ok:
+                    idx = hcs[:, None] + np.arange(consumed)
+                    ok = bool(np.all(payload_np[idx] == hdr))
+                if ok:
+                    jt = hcs + consumed
+                    l1 = payload_np[jt].astype(np.int64) | (
+                        payload_np[jt + 1].astype(np.int64) << 8
+                    )
+                    l2 = payload_np[jt + 2].astype(np.int64) | (
+                        payload_np[jt + 3].astype(np.int64) << 8
+                    )
+                    l3 = payload_np[jt + 4].astype(np.int64) | (
+                        payload_np[jt + 5].astype(np.int64) << 8
+                    )
+                    l4 = hsz - consumed - 6 - l1 - l2 - l3
+                    if np.all((l1 > 0) & (l2 > 0) & (l3 > 0) & (l4 > 0)):
+                        s0 = jt + 6
+                        sstarts = np.stack(
+                            [s0, s0 + l1, s0 + l1 + l2, s0 + l1 + l2 + l3], axis=1
+                        ).reshape(-1)
+                        slens = np.stack([l1, l2, l3, l4], axis=1).reshape(-1)
+                        sym_t, nb_t = huf.build_dtable(weights, rank_stats, tlog)
+                        tbl8 = pallas_huf.expand_dtable8(sym_t, nb_t, tlog)
+                        fast = True
+
+        if fast or (full and n_huf == 0 and _platform_is_tpu()):
+            # ---- one-dispatch fused device pipeline -----------------------
+            if not n_huf:
+                sstarts = slens = None
+                tbl8 = None
+            run, dev_args, SW = _make_fast_args(
+                payload_np, cs, stored_mask, rle_mask, huf_b, huf_c,
+                sstarts, slens, tbl8, seg, full, num_buf, plane_bytes,
+                byte_reorder, bit_reorder,
+            )
+            owords, pend = run(*dev_args)
+            host = np.asarray(owords).astype("<u4", copy=False)
+            if n_huf:
+                pend_np = np.asarray(pend).astype(np.int64)
+                want_end = 8 * (4 * SW - slens)
+                if not np.array_equal(pend_np, want_end):
+                    bad = int(np.nonzero(pend_np != want_end)[0][0])
+                    raise ValueError(
+                        f"corrupt HUF stream {bad} (not fully consumed: "
+                        f"pos {int(pend_np[bad])} != {int(want_end[bad])})"
+                    )
+            out[: full * chunk_size] = host.reshape(-1).view(np.uint8)
+            # fall through to the tail-chunk handler below
+            return _finish_tail(
+                out, mv, types, cell_start, cell_size, full, n_chunks,
+                chunk_size, orig_size, num_buf, byte_reorder, bit_reorder,
+            )
+
+        raw_planes = np.empty((full, num_buf, plane_bytes), dtype=np.uint8)
+        for b, c in zip(*np.nonzero(stored_mask)):
+            o = int(cs[b, c])
+            raw_planes[c, b] = payload_np[o : o + plane_bytes]
+        for b, c in zip(*np.nonzero(rle_mask)):
+            raw_planes[c, b] = payload_np[int(cs[b, c])]
+
+        if n_huf:
+            # generic path: per-cell tables, XLA lockstep decode
+            dtables: List[np.ndarray] = []
+            stream_blobs: List[bytes] = []
+            stream_bits: List[int] = []
+            stream_tlog: List[int] = []
+            for i in range(n_huf):
+                o = int(hcs[i])
+                data = bytes(payload_np[o : o + int(hsz[i])])
+                weights, rank_stats, tlog, _, consumed = huf.read_stats(data)
+                sym_t, nb_t = huf.build_dtable(weights, rank_stats, tlog)
+                ent = np.zeros(_DTABLE_PAD, dtype=np.int32)
+                ent[: sym_t.size] = sym_t.astype(np.int32) | (
+                    nb_t.astype(np.int32) << 8
+                )
+                rest = data[consumed:]
+                if len(rest) < 6:
+                    raise ValueError("corrupt HUF block (missing jump table)")
+                l1 = int.from_bytes(rest[0:2], "little")
+                l2 = int.from_bytes(rest[2:4], "little")
+                l3 = int.from_bytes(rest[4:6], "little")
+                l4 = len(rest) - 6 - l1 - l2 - l3
+                if l4 <= 0:
+                    raise ValueError("corrupt HUF block (jump table overruns input)")
+                off = 6
+                for ln in (l1, l2, l3, l4):
+                    s = rest[off : off + ln]
+                    if not s:
+                        raise ValueError("corrupt HUF block (empty stream)")
+                    stream_blobs.append(s)
+                    stream_bits.append(jax_entropy.sentinel_bits(s))
+                    stream_tlog.append(tlog)
+                    off += ln
+                dtables.append(ent)
             wpr = _round_words(max(len(s) for s in stream_blobs))
             words = jax_entropy.pack_streams_np(stream_blobs, wpr)
-            n_cells = len(huf_cells)
-            tbl_off = np.repeat(np.arange(n_cells, dtype=np.int32) * _DTABLE_PAD, 4)
+            tbl_off = np.repeat(np.arange(n_huf, dtype=np.int32) * _DTABLE_PAD, 4)
             syms, bits_left = _decode(
                 jnp.asarray(words),
                 jnp.asarray(np.asarray(stream_bits, dtype=np.int32)),
@@ -215,27 +430,40 @@ def decompress_payload(
             )
             if np.any(np.asarray(bits_left) != 0):
                 raise ValueError("corrupt HUF stream (not fully consumed)")
-            huf_planes = syms.reshape(n_cells, plane_bytes)
-            idx_c = jnp.asarray(np.asarray([c for _, c in huf_cells], dtype=np.int32))
-            idx_b = jnp.asarray(np.asarray([b for b, _ in huf_cells], dtype=np.int32))
+            huf_planes = syms.reshape(n_huf, plane_bytes)
+
+        # ---- scatter decoded planes, combine, one device->host copy ------
+        planes_dev = jnp.asarray(raw_planes)
+        if n_huf:
+            idx_c = jnp.asarray(huf_c.astype(np.int32))
+            idx_b = jnp.asarray(huf_b.astype(np.int32))
             planes_dev = planes_dev.at[idx_c, idx_b].set(huf_planes)
 
-        # bytes -> uint32 words, combine planes, one device->host copy
         pw = planes_dev.reshape(full, num_buf, plane_bytes // 4, 4).astype(jnp.uint32)
         pwords = pw[..., 0] | (pw[..., 1] << 8) | (pw[..., 2] << 16) | (pw[..., 3] << 24)
         owords = _combine(pwords, num_buf, byte_reorder, bit_reorder)
         host = np.asarray(owords).astype("<u4", copy=False)
         out[: full * chunk_size] = host.reshape(-1).view(np.uint8)
 
-    # ---- ragged tail chunk: numpy golden model ---------------------------
+    return _finish_tail(
+        out, mv, types, cell_start, cell_size, full, n_chunks,
+        chunk_size, orig_size, num_buf, byte_reorder, bit_reorder,
+    )
+
+
+def _finish_tail(
+    out, mv, types, cell_start, cell_size, full, n_chunks,
+    chunk_size, orig_size, num_buf, byte_reorder, bit_reorder,
+):
+    """Decode the (at most one) ragged tail chunk via the numpy golden model."""
     if full < n_chunks:
         c = n_chunks - 1
         chunk_len = orig_size - c * chunk_size
         lens = byte_group.plane_lengths(chunk_len, num_buf, byte_reorder)
         planes = []
         for b in range(num_buf):
-            lo = int(data_start + plane_base[b] + starts[b, c])
-            hi = int(data_start + plane_base[b] + starts[b, c + 1])
+            lo = int(cell_start[b, c])
+            hi = lo + int(cell_size[b, c])
             blob = mv[lo:hi]
             want = int(lens[b])
             if types[b, c] == 0:
@@ -292,8 +520,14 @@ def compress_payload(
     byte_reorder: int,
     chunk_size: int,
     threshold: float = DEFAULT_THRESHOLD,
+    shared_tables: bool = False,
 ) -> bytes:
-    """Compress flat bytes into the table+planes payload (device pipeline)."""
+    """Compress flat bytes into the table+planes payload (device pipeline).
+
+    ``shared_tables=True`` emits the TPU-optimal profile (one <=8-bit table
+    per plane; see codec.compress_payload_numpy, the byte-level spec this
+    implementation must match exactly).
+    """
     jnp = _jnp()
     data = np.ascontiguousarray(data, dtype=np.uint8).reshape(-1)
     n = data.size
@@ -311,6 +545,12 @@ def compress_payload(
         [None] * n_chunks for _ in range(num_buf)
     ]
 
+    tail_planes = None
+    if full < n_chunks:
+        tail_planes = byte_group.split(
+            data[full * chunk_size : n], num_buf, byte_reorder, bit_reorder
+        )
+
     plane_host = None
     if full:
         # device: split planes + per-cell histograms
@@ -327,11 +567,30 @@ def compress_payload(
         ).reshape(full, num_buf, 256)
 
         # host: per-cell coding plan
+        shared = [None] * num_buf
+        if shared_tables:
+            for b in range(num_buf):
+                count = hist[:, b].sum(axis=0).astype(np.int64)
+                if tail_planes is not None and tail_planes[b].size:
+                    count += np.bincount(tail_planes[b], minlength=256)
+                if count.sum():
+                    shared[b] = huf.build_shared_table(count)
+
         plans = [[None] * num_buf for _ in range(full)]
         enc_cells: List[Tuple[int, int]] = []
         for c in range(full):
             for b in range(num_buf):
-                plan = _plan_cell(hist[c, b].astype(np.int64), plane_bytes)
+                cnt = hist[c, b].astype(np.int64)
+                if shared_tables:
+                    if int(cnt.max()) == plane_bytes:
+                        plan = ("rle", int(np.nonzero(cnt)[0][0]))
+                    elif shared[b] is None:
+                        plan = ("raw",)
+                    else:
+                        lengths, vals, header, _tl = shared[b]
+                        plan = ("huf", header, _tl, lengths, vals)
+                else:
+                    plan = _plan_cell(cnt, plane_bytes)
                 plans[c][b] = plan
                 if plan[0] == "huf":
                     enc_cells.append((c, b))
@@ -340,18 +599,30 @@ def compress_payload(
         stream_bytes_out: List[np.ndarray] = []
         if enc_cells:
             n_enc = len(enc_cells)
-            nb_tbl = np.zeros((n_enc, 256), dtype=np.uint32)
-            val_tbl = np.zeros((n_enc, 256), dtype=np.uint32)
-            for i, (c, b) in enumerate(enc_cells):
-                _, _, _, lengths, vals = plans[c][b]
-                nb_tbl[i] = lengths.astype(np.uint32)
-                val_tbl[i] = vals.astype(np.uint32)
+            if shared_tables:
+                # one table per plane, shared by every cell of that plane
+                nb_tbl = np.zeros((num_buf, 256), dtype=np.uint32)
+                val_tbl = np.zeros((num_buf, 256), dtype=np.uint32)
+                for b in range(num_buf):
+                    if shared[b] is not None:
+                        nb_tbl[b] = shared[b][0].astype(np.uint32)
+                        val_tbl[b] = shared[b][1].astype(np.uint32)
+                cell_off = np.repeat(
+                    np.asarray([b for _, b in enc_cells], dtype=np.int32) * 256, 4
+                )
+            else:
+                nb_tbl = np.zeros((n_enc, 256), dtype=np.uint32)
+                val_tbl = np.zeros((n_enc, 256), dtype=np.uint32)
+                for i, (c, b) in enumerate(enc_cells):
+                    _, _, _, lengths, vals = plans[c][b]
+                    nb_tbl[i] = lengths.astype(np.uint32)
+                    val_tbl[i] = vals.astype(np.uint32)
+                cell_off = np.repeat(np.arange(n_enc, dtype=np.int32) * 256, 4)
             idx_c = jnp.asarray(np.asarray([c for c, _ in enc_cells], dtype=np.int32))
             idx_b = jnp.asarray(np.asarray([b for _, b in enc_cells], dtype=np.int32))
             cell_syms = pbytes[idx_c, idx_b].reshape(n_enc * 4, seg)
             # worst-case bits per stream: 12 bits/symbol + sentinel
             wpr = _round_words((seg * huf.HUF_TABLELOG_MAX + 1 + 7) // 8)
-            cell_off = np.repeat(np.arange(n_enc, dtype=np.int32) * 256, 4)
             words_out, total_bits = _encode(
                 cell_syms,
                 jnp.asarray(nb_tbl.reshape(-1)),
@@ -411,11 +682,28 @@ def compress_payload(
     # ragged tail chunk: numpy golden model
     if full < n_chunks:
         c = n_chunks - 1
-        chunk = data[c * chunk_size : n]
-        planes = byte_group.split(chunk, num_buf, byte_reorder, bit_reorder)
+        if tail_planes is not None:
+            planes = tail_planes
+        else:
+            planes = byte_group.split(
+                data[c * chunk_size : n], num_buf, byte_reorder, bit_reorder
+            )
+        if shared_tables and full == 0:
+            # no full chunks: build the shared tables from the tail alone
+            shared = [None] * num_buf
+            for b in range(num_buf):
+                if planes[b].size:
+                    count = np.bincount(planes[b], minlength=256).astype(np.int64)
+                    if count.sum():
+                        shared[b] = huf.build_shared_table(count)
         for b in range(num_buf):
             plane = planes[b]
-            comp = huf.compress(plane)
+            if shared_tables:
+                from ..codec import compress_cell_shared  # noqa: PLC0415
+
+                comp = compress_cell_shared(plane, shared[b])
+            else:
+                comp = huf.compress(plane)
             if comp is not None and len(comp) < plane.size * threshold:
                 chunk_types[b, c] = 1
                 chunk_sizes[b, c] = len(comp)
@@ -434,3 +722,75 @@ def compress_payload(
 
 def codec_empty(num_buf: int) -> bytes:
     return b""
+
+
+def plan_fast_decode(
+    payload,
+    num_buf: int,
+    bit_reorder: int,
+    byte_reorder: int,
+    chunk_size: int,
+    orig_size: int,
+):
+    """Build the fused device decode for a shared-table container.
+
+    Returns (run, dev_args, meta) where ``run(*dev_args)`` is the
+    single-dispatch HBM->HBM decompress of all full chunks (meta carries
+    the validation vectors), or None when the container is not fast-path
+    eligible.  Used by the benchmark harness and the device-resident
+    serving path.
+    """
+    from .. import codec  # noqa: PLC0415
+
+    n_chunks = (orig_size + chunk_size - 1) // chunk_size
+    full = n_chunks if orig_size == n_chunks * chunk_size else n_chunks - 1
+    if full == 0 or not _platform_is_tpu():
+        return None
+    types, starts, data_start = codec.parse_tables(payload, num_buf, n_chunks)
+    payload_np = np.frombuffer(memoryview(payload), dtype=np.uint8)
+    plane_bytes = chunk_size // num_buf
+    seg = plane_bytes // 4
+    plane_base = np.zeros(num_buf, dtype=np.int64)
+    for b in range(1, num_buf):
+        plane_base[b] = plane_base[b - 1] + starts[b - 1, n_chunks]
+    cs = (data_start + plane_base[:, None] + starts[:, :-1])[:, :full]
+    sz = (starts[:, 1:] - starts[:, :-1])[:, :full]
+    t = types[:, :full]
+    raw_mask = t == 0
+    rle_mask = (t == 1) & (sz == 1)
+    stored_mask = raw_mask | ((t == 1) & (sz == plane_bytes))
+    huf_mask = (t == 1) & ~rle_mask & ~stored_mask
+    huf_b, huf_c = np.nonzero(huf_mask)
+    sstarts = slens = tbl8 = None
+    if huf_b.size:
+        hcs = cs[huf_b, huf_c].astype(np.int64)
+        hsz = sz[huf_b, huf_c].astype(np.int64)
+        first = bytes(payload_np[int(hcs[0]) : int(hcs[0] + hsz[0])])
+        weights, rank_stats, tlog, _, consumed = huf.read_stats(first)
+        if tlog > pallas_huf.TMAX:
+            return None
+        hdr = payload_np[int(hcs[0]) : int(hcs[0]) + consumed]
+        if not np.all(hsz > consumed + 6):
+            return None
+        idx = hcs[:, None] + np.arange(consumed)
+        if not bool(np.all(payload_np[idx] == hdr)):
+            return None
+        jt = hcs + consumed
+        l1 = payload_np[jt].astype(np.int64) | (payload_np[jt + 1].astype(np.int64) << 8)
+        l2 = payload_np[jt + 2].astype(np.int64) | (payload_np[jt + 3].astype(np.int64) << 8)
+        l3 = payload_np[jt + 4].astype(np.int64) | (payload_np[jt + 5].astype(np.int64) << 8)
+        l4 = hsz - consumed - 6 - l1 - l2 - l3
+        if not np.all((l1 > 0) & (l2 > 0) & (l3 > 0) & (l4 > 0)):
+            return None
+        s0 = jt + 6
+        sstarts = np.stack([s0, s0 + l1, s0 + l1 + l2, s0 + l1 + l2 + l3], axis=1).reshape(-1)
+        slens = np.stack([l1, l2, l3, l4], axis=1).reshape(-1)
+        sym_t, nb_t = huf.build_dtable(weights, rank_stats, tlog)
+        tbl8 = pallas_huf.expand_dtable8(sym_t, nb_t, tlog)
+    run, dev_args, SW = _make_fast_args(
+        payload_np, cs, stored_mask, rle_mask, huf_b, huf_c,
+        sstarts, slens, tbl8, seg, full, num_buf, plane_bytes,
+        byte_reorder, bit_reorder,
+    )
+    meta = {"SW": SW, "slens": slens, "full": full, "n_huf": huf_b.size}
+    return run, dev_args, meta

@@ -51,6 +51,7 @@ class ZipNN:
         zstd_level: int = 3,
         lz4_compression_level: int = 0,
         engine: str = "auto",
+        huffman_table: str = "per_chunk",
     ):
         """Configure a compressor/decompressor.
 
@@ -70,6 +71,11 @@ class ZipNN:
         self.byte_reorder = byte_reorder
         self.reorder_signbit = reorder_signbit
         self.engine = engine
+        if huffman_table not in ("per_chunk", "shared"):
+            raise ValueError("huffman_table must be 'per_chunk' or 'shared'")
+        # "shared": one <=8-bit table per byte plane (TPU-optimal profile;
+        # still a standard container, decodable by the reference library)
+        self.huffman_table = huffman_table
 
         self.delta_compressed_type = delta_compressed_type
         self.lossy_compressed_type = (
@@ -373,6 +379,7 @@ class ZipNN:
             self.compression_threshold,
             self.threads,
             self.engine,
+            shared_tables=self.huffman_table == "shared",
         )
         hdr.original_len = arr.size
         hdr.total_len = HEADER_LEN + hdr.ext_len() + len(payload)
