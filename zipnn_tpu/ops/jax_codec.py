@@ -129,8 +129,12 @@ def _fused_fast_decode(
 
     Everything — right-aligned stream slicing, the Pallas lockstep decode,
     stored-plane gathering from the compressed payload itself, RLE fills,
-    plane scatter, and the byte-group combine — happens inside a single jit,
-    so one dispatch (and one payload upload) decompresses the whole buffer.
+    plane assembly, and the byte-group combine — happens inside a single
+    jit, so one dispatch (and one payload upload) decompresses the whole
+    buffer.  Plane assembly is a row *gather* (``all_rows[perm]``), not a
+    scatter, and decoded data stays in uint32 words end to end: the
+    kernel's LE-packed output words ARE the plane words.
+
     Returns (owords [full, chunk_words] uint32, pend [S] int32).
     """
     import jax  # noqa: PLC0415
@@ -143,21 +147,22 @@ def _fused_fast_decode(
     n_blocks = S_pad // pallas_huf.BLOCK
     kernel = pallas_huf._decode_call(SW, seg, n_blocks)
     pad = 4 * SW
+    plane_words = plane_bytes // 4
 
-    def run(region, row_starts, p0, tbl8, stored_starts, stored_idx, rle_vals,
-            rle_idx, huf_idx):
-        regionp = jnp.concatenate([jnp.zeros(pad, jnp.uint8), region])
-
-        planes = jnp.zeros((full, num_buf, plane_bytes), jnp.uint8)
+    def run(region, row_starts, p0, tbl8, stored_starts, rle_vals, perm):
+        rows = []
         if n_stored:
-            rows = jax.vmap(
+            srows = jax.vmap(
                 lambda st: jax.lax.dynamic_slice(region, (st,), (plane_bytes,))
             )(stored_starts)
-            planes = planes.at[stored_idx[:, 0], stored_idx[:, 1]].set(rows)
+            w = srows.reshape(n_stored, plane_words, 4).astype(jnp.uint32)
+            rows.append(w[..., 0] | (w[..., 1] << 8) | (w[..., 2] << 16) | (w[..., 3] << 24))
         if n_rle:
-            rows = jnp.broadcast_to(rle_vals[:, None], (n_rle, plane_bytes))
-            planes = planes.at[rle_idx[:, 0], rle_idx[:, 1]].set(rows)
+            v = rle_vals.astype(jnp.uint32)
+            v = v | (v << 8) | (v << 16) | (v << 24)
+            rows.append(jnp.broadcast_to(v[:, None], (n_rle, plane_words)))
         if n_huf:
+            regionp = jnp.concatenate([jnp.zeros(pad, jnp.uint8), region])
             rrows = jax.vmap(
                 lambda st: jax.lax.dynamic_slice(regionp, (st,), (4 * SW,))
             )(row_starts)  # [S_pad, 4*SW] uint8
@@ -165,25 +170,21 @@ def _fused_fast_decode(
             words = w[..., 0] | (w[..., 1] << 8) | (w[..., 2] << 16) | (w[..., 3] << 24)
             blocks = words.reshape(n_blocks, 8, 128, SW).transpose(0, 3, 1, 2)
             out, pend = kernel(blocks, p0, tbl8)
+            # LE-packed symbol words == plane words, stream-major
             ow = out.transpose(0, 2, 3, 1).reshape(S_pad, seg // 4)
-            b = jnp.stack(
-                [ow & 0xFF, (ow >> 8) & 0xFF, (ow >> 16) & 0xFF, (ow >> 24) & 0xFF],
-                axis=-1,
-            ).astype(jnp.uint8).reshape(S_pad, seg)
-            huf_planes = b[:S].reshape(n_huf, plane_bytes)
-            planes = planes.at[huf_idx[:, 0], huf_idx[:, 1]].set(huf_planes)
+            rows.append(ow[:S].reshape(n_huf, plane_words))
             pend_flat = pend.reshape(-1)[:S]
         else:
             pend_flat = jnp.zeros((0,), jnp.int32)
 
-        pw = planes.reshape(full, num_buf, plane_bytes // 4, 4).astype(jnp.uint32)
-        pwords = pw[..., 0] | (pw[..., 1] << 8) | (pw[..., 2] << 16) | (pw[..., 3] << 24)
-        owords = jax_transforms.combine_device(pwords, num_buf, byte_reorder, bit_reorder)
+        all_rows = rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=0)
+        planes_words = all_rows[perm].reshape(full, num_buf, plane_words)
+        owords = jax_transforms.combine_device(
+            planes_words, num_buf, byte_reorder, bit_reorder
+        )
         return owords, pend_flat
 
     return jax.jit(run)
-
-
 
 
 def _make_fast_args(
@@ -227,6 +228,12 @@ def _make_fast_args(
         SW, seg, full, num_buf, plane_bytes, byte_reorder, bit_reorder,
         n_stored, n_rle, n_huf,
     )
+    # row-gather permutation: all_rows is [stored..., rle..., huf...]
+    nb_, full_ = stored_mask.shape
+    perm = np.zeros((full_, nb_), dtype=np.int32)
+    perm[st_c, st_b] = np.arange(n_stored, dtype=np.int32)
+    perm[rl_c, rl_b] = n_stored + np.arange(n_rle, dtype=np.int32)
+    perm[huf_c, huf_b] = n_stored + n_rle + np.arange(n_huf, dtype=np.int32)
     dev_args = (
         jnp.asarray(payload_np),
         jnp.asarray(row_starts),
@@ -234,14 +241,9 @@ def _make_fast_args(
         tbl_dev,
         jnp.asarray(cs[st_b, st_c].astype(np.int32))
         if n_stored else jnp.zeros((0,), jnp.int32),
-        jnp.asarray(np.stack([st_c, st_b], axis=1).astype(np.int32))
-        if n_stored else jnp.zeros((0, 2), jnp.int32),
         jnp.asarray(payload_np[cs[rl_b, rl_c].astype(np.int64)])
         if n_rle else jnp.zeros((0,), jnp.uint8),
-        jnp.asarray(np.stack([rl_c, rl_b], axis=1).astype(np.int32))
-        if n_rle else jnp.zeros((0, 2), jnp.int32),
-        jnp.asarray(np.stack([huf_c, huf_b], axis=1).astype(np.int32))
-        if n_huf else jnp.zeros((0, 2), jnp.int32),
+        jnp.asarray(perm.reshape(-1)),
     )
     return run, dev_args, SW
 
