@@ -235,3 +235,68 @@ def test_container_layout_golden():
     data_len = len(c) - 32 - num_buf * n_chunks * 9
     assert int(cum[:, -1].sum()) == data_len
     assert int.from_bytes(c[24:32], "little") == len(c)
+
+
+# ---------------------------------------------------------------------------
+# lossy INTEGER codec (reference P6, zipnn.py:869-901 / util_torch.py:9-63)
+# ---------------------------------------------------------------------------
+
+def test_lossy_integer_roundtrip_fp32():
+    torch = pytest.importorskip("torch")
+    from zipnn_tpu import ZipNN
+
+    g = torch.Generator().manual_seed(3)
+    t = torch.randn(257, 33, generator=g)  # values ~N(0,1) << 2^(31-20)
+    factor = 20
+    z = ZipNN(input_format="torch", lossy_compressed_type="integer",
+              lossy_compressed_factor=factor)
+    c = z.compress(t)
+    back = ZipNN(input_format="torch").decompress(c)
+    assert back.dtype == t.dtype and back.shape == t.shape
+    # quantization error bounded by one step
+    assert torch.max(torch.abs(back - t)).item() <= 2.0 ** -factor
+    # and it actually compresses better than lossless on noisy data
+    lossless = ZipNN(input_format="torch").compress(t)
+    assert len(c) < len(lossless)
+
+
+def test_lossy_integer_fallback_when_out_of_range():
+    torch = pytest.importorskip("torch")
+    from zipnn_tpu import ZipNN
+
+    t = torch.randn(64, 64) * 1e30  # overflows any int32 scaling
+    z = ZipNN(input_format="torch", lossy_compressed_type="integer",
+              lossy_compressed_factor=27)
+    c = z.compress(t)
+    back = ZipNN(input_format="torch").decompress(c)
+    assert torch.equal(back, t)  # lossless fallback, bit-exact
+
+
+def test_lossy_integer_bf16():
+    torch = pytest.importorskip("torch")
+    from zipnn_tpu import ZipNN
+
+    t = (torch.randn(100, 41) * 0.1).to(torch.bfloat16)
+    factor = 8
+    z = ZipNN(input_format="torch", lossy_compressed_type="integer",
+              lossy_compressed_factor=factor)
+    c = z.compress(t)
+    back = ZipNN(input_format="torch").decompress(c)
+    assert back.dtype == torch.bfloat16
+    assert torch.max(torch.abs(back.float() - t.float())).item() <= 2.0 ** -(factor - 1)
+
+
+def test_lossy_unsign_raises():
+    torch = pytest.importorskip("torch")
+    from zipnn_tpu import ZipNN
+
+    z = ZipNN(input_format="torch", lossy_compressed_type="unsign")
+    with pytest.raises(ValueError):
+        z.compress(torch.randn(8, 8))
+
+
+def test_lossy_requires_torch_format():
+    from zipnn_tpu import ZipNN
+
+    with pytest.raises(ValueError):
+        ZipNN(input_format="byte", lossy_compressed_type="integer")

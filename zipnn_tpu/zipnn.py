@@ -335,25 +335,69 @@ class ZipNN:
             return info.code, shape, arr
         raise ValueError("Unsupported input_format")
 
+    def _lossy_prepare(self, t):
+        """INTEGER lossy mode: scale to a fixed-point integer tensor when it
+        fits (reference util_torch.py:10-38 + zipnn.py:869-895).
+
+        Deviation, by design: the overflow guard compares against
+        ``2**(bits-1-factor)`` — the value that keeps ``t * 2**factor``
+        inside the signed integer range.  The reference's (never-invoked)
+        comparator dropped the exponent (zipnn.py:893: ``bit_size - 1 -
+        lossy_factor``), which would reject almost everything.
+        """
+        import torch  # noqa: PLC0415
+
+        info = dtypes.from_any(t.dtype)
+        bits = torch.finfo(t.dtype).bits
+        factor = self.lossy_compressed_factor
+        if float(t.abs().max()) < float(2 ** (bits - 1 - factor)):
+            int_dtype = torch.int32 if bits == 32 else torch.int16
+            t = (t * float(2**factor)).to(int_dtype)
+            return t, (info.code, True)
+        return t, (info.code, False)
+
     def _compress_one(self, data) -> bytes:
+        lossy = None
+        if self.lossy_compressed_type == EnumLossy.INTEGER:
+            if self.input_format != EnumFormat.TORCH.value:
+                raise ValueError("When use lossy compression the input have to be torch.tensor")
+            data, lossy = self._lossy_prepare(data)
+        elif self.lossy_compressed_type == EnumLossy.UNSIGN:
+            raise ValueError('lossy_compressed_type is "unsign" -> not implemented yet')
+
         dtype_code, shape, arr = self._resolve_dtype_and_bytes(data)
 
         fmt = self.input_format
-        if fmt == EnumFormat.BYTE.value:
-            is_float = dtypes.from_any(self.bytearray_dtype).is_float
+        if lossy is not None:
+            dtype_code, lossy_is_int = lossy  # header records the float dtype
         else:
-            is_float = dtypes.from_code(dtype_code).is_float
-        if not is_float:
-            # reference supports only a (raising) uint32 path here
-            # (zipnn.py:816-835)
-            raise ValueError("Support only torch.dtype float32/bfloat16/float16/fp8")
+            if fmt == EnumFormat.BYTE.value:
+                is_float = dtypes.from_any(self.bytearray_dtype).is_float
+            else:
+                is_float = dtypes.from_code(dtype_code).is_float
+            if not is_float:
+                # reference supports only a (raising) uint32 path here
+                # (zipnn.py:816-835)
+                raise ValueError("Support only torch.dtype float32/bfloat16/float16/fp8")
 
-        grouping = dtypes.grouping_for_code(dtype_code)
+        if lossy is not None and lossy[1]:
+            # integer payload: plain byte planes, no sign rotation
+            info = dtypes.from_code(dtype_code)
+            if info.itemsize == 4:
+                grouping = dtypes.Grouping(4, 220, 0, 32)
+            else:
+                grouping = dtypes.Grouping(2, 10, 0, 16)
+        else:
+            grouping = dtypes.grouping_for_code(dtype_code)
 
         hdr = self._make_header()
         hdr.byte_reorder = grouping.byte_reorder
         hdr.bit_reorder = grouping.bit_reorder
         hdr.dtype_code = dtype_code
+        if lossy is not None:
+            hdr.lossy_type = EnumLossy.INTEGER.value
+            hdr.lossy_factor = self.lossy_compressed_factor
+            hdr.lossy_is_int = int(lossy[1])
         if fmt in _FORMATS_WITH_SHAPE:
             hdr.shape = shape
 
@@ -521,6 +565,16 @@ class ZipNN:
         code = self.dtype
         if fmt == EnumFormat.TORCH.value:
             import torch  # noqa: PLC0415
+
+            lossy_type = self.lossy_compressed_type
+            lossy_val = lossy_type.value if isinstance(lossy_type, EnumLossy) else lossy_type
+            if lossy_val == EnumLossy.INTEGER.value and getattr(self, "_lossy_is_int", 0):
+                info = dtypes.from_code(code)
+                int_np = np.int32 if info.itemsize == 4 else np.int16
+                arr = flat.view(int_np).reshape(self.shape_bytes)
+                t = torch.from_numpy(arr.copy()).to(torch.float32)
+                t = t / float(2**self.lossy_compressed_factor)
+                return t.to(dtypes.torch_dtype(info))
 
             if code in (1, 2):
                 arr = flat.view(np.float32).reshape(self.shape_bytes)
