@@ -242,6 +242,19 @@ class ZipNN:
     # ------------------------------------------------------------------
     # compression
     # ------------------------------------------------------------------
+    def _record_stats(self, op: str, original: int, compressed: int, seconds: float):
+        from .stats import CodecStats  # noqa: PLC0415
+
+        self.last_stats = CodecStats(
+            op=op,
+            original_bytes=original,
+            compressed_bytes=compressed,
+            seconds=seconds,
+            engine=codec.resolve_engine(self.engine, getattr(self, "huffman_table", "") == "shared"),
+            dtype=str(self.bytearray_dtype),
+            chunk_size=self.compression_chunk,
+        )
+
     def compress(
         self,
         data,
@@ -278,6 +291,23 @@ class ZipNN:
                     "ZipNN isn't set for delta compression, but delta_second_data is not null."
                 )
 
+        import time as _time  # noqa: PLC0415
+
+        _t0 = _time.perf_counter()
+        result = self._compress_dispatch(data, delta_second_data)
+        try:
+            if hasattr(data, "numel") and hasattr(data, "element_size"):  # torch
+                original = data.numel() * data.element_size()
+            elif hasattr(data, "nbytes"):  # numpy / jax
+                original = int(data.nbytes)
+            else:
+                original = len(memoryview(data))
+        except Exception:
+            original = 0
+        self._record_stats("compress", original, len(result), _time.perf_counter() - _t0)
+        return result
+
+    def _compress_dispatch(self, data, delta_second_data):
         if self.is_streaming and self.input_format == EnumFormat.BYTE.value:
             mv_data = memoryview(data)
             mv_delta = memoryview(delta_second_data) if delta_second_data else None
@@ -464,6 +494,21 @@ class ZipNN:
     # ------------------------------------------------------------------
     def decompress(self, data, decompress_cpu_gpu: str = "cpu", delta_second_data=None):
         """Decompress; inverse of :meth:`compress` (reference zipnn.py:928-1005)."""
+        import time as _time  # noqa: PLC0415
+
+        _t0 = _time.perf_counter()
+        result = self._decompress_dispatch(data, delta_second_data)
+        try:
+            out_len = len(result) if isinstance(result, (bytes, bytearray)) else (
+                result.numel() * result.element_size()
+                if hasattr(result, "element_size") else getattr(result, "nbytes", 0)
+            )
+        except Exception:
+            out_len = 0
+        self._record_stats("decompress", out_len, len(memoryview(data)), _time.perf_counter() - _t0)
+        return result
+
+    def _decompress_dispatch(self, data, delta_second_data=None):
         if self.delta_compressed_type == "byte":
             if delta_second_data is None:
                 raise ValueError("delta_second_data is None or not set for delta compression")
