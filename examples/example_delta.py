@@ -1,5 +1,10 @@
 """Delta (XOR) compression of a fine-tuned checkpoint vs its base
 (reference scripts/zipnn_compress_file_delta.py semantics)."""
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 from zipnn_tpu import ZipNN
 

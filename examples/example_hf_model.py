@@ -5,6 +5,11 @@ Compress a downloaded model first:
   python -m zipnn_tpu.cli.compress_path safetensors --model <model-id> --hf_cache
 then load it with the plugin active:
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 
 from zipnn_tpu import zipnn_hf

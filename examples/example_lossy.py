@@ -1,4 +1,9 @@
 """Lossy INTEGER mode: fixed-point quantization with bounded error."""
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import torch
 from zipnn_tpu import ZipNN
 

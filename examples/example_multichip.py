@@ -4,6 +4,11 @@ Run on real chips, or virtually:
   JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
       python example_multichip.py
 """
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 from zipnn_tpu import ZipNN, parallel
 

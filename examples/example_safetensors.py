@@ -1,4 +1,9 @@
 """Per-tensor safetensors compression + transparent SafeOpen loading."""
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import torch
 from safetensors.torch import save_file
 from zipnn_tpu.plugins.safetensors import (

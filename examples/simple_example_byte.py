@@ -1,4 +1,9 @@
 """Byte-buffer roundtrip (reference simple_example_byte.py)."""
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 from zipnn_tpu import ZipNN
 

@@ -1,4 +1,9 @@
 """JAX device-array roundtrip + the TPU-optimal shared-table profile."""
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import jax.numpy as jnp
 import numpy as np
 from zipnn_tpu import ZipNN

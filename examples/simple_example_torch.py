@@ -1,5 +1,10 @@
 """torch.Tensor roundtrip for every supported float dtype
 (reference simple_example_torch.py)."""
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import torch
 from zipnn_tpu import ZipNN
 
