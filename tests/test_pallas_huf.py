@@ -56,32 +56,41 @@ def make_shared_streams(n_streams, seg, skew=True):
 
 def sim_decode(region, starts, lens, tbl8, seg):
     S = starts.size
-    SW = pallas_huf._round_sw(int(lens.max()))
-    ends = starts + lens
-    pad = 4 * SW
-    reg = np.concatenate([np.zeros(pad, np.uint8), region])
+    SW = 128 * pallas_huf.row_tiles_for(int(lens.max()))
+    RT = SW // 128
+    ends = (starts + lens).astype(np.int64)
+    # tile-aligned rows out of the front-padded payload (exactly what the
+    # pallas gather produces; bytes around each stream are real neighbors)
+    reg = np.concatenate([np.zeros(512 * RT, np.uint8), region, np.zeros(512 * RT, np.uint8)])
+    tile_start, end_in_row = pallas_huf.stream_row_geometry(ends, SW)
     rows = np.zeros((S, 4 * SW), np.uint8)
     for i in range(S):
-        rs = ends[i] - 4 * SW + pad
+        rs = 512 * int(tile_start[i])
         rows[i] = reg[rs : rs + 4 * SW]
     words = rows.view("<u4")  # [S, SW]
 
     last = region[ends - 1]
-    p0 = 8 * (4 * SW - 1) + np.floor(np.log2(last)).astype(np.int64)
+    p0 = 8 * (end_in_row - 1) + np.floor(np.log2(last)).astype(np.int64)
 
     tblw = np.asarray(tbl8[0]).astype(np.uint32)  # [128] packed
 
     U = np.uint32
-    s0 = (32 * SW - p0).astype(np.uint32)
-    hi = (words[:, SW - 1] << s0).astype(U)
-    lo = np.zeros(S, U)
-    navail = 32 - s0.astype(np.int64)
+    wtop = (p0 - 1) >> 5
+    base2 = ((wtop >> 2) << 2) - 4
+    base3 = ((base2 - 28) >> 5) << 5
+    idx = np.arange(S)
+    w3 = np.zeros((64, S), U)
+    for m in range(64):
+        w3[m] = words[idx, np.minimum(base3 + m, SW - 1)]
+    w8 = [words[idx, np.minimum(base2 + k, SW - 1)].copy() for k in range(8)]
+    w_a = words[idx, wtop]
+    w_b = words[idx, wtop - 1]
+    s0 = (32 * (wtop + 1) - p0).astype(np.uint32)
+    hi = ((w_a << s0) | np.where(s0 == 0, U(0), w_b >> (np.uint32(32) - s0))).astype(U)
+    lo = (w_b << s0).astype(U)
+    navail = 64 - s0.astype(np.int64)
     p = p0.copy()
-    wpos = np.full(S, SW - 2, np.int64)
-    base2 = np.full(S, SW - 8, np.int64)
-    base3 = np.full(S, SW - 64, np.int64)
-    w3 = words[:, SW - 64 : SW].T.copy()  # [64, S]
-    w8 = [words[:, SW - 8 + k].copy() for k in range(8)]
+    wpos = wtop - 2
 
     out = np.zeros((S, seg), np.uint8)
     assert seg % 64 == 0
@@ -145,8 +154,9 @@ def test_sim_matches_scalar_decoder():
     datas, region, starts, lens, tbl8 = make_shared_streams(9, seg)
     out, pend = sim_decode(region, starts, lens, tbl8, seg)
     assert np.array_equal(out, datas)
-    SW = pallas_huf._round_sw(int(lens.max()))
-    assert np.array_equal(pend, 8 * (4 * SW - lens))
+    SW = 128 * pallas_huf.row_tiles_for(int(lens.max()))
+    _, end_in_row = pallas_huf.stream_row_geometry((starts + lens).astype(np.int64), SW)
+    assert np.array_equal(pend, 8 * (end_in_row - lens))
 
 
 def test_sim_uniform_data_rle_like():

@@ -162,12 +162,13 @@ def _fused_fast_decode(
             v = v | (v << 8) | (v << 16) | (v << 24)
             rows.append(jnp.broadcast_to(v[:, None], (n_rle, plane_words)))
         if n_huf:
-            regionp = jnp.concatenate([jnp.zeros(pad, jnp.uint8), region])
-            rrows = jax.vmap(
-                lambda st: jax.lax.dynamic_slice(regionp, (st,), (4 * SW,))
-            )(row_starts)  # [S_pad, 4*SW] uint8
-            w = rrows.reshape(S_pad, SW, 4).astype(jnp.uint32)
-            words = w[..., 0] | (w[..., 1] << 8) | (w[..., 2] << 16) | (w[..., 3] << 24)
+            from . import pallas_gather  # noqa: PLC0415
+
+            RT = SW // 128
+            tiles = pallas_gather.to_tiles(
+                jnp.concatenate([jnp.zeros(512 * RT, jnp.uint8), region])
+            )
+            words = pallas_gather.gather_rows(tiles, row_starts, RT)  # [S_pad, SW]
             blocks = words.reshape(n_blocks, 8, 128, SW).transpose(0, 3, 1, 2)
             out, pend = kernel(blocks, p0, tbl8)
             # LE-packed symbol words == plane words, stream-major
@@ -207,19 +208,21 @@ def _make_fast_args(
         last = payload_np[sends - 1]
         if np.any(last == 0):
             raise ValueError("corrupt bitstream: missing sentinel bit")
-        SW = pallas_huf._round_sw(int(slens.max()))
+        SW = 128 * pallas_huf.row_tiles_for(int(slens.max()))
         S = n_huf * 4
         S_pad = -(-S // pallas_huf.BLOCK) * pallas_huf.BLOCK
         n_blocks = S_pad // pallas_huf.BLOCK
+        tile_start, end_in_row = pallas_huf.stream_row_geometry(sends, SW)
         row_starts = np.zeros(S_pad, dtype=np.int32)
-        row_starts[:S] = sends.astype(np.int32)  # +pad-4*SW applied in-kernel
-        msb = np.floor(np.log2(last.astype(np.int64))).astype(np.int32)
+        row_starts[:S] = tile_start
+        msb = np.floor(np.log2(last.astype(np.int64))).astype(np.int64)
         p0 = np.full(S_pad, 8 * (4 * SW - 1), dtype=np.int32)
-        p0[:S] += msb
+        p0[:S] = (8 * (end_in_row - 1) + msb).astype(np.int32)
         p0 = p0.reshape(n_blocks, 8, 128)
         tbl_dev = jnp.asarray(tbl8)
     else:
-        SW = 64
+        SW = 128
+        end_in_row = None
         row_starts = np.zeros(0, dtype=np.int32)
         p0 = np.zeros((0, 8, 128), dtype=np.int32)
         tbl_dev = jnp.zeros((8, 128), jnp.int32)
@@ -245,7 +248,7 @@ def _make_fast_args(
         if n_rle else jnp.zeros((0,), jnp.uint8),
         jnp.asarray(perm.reshape(-1)),
     )
-    return run, dev_args, SW
+    return run, dev_args, SW, end_in_row
 
 
 def _platform_is_tpu() -> bool:
@@ -354,7 +357,7 @@ def decompress_payload(
             if not n_huf:
                 sstarts = slens = None
                 tbl8 = None
-            run, dev_args, SW = _make_fast_args(
+            run, dev_args, SW, end_in_row = _make_fast_args(
                 payload_np, cs, stored_mask, rle_mask, huf_b, huf_c,
                 sstarts, slens, tbl8, seg, full, num_buf, plane_bytes,
                 byte_reorder, bit_reorder,
@@ -363,7 +366,7 @@ def decompress_payload(
             host = np.asarray(owords).astype("<u4", copy=False)
             if n_huf:
                 pend_np = np.asarray(pend).astype(np.int64)
-                want_end = 8 * (4 * SW - slens)
+                want_end = 8 * (end_in_row - slens)
                 if not np.array_equal(pend_np, want_end):
                     bad = int(np.nonzero(pend_np != want_end)[0][0])
                     raise ValueError(
@@ -789,10 +792,11 @@ def plan_fast_decode(
         slens = np.stack([l1, l2, l3, l4], axis=1).reshape(-1)
         sym_t, nb_t = huf.build_dtable(weights, rank_stats, tlog)
         tbl8 = pallas_huf.expand_dtable8(sym_t, nb_t, tlog)
-    run, dev_args, SW = _make_fast_args(
+    run, dev_args, SW, end_in_row = _make_fast_args(
         payload_np, cs, stored_mask, rle_mask, huf_b, huf_c,
         sstarts, slens, tbl8, seg, full, num_buf, plane_bytes,
         byte_reorder, bit_reorder,
     )
-    meta = {"SW": SW, "slens": slens, "full": full, "n_huf": huf_b.size}
+    meta = {"SW": SW, "slens": slens, "full": full, "n_huf": huf_b.size,
+            "end_in_row": end_in_row}
     return run, dev_args, meta

@@ -1,0 +1,101 @@
+"""Pallas row gather: many variable-offset row reads at DMA speed.
+
+XLA lowers a batched ``dynamic_slice`` (and any gather with row-sized
+slices) to a serial one-row-at-a-time loop on TPU — ~3 us per row no matter
+the row size, which makes slicing tens of thousands of compressed streams
+out of a payload the bottleneck of the fused decode pipeline.
+
+This kernel does it the hardware-native way: the source is viewed as
+``[X, 128]`` uint32 (Mosaic allows DMA slices at row granularity there =
+512-byte offsets), row starts arrive via scalar prefetch, and each grid
+step issues a burst of async HBM->VMEM copies over a small semaphore ring.
+Issue cost is ~0.2 us/DMA and the copies overlap, so the gather runs near
+HBM bandwidth.  Sub-row alignment is the *caller's* job: consumers either
+barrel-shift in XLA (stored planes) or handle per-lane offsets natively
+(the lockstep decode kernel's per-lane ``wtop``).
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+LANE = 128  # words per source row (512 bytes)
+ROWS_PER_BLOCK = 256
+SEM_RING = 16
+
+
+@lru_cache(maxsize=None)
+def _gather_call(n_blocks: int, row_tiles: int):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R = ROWS_PER_BLOCK
+
+    def kernel(starts_ref, src_ref, out_ref, sems):
+        b = pl.program_id(0)
+
+        def issue(r):
+            return pltpu.make_async_copy(
+                src_ref.at[pl.ds(starts_ref[b * R + r], row_tiles)],
+                out_ref.at[0, r],
+                sems.at[r % SEM_RING],
+            )
+
+        for r in range(R):
+            if r >= SEM_RING:
+                issue(r - SEM_RING).wait()
+            issue(r).start()
+        for r in range(max(R - SEM_RING, 0), R):
+            issue(r).wait()
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, R, row_tiles, LANE),
+            lambda b, starts: (b, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((SEM_RING,))],
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_blocks, R, row_tiles, LANE), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )
+    return jax.jit(call)
+
+
+def gather_rows(src_tiles, tile_starts, row_tiles: int):
+    """rows[i] = src_tiles[tile_starts[i] : tile_starts[i] + row_tiles].
+
+    ``src_tiles`` is a device uint32 array [X, 128] (one tile row = 128
+    words = 512 bytes); returns [n, row_tiles * 128] uint32.  Starts must be
+    in-bounds: ``0 <= start`` and ``start + row_tiles <= X``.
+    """
+    import jax.numpy as jnp
+
+    n = tile_starts.shape[0]
+    n_pad = -(-max(n, 1) // ROWS_PER_BLOCK) * ROWS_PER_BLOCK
+    st = jnp.asarray(tile_starts, jnp.int32)
+    if n_pad != n:
+        st = jnp.concatenate([st, jnp.zeros(n_pad - n, jnp.int32)])
+    out = _gather_call(n_pad // ROWS_PER_BLOCK, row_tiles)(st, src_tiles)
+    return out.reshape(n_pad, row_tiles * LANE)[:n]
+
+
+def to_tiles(region_u8):
+    """Pad a flat uint8 payload to [X, 128] uint32 tiles (device)."""
+    import jax
+    import jax.numpy as jnp
+
+    n = region_u8.shape[0]
+    pad = (-n) % 512 + 512  # alignment + one guard tile
+    padded = jnp.concatenate([region_u8, jnp.zeros(pad, jnp.uint8)])
+    w = jax.lax.bitcast_convert_type(padded.reshape(-1, 4), jnp.uint32)
+    return w.reshape(-1, LANE)

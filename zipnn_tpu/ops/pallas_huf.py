@@ -88,27 +88,53 @@ def _build_kernel(SW: int, SEG: int):
     SW32 = SW // 32
     N_PERIODS = SEG // 64
 
+    # the sentinel word index per lane lives in the top TRANGE rows of the
+    # row buffer (tile-aligned gather leaves a sub-tile offset per stream)
+    TRANGE = 130
+    WTOP_MIN = SW - 1 - TRANGE
+
     def kernel(sbuf_ref, p0_ref, tbl_ref, out_ref, pend_ref, w3_ref):
         tbl = tbl_ref[:, :]
         p0 = p0_ref[0, :, :].astype(I)
 
-        # ---- init: every stream's top word is row SW-1 (right-aligned) ----
-        s = (I(32 * SW) - p0).astype(U)  # bits above the sentinel, in [1, 8]
-        w_top = sbuf_ref[0, SW - 1, :, :]
-        hi = w_top << s
-        # tie constant-valued carries to loaded data: a pure-constant init
-        # gets a replicated Mosaic layout that cannot round-trip the loop,
-        # and simple masks (x & 0) constant-fold away — double shifts don't
-        zero = (p0 >> 16) >> 16  # == 0 for any valid bit position
-        lo = (w_top >> U(16)) >> U(16)  # == 0
-        navail = I(32) - s.astype(I)
-        p = p0
-        wpos = zero + (SW - 2)
-        base2 = zero + (SW - 8)
-        base3 = zero + (SW - 64)
+        # ---- init: per-lane sentinel word (tile-aligned rows) -------------
+        wtop = (p0 - 1) >> 5
+        base2 = ((wtop >> 2) << 2) - 4  # aligned 4; wtop - base2 in [4, 8)
+        base3 = ((base2 - 28) >> 5) << 5  # aligned 32; base2 - base3 in [28, 60)
+
+        b3min = ((((WTOP_MIN >> 2) << 2) - 4 - 28) >> 5) << 5
+        b3max = (((((SW - 1) >> 2) << 2) - 4 - 28) >> 5) << 5
+        c3 = base3 >> 5
         for m in range(64):
-            w3_ref[m, :, :] = sbuf_ref[0, SW - 64 + m, :, :]
-        w8 = [sbuf_ref[0, SW - 8 + k, :, :] for k in range(8)]
+            # rows above wtop may fall past SW for top-of-buffer lanes; they
+            # are never consumed (decode walks downward), so clamp the read
+            row = sbuf_ref[0, min(max(b3min, 0) + m, SW - 1), :, :]
+            for cc in range(max(b3min, 0) // 32 + 1, b3max // 32 + 1):
+                row = jnp.where(c3 == cc, sbuf_ref[0, min(cc * 32 + m, SW - 1), :, :], row)
+            w3_ref[m, :, :] = row
+
+        q0 = (base2 - base3) >> 2  # in [7, 15)
+        w8 = []
+        for k in range(8):
+            v = w3_ref[28 + k, :, :]
+            for q in range(8, 15):
+                v = jnp.where(q0 == q, w3_ref[4 * q + k, :, :], v)
+            w8.append(v)
+
+        def w8sel(idx):
+            v = w8[0]
+            for k in range(1, 8):
+                v = jnp.where(idx == k, w8[k], v)
+            return v
+
+        w_a = w8sel(wtop - base2)      # word containing the sentinel
+        w_b = w8sel(wtop - 1 - base2)  # the word below it
+        s = (I(32) * (wtop + 1) - p0).astype(U)  # bits above sentinel, [0, 32)
+        hi = (w_a << s) | jnp.where(s == 0, (w_a >> U(16)) >> U(16), w_b >> (U(32) - s))
+        lo = w_b << s
+        navail = I(64) - s.astype(I)
+        p = p0
+        wpos = wtop - 2
 
         def period(outer, carry):
             hi, lo, navail, p, wpos, base2, base3, *w8 = carry
@@ -216,31 +242,42 @@ def _decode_call(SW: int, SEG: int, n_blocks: int):
 # host + device glue
 # ---------------------------------------------------------------------------
 
-def _round_sw(max_bytes: int) -> int:
-    sw = max(64, -(-max_bytes // 4))
-    return -(-sw // 64) * 64  # bucket to multiples of 64 rows
+def row_tiles_for(max_bytes: int) -> int:
+    """512-byte row tiles per stream: the stream + 576B slack (sub-tile
+    alignment up to 511B + >=64B of index-safe margin below the start)."""
+    return -(-(int(max_bytes) + 576) // 512)
 
 
 @lru_cache(maxsize=None)
 def _prep_call(SW: int, n_rows: int):
-    """jitted: slice right-aligned rows out of the flat region and transpose
-    to the kernel's [n_blocks, SW, 8, 128] lane-major layout."""
+    """jitted: tile-gather stream rows and transpose to the kernel's
+    [n_blocks, SW, 8, 128] lane-major layout."""
     import jax
     import jax.numpy as jnp
 
-    rb = 4 * SW
+    from . import pallas_gather
 
-    def prep(region, row_starts):
-        def one(start):
-            return jax.lax.dynamic_slice(region, (start,), (rb,))
+    RT = SW // 128
 
-        rows = jax.vmap(one)(row_starts)  # [S, 4*SW] uint8
-        w = rows.reshape(n_rows, SW, 4).astype(jnp.uint32)
-        words = w[..., 0] | (w[..., 1] << 8) | (w[..., 2] << 16) | (w[..., 3] << 24)
-        blocks = words.reshape(n_rows // BLOCK, 8, 128, SW).transpose(0, 3, 1, 2)
-        return blocks
+    def prep(region, tile_starts):
+        tiles = pallas_gather.to_tiles(
+            jnp.concatenate([jnp.zeros(512 * RT, jnp.uint8), region])
+        )
+        rows = pallas_gather.gather_rows(tiles, tile_starts, RT)  # [n, SW]
+        return rows.reshape(n_rows // BLOCK, 8, 128, SW).transpose(0, 3, 1, 2)
 
     return jax.jit(prep)
+
+
+def stream_row_geometry(ends: np.ndarray, SW: int):
+    """Per-stream tile starts (in the RT-tile front-padded payload) and
+    sentinel bit positions within the row."""
+    RT = SW // 128
+    e_pad = ends.astype(np.int64) + 512 * RT
+    te = -(-e_pad // 512)
+    tile_start = (te - RT).astype(np.int32)
+    end_in_row = e_pad - 512 * (te - RT)
+    return tile_start, end_in_row
 
 
 def decode_shared_table(
@@ -261,36 +298,30 @@ def decode_shared_table(
     S = int(stream_starts.size)
     if S == 0:
         return jnp.zeros((0, seg), jnp.uint8)
-    ends = stream_starts + stream_lens
+    ends = (stream_starts + stream_lens).astype(np.int64)
     last = region[ends - 1]
     if np.any(last == 0):
         raise ValueError("corrupt bitstream: missing sentinel bit")
-    SW = _round_sw(int(stream_lens.max()))
+    SW = 128 * row_tiles_for(int(stream_lens.max()))
     seg = int(seg)
 
     S_pad = -(-S // BLOCK) * BLOCK
     n_blocks = S_pad // BLOCK
 
-    # left-pad the region so right-aligned slices never clamp at offset 0
-    pad = 4 * SW
-    region_dev = jnp.concatenate(
-        [jnp.zeros(pad, jnp.uint8), jnp.asarray(region)]
-    )
-    row_starts = np.zeros(S_pad, dtype=np.int32)
-    row_starts[:S] = (ends - 4 * SW + pad).astype(np.int32)
-    blocks = _prep_call(SW, S_pad)(region_dev, jnp.asarray(row_starts))
+    tile_start, end_in_row = stream_row_geometry(ends, SW)
+    ts = np.zeros(S_pad, dtype=np.int32)
+    ts[:S] = tile_start
+    msb = np.floor(np.log2(last.astype(np.int64))).astype(np.int64)
+    p0 = np.full(S_pad, 8 * (512 * (SW // 128) - 1), dtype=np.int32)
+    p0[:S] = (8 * (end_in_row - 1) + msb).astype(np.int32)
 
-    # sentinel positions: the last byte of every row is its stream's last
-    msb = np.zeros(S_pad, dtype=np.int32)
-    msb[:S] = np.floor(np.log2(last.astype(np.int64))).astype(np.int32)
-    p0 = np.full(S_pad, 8 * (4 * SW - 1), dtype=np.int32)
-    p0[:S] += msb[:S]
+    blocks = _prep_call(SW, S_pad)(jnp.asarray(region), jnp.asarray(ts))
     p0_dev = jnp.asarray(p0.reshape(n_blocks, 8, 128))
 
     out, pend = _decode_call(SW, seg, n_blocks)(blocks, p0_dev, jnp.asarray(tbl8))
 
     pend_np = np.asarray(pend).reshape(-1)[:S]
-    want_end = (8 * (4 * SW - stream_lens)).astype(np.int64)
+    want_end = (8 * (end_in_row - stream_lens)).astype(np.int64)
     if not np.array_equal(pend_np.astype(np.int64), want_end):
         bad = int(np.nonzero(pend_np.astype(np.int64) != want_end)[0][0])
         raise ValueError(
