@@ -150,24 +150,31 @@ def _fused_fast_decode(
     plane_words = plane_bytes // 4
 
     def run(region, row_starts, p0, tbl8, stored_starts, rle_vals, perm):
+        from . import pallas_gather  # noqa: PLC0415
+
+        RT = SW // 128
+        tiles = pallas_gather.to_tiles(
+            jnp.concatenate([jnp.zeros(512 * RT, jnp.uint8), region])
+        )
         rows = []
         if n_stored:
-            srows = jax.vmap(
-                lambda st: jax.lax.dynamic_slice(region, (st,), (plane_bytes,))
-            )(stored_starts)
-            w = srows.reshape(n_stored, plane_words, 4).astype(jnp.uint32)
-            rows.append(w[..., 0] | (w[..., 1] << 8) | (w[..., 2] << 16) | (w[..., 3] << 24))
+            # aligned tile gather + barrel shift to the exact byte offset
+            bs = stored_starts.astype(jnp.int32) + 512 * RT
+            rtp = plane_words // 128 + 2
+            srows = pallas_gather.gather_rows(tiles, bs >> 9, rtp)
+            dw = (bs >> 2) & 127
+            for bit in (64, 32, 16, 8, 4, 2, 1):
+                shifted = jnp.concatenate([srows[:, bit:], srows[:, :bit]], axis=1)
+                srows = jnp.where(((dw & bit) != 0)[:, None], shifted, srows)
+            sh = ((bs & 3) << 3)[:, None].astype(jnp.uint32)
+            w1 = srows[:, : plane_words]
+            w2 = srows[:, 1 : plane_words + 1]
+            rows.append(jnp.where(sh == 0, w1, (w1 >> sh) | (w2 << (jnp.uint32(32) - sh))))
         if n_rle:
             v = rle_vals.astype(jnp.uint32)
             v = v | (v << 8) | (v << 16) | (v << 24)
             rows.append(jnp.broadcast_to(v[:, None], (n_rle, plane_words)))
         if n_huf:
-            from . import pallas_gather  # noqa: PLC0415
-
-            RT = SW // 128
-            tiles = pallas_gather.to_tiles(
-                jnp.concatenate([jnp.zeros(512 * RT, jnp.uint8), region])
-            )
             words = pallas_gather.gather_rows(tiles, row_starts, RT)  # [S_pad, SW]
             blocks = words.reshape(n_blocks, 8, 128, SW).transpose(0, 3, 1, 2)
             out, pend = kernel(blocks, p0, tbl8)
