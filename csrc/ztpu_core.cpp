@@ -753,6 +753,7 @@ static bool huf_write_ctable(const HufCTable& ct, std::vector<uint8_t>& out) {
 struct HufDTable {
   uint8_t sym[1 << HUF_TABLELOG_MAX];
   uint8_t nb[1 << HUF_TABLELOG_MAX];
+  uint16_t ent[1 << HUF_TABLELOG_MAX];  // sym | nb<<8: one load per symbol
   int table_log;
 };
 
@@ -815,6 +816,8 @@ static int huf_read_dtable(const uint8_t* data, size_t len, HufDTable& dt) {
     std::memset(dt.nb + start, table_log + 1 - w, length);
     rank_val[w] += length;
   }
+  for (int t = 0; t < (1 << dt.table_log); t++)
+    dt.ent[t] = (uint16_t)(dt.sym[t] | (dt.nb[t] << 8));
   return consumed;
 }
 
@@ -943,11 +946,63 @@ static bool huf_decompress_block(const uint8_t* data, size_t c_size, uint8_t* ou
   size_t seg = (dst_size + 3) / 4;
   size_t sizes[4] = {seg, seg, seg, dst_size - 3 * seg};
   const uint8_t* sp = rest + 6;
-  uint8_t* op = out;
+  // interleave the four streams: each has an independent serial dependency
+  // chain (~6 cycles/symbol), so round-robin decoding gives ~4x ILP — the
+  // same structure the reference's vendored HUF_decompress4X uses.
+  BackwardReader rd[4];
+  uint8_t* op[4];
+  {
+    const uint8_t* s = sp;
+    uint8_t* o = out;
+    for (int k = 0; k < 4; k++) {
+      rd[k].init(s, l[k]);
+      if (!rd[k].ok) return false;
+      op[k] = o;
+      s += l[k];
+      o += sizes[k];
+    }
+  }
+  const int tlog = dt.table_log;
+  const uint16_t* ent = dt.ent;
+  size_t n4 = sizes[3];  // the shortest segment
+  size_t i = 0;
+  for (;;) {
+    // hoist the bounds: each 4-symbol round moves a stream pointer back by
+    // at most 6 bytes; run the largest burst that stays safely inside every
+    // stream without re-checking pointers per round
+    size_t hdroom = (size_t)-1;
+    for (int k = 0; k < 4; k++) {
+      size_t a = (size_t)(rd[k].ptr - rd[k].start);
+      if (a < hdroom) hdroom = a;
+    }
+    size_t rounds = hdroom / 6;
+    if (i + 4 > n4 || rounds == 0) break;
+    size_t lim = i + 4 * rounds;
+    if (lim > n4) lim = n4 & ~(size_t)3;
+    for (; i < lim; i += 4) {
+      for (int rep = 0; rep < 4; rep++) {
+        for (int k = 0; k < 4; k++) {
+          uint16_t e = ent[rd[k].peek(tlog)];
+          op[k][i + rep] = (uint8_t)e;
+          rd[k].skip(e >> 8);
+        }
+      }
+      rd[0].reload();
+      rd[1].reload();
+      rd[2].reload();
+      rd[3].reload();
+    }
+  }
+  // tails, one stream at a time
   for (int k = 0; k < 4; k++) {
-    if (!huf_decode_stream(sp, l[k], dt, op, sizes[k])) return false;
-    sp += l[k];
-    op += sizes[k];
+    size_t j = i;
+    while (j < sizes[k]) {
+      uint32_t idx = rd[k].peek(tlog);
+      op[k][j++] = dt.sym[idx];
+      rd[k].skip(dt.nb[idx]);
+      rd[k].reload();
+    }
+    if (!rd[k].exhausted_exactly()) return false;
   }
   return true;
 }
