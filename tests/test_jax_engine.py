@@ -275,3 +275,30 @@ def test_shared_tables_native_roundtrip_identity():
     z = ZipNN(huffman_table="shared")
     c = z.compress(data)
     assert ZipNN().decompress(c) == data
+
+
+def test_jax_device_output_roundtrip():
+    """input_format='jax' + engine='tpu' returns device arrays end to end."""
+    import ml_dtypes
+    from zipnn_tpu import ZipNN
+
+    x = (_bf16ish(65536 * 2 + 100)[: 2 * 60000]).view(np.uint16)
+    arr = jnp.asarray(x.view(ml_dtypes.bfloat16))
+    z = ZipNN(input_format="jax", engine="tpu", compression_chunk=16384)
+    c = z.compress(arr)
+    back = ZipNN(input_format="jax", engine="tpu").decompress(c)
+    assert isinstance(back, jax.Array)
+    assert back.dtype == jnp.bfloat16 and back.shape == arr.shape
+    assert np.array_equal(np.asarray(back).view(np.uint16), x)
+
+
+def test_jax_device_output_fp32_ragged():
+    from zipnn_tpu import ZipNN
+
+    x = RNG.standard_normal(50_001).astype(np.float32) * 0.05
+    arr = jnp.asarray(x)
+    z = ZipNN(input_format="jax", engine="tpu", compression_chunk=16384,
+              huffman_table="shared")
+    c = z.compress(arr)
+    back = ZipNN(input_format="jax", engine="tpu").decompress(c)
+    assert np.array_equal(np.asarray(back), x)

@@ -300,6 +300,7 @@ def decompress_payload(
     orig_size: int,
     threads: int = 0,
     engine: str = "auto",
+    to_device: bool = False,
 ) -> np.ndarray:
     engine = resolve_engine(engine)
     if engine == "numpy":
@@ -314,6 +315,7 @@ def decompress_payload(
         from .ops import jax_codec  # noqa: PLC0415
 
         return jax_codec.decompress_payload(
-            payload, num_buf, bit_reorder, byte_reorder, chunk_size, orig_size
+            payload, num_buf, bit_reorder, byte_reorder, chunk_size, orig_size,
+            to_device=to_device,
         )
     raise ValueError(f"unknown engine {engine!r}")

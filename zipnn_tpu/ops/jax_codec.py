@@ -274,6 +274,7 @@ def decompress_payload(
     byte_reorder: int,
     chunk_size: int,
     orig_size: int,
+    to_device: bool = False,
 ) -> np.ndarray:
     """Decompress the table+planes payload to flat bytes (device pipeline).
 
@@ -370,7 +371,9 @@ def decompress_payload(
                 byte_reorder, bit_reorder,
             )
             owords, pend = run(*dev_args)
-            host = np.asarray(owords).astype("<u4", copy=False)
+            host = None
+            if not to_device:
+                host = np.asarray(owords).astype("<u4", copy=False)
             if n_huf:
                 pend_np = np.asarray(pend).astype(np.int64)
                 want_end = 8 * (end_in_row - slens)
@@ -380,6 +383,21 @@ def decompress_payload(
                         f"corrupt HUF stream {bad} (not fully consumed: "
                         f"pos {int(pend_np[bad])} != {int(want_end[bad])})"
                     )
+            if to_device:
+                import jax  # noqa: PLC0415
+
+                flat = jax.lax.bitcast_convert_type(
+                    owords.reshape(-1), jnp.uint8
+                ).reshape(-1)
+                if full < n_chunks:
+                    tail = np.empty(orig_size - full * chunk_size, np.uint8)
+                    _finish_tail(
+                        tail, mv, types, cell_start - 0, cell_size, full,
+                        n_chunks, chunk_size, orig_size, num_buf,
+                        byte_reorder, bit_reorder, tail_base=full * chunk_size,
+                    )
+                    flat = jnp.concatenate([flat, jnp.asarray(tail)])
+                return flat
             out[: full * chunk_size] = host.reshape(-1).view(np.uint8)
             # fall through to the tail-chunk handler below
             return _finish_tail(
@@ -457,17 +475,25 @@ def decompress_payload(
         host = np.asarray(owords).astype("<u4", copy=False)
         out[: full * chunk_size] = host.reshape(-1).view(np.uint8)
 
-    return _finish_tail(
+    out = _finish_tail(
         out, mv, types, cell_start, cell_size, full, n_chunks,
         chunk_size, orig_size, num_buf, byte_reorder, bit_reorder,
     )
+    if to_device:
+        return _jnp().asarray(out)
+    return out
 
 
 def _finish_tail(
     out, mv, types, cell_start, cell_size, full, n_chunks,
     chunk_size, orig_size, num_buf, byte_reorder, bit_reorder,
+    tail_base: int = 0,
 ):
-    """Decode the (at most one) ragged tail chunk via the numpy golden model."""
+    """Decode the (at most one) ragged tail chunk via the numpy golden model.
+
+    With ``tail_base`` set, ``out`` holds only the tail (device-output path)
+    and offsets are rebased accordingly.
+    """
     if full < n_chunks:
         c = n_chunks - 1
         chunk_len = orig_size - c * chunk_size
@@ -486,9 +512,10 @@ def _finish_tail(
                 planes.append(np.frombuffer(blob, dtype=np.uint8))
             else:
                 planes.append(huf.decompress(blob, want))
+        o0 = c * chunk_size - tail_base
         byte_group.combine(
             planes, chunk_len, num_buf, byte_reorder, bit_reorder,
-            out=out[c * chunk_size : c * chunk_size + chunk_len],
+            out=out[o0 : o0 + chunk_len],
         )
     return out
 

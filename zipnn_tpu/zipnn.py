@@ -587,6 +587,11 @@ class ZipNN:
 
         num_buf = dtypes.groups_for_decompress(self.dtype)
         chunk = codec.effective_chunk(self.compression_chunk, num_buf)
+        # jax output + tpu engine: keep the decompressed bytes on device
+        to_device = (
+            self.input_format == EnumFormat.JAX.value
+            and codec.resolve_engine(self.engine) == "tpu"
+        )
         flat = codec.decompress_payload(
             mv[after_header : self._frame_end(mv)],
             num_buf,
@@ -596,6 +601,7 @@ class ZipNN:
             self.original_len,
             self.threads,
             self.engine,
+            to_device=to_device,
         )
         return self._marshal_out(flat)
 
@@ -644,6 +650,27 @@ class ZipNN:
             import ml_dtypes  # noqa: PLC0415
 
             info = dtypes.from_code(code)
+            if not isinstance(flat, np.ndarray):  # already on device
+                import jax  # noqa: PLC0415
+
+                jmap = {
+                    1: jnp.float32, 2: jnp.float32, 4: jnp.float16,
+                    5: jnp.float16, 6: jnp.bfloat16,
+                    29: jnp.float8_e4m3fn, 30: jnp.float8_e5m2,
+                }
+                target = jmap.get(code)
+                if target is None:
+                    raise ValueError(f"Unsupported Dtype {code}")
+                it = info.itemsize
+                if it == 1:
+                    arr = jax.lax.bitcast_convert_type(flat, target)
+                else:
+                    wide = jnp.uint16 if it == 2 else jnp.uint32
+                    arr = jax.lax.bitcast_convert_type(
+                        flat.reshape(-1, it), wide
+                    )
+                    arr = jax.lax.bitcast_convert_type(arr, target)
+                return arr.reshape(self.shape_bytes)
             np_map = {
                 6: ml_dtypes.bfloat16,
                 29: ml_dtypes.float8_e4m3fn,
