@@ -25,7 +25,7 @@ from zipnn_tpu import ZipNN  # noqa: E402
 
 BASELINE_SINGLE_WORKER_GBPS = 1.66
 MB = 1024 * 1024
-SIZE = int(os.environ.get("BENCH_MB", "128")) * MB
+SIZE = int(os.environ.get("BENCH_MB", "192")) * MB
 CHUNK = 16384  # TPU-optimal shared-table profile
 
 
