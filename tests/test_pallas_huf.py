@@ -131,18 +131,20 @@ def sim_decode(region, starts, lens, tbl8, seg):
                 navail = navail - nb
                 p = p - nb
 
-                need = navail <= 32
-                kk = wpos - base2
-                assert np.all((kk >= 0) & (kk < 8) | ~need), "w8 window invariant"
-                w = w8[0].copy()
-                for k in range(1, 8):
-                    w = np.where(kk == k, w8[k], w)
-                w_hi = np.where(navail < 32, w >> np.minimum(navail, 31).astype(U), U(0))
-                w_lo = (w << (32 - navail).astype(U)).astype(U)
-                hi = np.where(need, hi | w_hi, hi).astype(U)
-                lo = np.where(need, lo | w_lo, lo).astype(U)
-                navail = np.where(need, navail + 32, navail)
-                wpos = np.where(need, wpos - 1, wpos)
+                assert np.all(navail >= 8), "container underflow"
+                if local % 2 == 1:
+                    need = navail <= 32
+                    kk = wpos - base2
+                    assert np.all((kk >= 0) & (kk < 8) | ~need), "w8 window invariant"
+                    w = w8[0].copy()
+                    for k in range(1, 8):
+                        w = np.where(kk == k, w8[k], w)
+                    w_hi = np.where(navail < 32, w >> np.minimum(navail, 31).astype(U), U(0))
+                    w_lo = (w << (32 - navail).astype(U)).astype(U)
+                    hi = np.where(need, hi | w_hi, hi).astype(U)
+                    lo = np.where(need, lo | w_lo, lo).astype(U)
+                    navail = np.where(need, navail + 32, navail)
+                    wpos = np.where(need, wpos - 1, wpos)
 
                 out[:, step] = sym
                 step += 1

@@ -384,11 +384,7 @@ def decompress_payload(
                         f"pos {int(pend_np[bad])} != {int(want_end[bad])})"
                     )
             if to_device:
-                import jax  # noqa: PLC0415
-
-                flat = jax.lax.bitcast_convert_type(
-                    owords.reshape(-1), jnp.uint8
-                ).reshape(-1)
+                flat = jax_transforms.u32_flat_to_u8(owords.reshape(-1))
                 if full < n_chunks:
                     tail = np.empty(orig_size - full * chunk_size, np.uint8)
                     _finish_tail(
@@ -597,10 +593,9 @@ def compress_payload(
         planes_dev = _split(jnp.asarray(words), num_buf, byte_reorder, bit_reorder)
         # [full, num_buf, plane_words] uint32
         pw = planes_dev
-        pbytes = jnp.stack(
-            [pw & 0xFF, (pw >> 8) & 0xFF, (pw >> 16) & 0xFF, (pw >> 24) & 0xFF],
-            axis=-1,
-        ).astype(jnp.uint8).reshape(full, num_buf, plane_bytes)
+        pbytes = jax_transforms.u32_flat_to_u8(pw.reshape(-1)).reshape(
+            full, num_buf, plane_bytes
+        )
         hist = np.asarray(
             _histogram(pbytes.reshape(full * num_buf, plane_bytes))
         ).reshape(full, num_buf, 256)

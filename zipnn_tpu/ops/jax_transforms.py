@@ -182,3 +182,51 @@ def combine_device(planes: jax.Array, num_buf: int, byte_reorder: int, bit_reord
             raise ValueError(f"Unsupported bytes_mode {byte_reorder} for 4 planes")
         return combine_4(planes, bit_reorder)
     raise ValueError(f"Unsupported num_buf {num_buf}")
+
+
+# ---------------------------------------------------------------------------
+# width conversions without small-minor-dim layouts
+#
+# jax.lax.bitcast_convert_type between widths appends a minor dim (e.g.
+# u8[N,4]); TPU layouts pad the minor dim to 128 lanes, silently inflating
+# such arrays 32-64x in HBM.  These helpers convert through [X, 512]-byte
+# rows with strided lane slices instead, which lay out tightly.
+# ---------------------------------------------------------------------------
+
+def u8_flat_to_u32(flat_u8):
+    """uint8 [4N] -> uint32 [N] (little-endian), N*4 must be % 512 == 0."""
+    b = flat_u8.reshape(-1, 512)
+    w = (
+        b[:, 0::4].astype(jnp.uint32)
+        | (b[:, 1::4].astype(jnp.uint32) << 8)
+        | (b[:, 2::4].astype(jnp.uint32) << 16)
+        | (b[:, 3::4].astype(jnp.uint32) << 24)
+    )
+    return w.reshape(-1)
+
+
+def u32_flat_to_u8(w):
+    """uint32 [N] -> uint8 [4N] (little-endian), N must be % 128 == 0."""
+    w = w.reshape(-1, 128)
+    out = jnp.zeros((w.shape[0], 512), jnp.uint8)
+    out = out.at[:, 0::4].set((w & 0xFF).astype(jnp.uint8))
+    out = out.at[:, 1::4].set(((w >> 8) & 0xFF).astype(jnp.uint8))
+    out = out.at[:, 2::4].set(((w >> 16) & 0xFF).astype(jnp.uint8))
+    out = out.at[:, 3::4].set(((w >> 24) & 0xFF).astype(jnp.uint8))
+    return out.reshape(-1)
+
+
+def u32_flat_to_u16(w):
+    """uint32 [N] -> uint16 [2N] (little-endian lanes), N % 128 == 0."""
+    w = w.reshape(-1, 128)
+    out = jnp.zeros((w.shape[0], 256), jnp.uint16)
+    out = out.at[:, 0::2].set((w & 0xFFFF).astype(jnp.uint16))
+    out = out.at[:, 1::2].set((w >> 16).astype(jnp.uint16))
+    return out.reshape(-1)
+
+
+def u8_flat_to_u16(flat_u8):
+    """uint8 [2N] -> uint16 [N] (little-endian), 2N % 256 == 0."""
+    b = flat_u8.reshape(-1, 256)
+    w = b[:, 0::2].astype(jnp.uint16) | (b[:, 1::2].astype(jnp.uint16) << 8)
+    return w.reshape(-1)

@@ -91,11 +91,13 @@ def gather_rows(src_tiles, tile_starts, row_tiles: int):
 
 def to_tiles(region_u8):
     """Pad a flat uint8 payload to [X, 128] uint32 tiles (device)."""
-    import jax
     import jax.numpy as jnp
+
+    from . import jax_transforms
 
     n = region_u8.shape[0]
     pad = (-n) % 512 + 512  # alignment + one guard tile
     padded = jnp.concatenate([region_u8, jnp.zeros(pad, jnp.uint8)])
-    w = jax.lax.bitcast_convert_type(padded.reshape(-1, 4), jnp.uint32)
-    return w.reshape(-1, LANE)
+    # strided lane construction: a bitcast via u8[N, 4] would be lane-padded
+    # 32x in HBM (TPU minor-dim tiling)
+    return jax_transforms.u8_flat_to_u32(padded).reshape(-1, LANE)

@@ -181,19 +181,22 @@ def _build_kernel(SW: int, SEG: int):
                     navail = navail - nbi
                     p = p - nbi
 
-                    # masked refill: at most one aligned word per lane
-                    need = navail <= 32
-                    kk = wpos - base2
-                    w = w8[0]
-                    for k in range(1, 8):
-                        w = jnp.where(kk == k, w8[k], w)
-                    nau = navail.astype(U)
-                    w_hi = jnp.where(navail < 32, w >> nau, U(0))
-                    w_lo = w << (U(32) - nau)  # navail >= 17 here, shift < 32
-                    hi = jnp.where(need, hi | w_hi, hi)
-                    lo = jnp.where(need, lo | w_lo, lo)
-                    navail = jnp.where(need, navail + 32, navail)
-                    wpos = jnp.where(need, wpos - 1, wpos)
+                    if local % 2 == 1:
+                        # masked refill every 2nd symbol: nb <= 8 so two
+                        # steps drain <= 16 bits and the 64-bit container
+                        # keeps navail >= 17 at every peek
+                        need = navail <= 32
+                        kk = wpos - base2
+                        w = w8[0]
+                        for k in range(1, 8):
+                            w = jnp.where(kk == k, w8[k], w)
+                        nau = navail.astype(U)
+                        w_hi = jnp.where(navail < 32, w >> nau, U(0))
+                        w_lo = w << (U(32) - nau)  # navail >= 17, shift < 32
+                        hi = jnp.where(need, hi | w_hi, hi)
+                        lo = jnp.where(need, lo | w_lo, lo)
+                        navail = jnp.where(need, navail + 32, navail)
+                        wpos = jnp.where(need, wpos - 1, wpos)
 
                     ob = (ob >> U(8)) | (sym << U(24))
                     if local % 4 == 3:
@@ -330,8 +333,8 @@ def decode_shared_table(
         )
 
     # [n_blocks, seg//4, 8, 128] LE-packed -> [S, seg] bytes
+    from . import jax_transforms
+
     w = out.transpose(0, 2, 3, 1).reshape(S_pad, seg // 4)
-    b = jnp.stack(
-        [w & 0xFF, (w >> 8) & 0xFF, (w >> 16) & 0xFF, (w >> 24) & 0xFF], axis=-1
-    ).astype(jnp.uint8)
+    b = jax_transforms.u32_flat_to_u8(w.reshape(-1))
     return b.reshape(S_pad, seg)[:S]

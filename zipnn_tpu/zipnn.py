@@ -661,15 +661,23 @@ class ZipNN:
                 target = jmap.get(code)
                 if target is None:
                     raise ValueError(f"Unsupported Dtype {code}")
+                from .ops import jax_transforms  # noqa: PLC0415
+
                 it = info.itemsize
+                n = flat.shape[0]
                 if it == 1:
                     arr = jax.lax.bitcast_convert_type(flat, target)
                 else:
-                    wide = jnp.uint16 if it == 2 else jnp.uint32
-                    arr = jax.lax.bitcast_convert_type(
-                        flat.reshape(-1, it), wide
-                    )
-                    arr = jax.lax.bitcast_convert_type(arr, target)
+                    # pad to the helper's row granularity, then trim elements
+                    gran = 256 if it == 2 else 512
+                    pad = (-n) % gran
+                    if pad:
+                        flat = jnp.concatenate([flat, jnp.zeros(pad, jnp.uint8)])
+                    if it == 2:
+                        wideval = jax_transforms.u8_flat_to_u16(flat)
+                    else:
+                        wideval = jax_transforms.u8_flat_to_u32(flat)
+                    arr = jax.lax.bitcast_convert_type(wideval, target)[: n // it]
                 return arr.reshape(self.shape_bytes)
             np_map = {
                 6: ml_dtypes.bfloat16,
