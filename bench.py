@@ -25,8 +25,8 @@ from zipnn_tpu import ZipNN  # noqa: E402
 
 BASELINE_SINGLE_WORKER_GBPS = 1.66
 MB = 1024 * 1024
-SIZE = int(os.environ.get("BENCH_MB", "192")) * MB
-CHUNK = 16384  # TPU-optimal shared-table profile
+SIZE = int(os.environ.get("BENCH_MB", "384")) * MB
+CHUNK = int(os.environ.get("BENCH_CHUNK", "32768"))  # TPU shared-table profile
 
 
 def synth_bf16(nbytes: int) -> bytes:
