@@ -1,0 +1,173 @@
+"""Encode kernel schedule simulator (CPU) + TPU-gated kernel test."""
+import numpy as np
+import pytest
+
+from zipnn_tpu.ops import pallas_huf_enc
+from zipnn_tpu.ops.entropy import huf
+
+RNG = np.random.default_rng(23)
+
+
+def make_table(datas):
+    count = np.bincount(datas.reshape(-1), minlength=256).astype(np.int64)
+    lengths = huf.build_code_lengths(count, 8)
+    assert lengths is not None
+    tlog = int(lengths.max())
+    vals = huf.canonical_values(lengths, tlog)
+    return lengths, vals
+
+
+def sim_encode(syms_rev, lengths, vals, SW):
+    """Vectorized numpy mirror of the kernel's schedule (exact)."""
+    S, seg = syms_rev.shape
+    U = np.uint32
+    ent_val = vals.astype(U)
+    ent_nb = lengths.astype(np.int64)
+
+    acc_lo = np.zeros(S, U)
+    acc_hi = np.zeros(S, U)
+    nbits = np.zeros(S, np.int64)
+    total = np.zeros(S, np.int64)
+    wpos = np.zeros(S, np.int64)
+    base2 = np.zeros(S, np.int64)
+    base3 = np.zeros(S, np.int64)
+    w8 = [np.zeros(S, U) for _ in range(8)]
+    w3 = np.zeros((64, S), U)
+    out = np.zeros((S, SW), U)
+    idx = np.arange(S)
+
+    def spill_w3(base3, base2):
+        spill = (base2 - base3) >= 32
+        c3 = np.maximum(base3, 0) >> 5
+        for m in range(32):
+            r = np.minimum(c3 * 32 + m, SW - 1)
+            out[idx, r] = np.where(spill, w3[m], out[idx, r])
+        for m in range(32):
+            w3[m] = np.where(spill, w3[m + 32], w3[m])
+        return np.where(spill, base3 + 32, base3)
+
+    def dump_w8(base2, base3, wpos, w8):
+        dump = (wpos - base2) >= 4
+        q2 = np.maximum(base2 - base3, 0) >> 2
+        for k in range(4):
+            r = np.minimum(4 * q2 + k, 63)
+            w3[r, idx] = np.where(dump, w8[k], w3[r, idx])
+        for k in range(4):
+            w8[k] = np.where(dump, w8[k + 4], w8[k])
+        for k in range(4, 8):
+            w8[k] = np.where(dump, U(0), w8[k])
+        return np.where(dump, base2 + 4, base2), w8
+
+    def append(val, nb):
+        nonlocal acc_lo, acc_hi, nbits, total
+        nbu = nbits.astype(U)
+        lo_add = np.where(nbits < 32, (val << (nbu & U(31))).astype(U), U(0))
+        hi_sh = np.where(nbits >= 32, nbits - 32, 0).astype(U)
+        hi_add = np.where(
+            nbits >= 32, (val << hi_sh).astype(U),
+            np.where(nbits == 0, U(0), val >> (U(32) - nbu)),
+        )
+        acc_lo |= lo_add
+        acc_hi |= hi_add
+        nbits = nbits + nb
+        total = total + nb
+
+    def flush():
+        nonlocal acc_lo, acc_hi, nbits, wpos
+        fl = nbits >= 32
+        kk = wpos - base2
+        for k in range(8):
+            w8[k] = np.where(fl & (kk == k), acc_lo, w8[k])
+        acc_lo = np.where(fl, acc_hi, acc_lo)
+        acc_hi = np.where(fl, U(0), acc_hi)
+        nbits = np.where(fl, nbits - 32, nbits)
+        wpos = np.where(fl, wpos + 1, wpos)
+
+    assert seg % 64 == 0
+    step = 0
+    for outer in range(seg // 64):
+        base3 = spill_w3(base3, base2)
+        for sub in range(8):
+            base2, w8 = dump_w8(base2, base3, wpos, w8)
+            for local in range(8):
+                s = syms_rev[:, step].astype(np.int64)
+                append(ent_val[s], ent_nb[s])
+                if local % 2 == 1:
+                    flush()
+                step += 1
+
+    # sentinel
+    nbu = nbits.astype(U)
+    s_hi = np.where(nbits >= 32, nbits - 32, 0).astype(U)
+    acc_lo = (acc_lo | np.where(nbits < 32, (U(1) << (nbu & U(31))).astype(U), U(0))).astype(U)
+    acc_hi = (acc_hi | np.where(nbits >= 32, (U(1) << s_hi).astype(U), U(0))).astype(U)
+    nbits = nbits + 1
+    total = total + 1
+    for _f in range(2):
+        base3 = spill_w3(base3, base2)
+        base2, w8 = dump_w8(base2, base3, wpos, w8)
+        fl = nbits > 0
+        kk = wpos - base2
+        for k in range(8):
+            w8[k] = np.where(fl & (kk == k), acc_lo, w8[k])
+        acc_lo = np.where(fl, acc_hi, acc_lo)
+        acc_hi = np.where(fl, U(0), acc_hi)
+        nbits = np.where(fl, nbits - 32, nbits)
+        wpos = np.where(fl, wpos + 1, wpos)
+    for _d in range(3):
+        base3 = spill_w3(base3, base2 + 64)
+    c2 = np.maximum(base2, 0) >> 2
+    kk0 = wpos - base2
+    for k in range(8):
+        r = np.minimum(c2 * 4 + k, SW - 1)
+        out[idx, r] = np.where(kk0 > k, w8[k], out[idx, r])
+    return out, total
+
+
+@pytest.mark.parametrize("seg", [256, 1024])
+def test_sim_encode_matches_host_encoder(seg):
+    S = 9
+    datas = np.clip(RNG.normal(128, 6, size=(S, seg)), 0, 255).astype(np.uint8)
+    lengths, vals = make_table(datas)
+    SW = max(96, -(-(seg + 128) // 128) * 32)
+    syms_rev = datas[:, ::-1].copy()
+    out, total = sim_encode(syms_rev, lengths, vals, SW)
+    for i in range(S):
+        want = huf.encode_stream(datas[i], vals, lengths)
+        nbytes = (int(total[i]) + 7) // 8
+        got = out[i].astype("<u4").view(np.uint8)[:nbytes]
+        assert np.array_equal(got, np.frombuffer(want, np.uint8)), i
+
+
+def test_sim_encode_low_entropy():
+    seg = 512
+    datas = RNG.integers(0, 3, size=(5, seg), dtype=np.uint8)
+    lengths, vals = make_table(datas)
+    SW = 96
+    out, total = sim_encode(datas[:, ::-1].copy(), lengths, vals, SW)
+    for i in range(5):
+        want = huf.encode_stream(datas[i], vals, lengths)
+        nbytes = (int(total[i]) + 7) // 8
+        got = out[i].astype("<u4").view(np.uint8)[:nbytes]
+        assert np.array_equal(got, np.frombuffer(want, np.uint8)), i
+
+
+@pytest.mark.tpu
+def test_tpu_encode_kernel():
+    import jax
+
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("needs a real TPU")
+    seg = 512
+    S = 2050
+    datas = np.clip(RNG.normal(128, 6, size=(S, seg)), 0, 255).astype(np.uint8)
+    lengths, vals = make_table(datas)
+    tbl = pallas_huf_enc.pack_etable8(vals, lengths)
+    rows, bits = pallas_huf_enc.encode_shared_table(datas[:, ::-1].copy(), tbl, seg)
+    rows = np.asarray(rows)
+    bits = np.asarray(bits)
+    for i in range(0, S, 307):
+        want = huf.encode_stream(datas[i], vals, lengths)
+        nbytes = (int(bits[i]) + 7) // 8
+        got = rows[i].astype("<u4").view(np.uint8)[:nbytes]
+        assert np.array_equal(got, np.frombuffer(want, np.uint8)), i

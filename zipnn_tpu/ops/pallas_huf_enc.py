@@ -1,0 +1,248 @@
+"""Pallas TPU kernel: lockstep multi-stream Huffman ENCODE (shared tables).
+
+The mirror image of ops/pallas_huf.py: 1024 streams per grid step, one per
+vector lane, each running a forward bit writer.  Per symbol: one within-row
+``dynamic_gather`` for the (code value, length) pair from the shared <=8-bit
+table, an LSB-first 64-bit accumulator append, and a masked word flush.
+The per-lane *vertical write* problem (each lane emits words at its own
+pace into its own stream buffer) mirrors decode's vertical fetch and uses
+the same synchronized window hierarchy in reverse: flushed words land in 8
+registers (w8), dumped 4-at-a-time into a 64-row VMEM window (W3) at
+per-lane aligned offsets, which spills 32 rows at a time into the output
+block.
+
+Output streams are bit-exact with ops/entropy/huf.py's ``encode_stream``
+(symbols are pre-reversed by the caller; the sentinel closes each stream),
+so containers stay byte-identical across engines.
+
+Reference equivalent: HUF_compress4X (vendored FSE lib), called at
+csrc/zipnn_core.c:366.
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+TMAX = 8
+BLOCK = 1024
+
+
+def pack_etable8(vals: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """[8,128] int32: per symbol s, 16-bit entry ``val | nb << 8``."""
+    if int(lengths.max()) > TMAX:
+        raise ValueError("shared encode table must have <=8-bit codes")
+    ent = vals.astype(np.uint32)[:256] | (lengths.astype(np.uint32)[:256] << 8)
+    packed = (ent[0::2] | (ent[1::2] << 16)).astype(np.uint32)
+    return np.broadcast_to(packed, (8, 128)).astype(np.int32)
+
+
+def _build_kernel(SW: int, SEG: int):
+    import jax
+    import jax.numpy as jnp
+
+    assert SW % 32 == 0 and SW >= 96, SW
+    assert SEG % 64 == 0, SEG
+    U = jnp.uint32
+    I = jnp.int32
+    N_PERIODS = SEG // 64
+
+    def kernel(syms_ref, tbl_ref, out_ref, bits_ref, w3_ref):
+        tbl = tbl_ref[:, :]
+        first = syms_ref[0, 0, :, :]
+
+        # non-foldable zeros tied to loaded data (Mosaic layout round-trip)
+        zero = ((first >> U(16)) >> U(16)).astype(I)
+        uzero = (first >> U(16)) >> U(16)
+        acc_lo = uzero
+        acc_hi = uzero
+        nbits = zero  # bits in the 64-bit accumulator
+        total = zero
+        wpos = zero  # next word slot to write
+        base2 = zero  # w8 covers [base2, base2+8)
+        base3 = zero  # W3 covers [base3, base3+64), aligned 32
+        w8 = [uzero for _ in range(8)]
+        for m in range(64):
+            w3_ref[m, :, :] = uzero
+
+        def append(acc_lo, acc_hi, nbits, total, val, nb):
+            """LSB-first append of nb bits of val at position nbits (< 48)."""
+            nbu = nbits.astype(U)
+            lo_add = jnp.where(nbits < 32, val << (nbu & U(31)), U(0))
+            hi_sh = jnp.where(nbits >= 32, nbits - 32, 0).astype(U)
+            hi_add = jnp.where(
+                nbits >= 32,
+                val << hi_sh,
+                jnp.where(nbits == 0, U(0), val >> (U(32) - nbu)),
+            )
+            return acc_lo | lo_add, acc_hi | hi_add, nbits + nb, total + nb
+
+        def flush(acc_lo, acc_hi, nbits, wpos, w8, cond):
+            """Masked: emit the low 32 accumulator bits into w8[wpos-base2]."""
+            fl = cond & (nbits >= 32)
+            kk = wpos - base2_ref[0]
+            for k in range(8):
+                w8[k] = jnp.where(fl & (kk == k), acc_lo, w8[k])
+            acc_lo = jnp.where(fl, acc_hi, acc_lo)
+            acc_hi = jnp.where(fl, uzero, acc_hi)
+            nbits = jnp.where(fl, nbits - 32, nbits)
+            wpos = jnp.where(fl, wpos + 1, wpos)
+            return acc_lo, acc_hi, nbits, wpos, w8
+
+        # small mutable cell for base2 so flush() sees the current value
+        base2_ref = [base2]
+
+        def spill_w3(base3, base2):
+            """Masked: move W3's lower 32 rows into the output block."""
+            spill = (base2 - base3) >= 32
+            c3 = jnp.maximum(base3, 0) >> 5
+            for m in range(32):
+                row = w3_ref[m, :, :]
+                for cc in range(SW // 32):
+                    r = min(cc * 32 + m, SW - 1)
+                    cur = out_ref[0, r, :, :]
+                    out_ref[0, r, :, :] = jnp.where(spill & (c3 == cc), row, cur)
+            for m in range(32):
+                w3_ref[m, :, :] = jnp.where(spill, w3_ref[m + 32, :, :], w3_ref[m, :, :])
+            return jnp.where(spill, base3 + 32, base3)
+
+        def dump_w8(base2, base3, wpos, w8):
+            """Masked: move w8[0:4] into W3 when the window is half full."""
+            dump = (wpos - base2) >= 4
+            q2 = jnp.maximum(base2 - base3, 0) >> 2
+            for k in range(4):
+                for q in range(16):
+                    cur = w3_ref[4 * q + k, :, :]
+                    w3_ref[4 * q + k, :, :] = jnp.where(dump & (q2 == q), w8[k], cur)
+            for k in range(4):
+                w8[k] = jnp.where(dump, w8[k + 4], w8[k])
+            for k in range(4, 8):
+                w8[k] = jnp.where(dump, uzero, w8[k])
+            return jnp.where(dump, base2 + 4, base2), w8
+
+        def period(outer, carry):
+            acc_lo, acc_hi, nbits, total, wpos, base2, base3, *w8 = carry
+            w8 = list(w8)
+            base3 = spill_w3(base3, base2)  # once per 64 symbols
+
+            for sub in range(8):
+                base2, w8 = dump_w8(base2, base3, wpos, w8)
+                base2_ref[0] = base2
+                for local in range(8):
+                    row = outer * 16 + (sub * 8 + local) // 4
+                    sym = (
+                        syms_ref[0, row, :, :] >> U(8 * (local % 4))
+                    ).astype(I) & 255
+                    g = jnp.take_along_axis(tbl, sym >> 1, axis=1).astype(U)
+                    ent = jnp.where((sym & 1) == 1, g >> U(16), g) & U(0xFFFF)
+                    val = ent & U(0xFF)
+                    nb = (ent >> U(8)).astype(I)
+                    acc_lo, acc_hi, nbits, total = append(
+                        acc_lo, acc_hi, nbits, total, val, nb
+                    )
+                    if local % 2 == 1:
+                        # nb <= 8: nbits grows <= 16 per 2 symbols, < 48 peak
+                        acc_lo, acc_hi, nbits, wpos, w8 = flush(
+                            acc_lo, acc_hi, nbits, wpos, w8, nbits >= 0
+                        )
+
+            return (acc_lo, acc_hi, nbits, total, wpos, base2, base3, *w8)
+
+        carry = (acc_lo, acc_hi, nbits, total, wpos, base2, base3, *w8)
+        carry = jax.lax.fori_loop(0, N_PERIODS, period, carry)
+        acc_lo, acc_hi, nbits, total, wpos, base2, base3, *w8 = carry
+        w8 = list(w8)
+        base2_ref = [base2]
+
+        # sentinel bit at position nbits (post-loop nbits < 48)
+        nbu = nbits.astype(U)
+        s_hi_sh = jnp.where(nbits >= 32, nbits - 32, 0).astype(U)
+        acc_lo = acc_lo | jnp.where(nbits < 32, U(1) << (nbu & U(31)), U(0))
+        acc_hi = acc_hi | jnp.where(nbits >= 32, U(1) << s_hi_sh, U(0))
+        nbits = nbits + 1
+        total = total + 1
+
+        # drain: flush up to 2 words (nbits < 49), padding partial words;
+        # dump/spill FIRST so the w8 slot index stays < 8
+        for _f in range(2):
+            base3 = spill_w3(base3, base2)
+            base2, w8 = dump_w8(base2, base3, wpos, w8)
+            fl = nbits > 0
+            kk = wpos - base2
+            for k in range(8):
+                w8[k] = jnp.where(fl & (kk == k), acc_lo, w8[k])
+            acc_lo = jnp.where(fl, acc_hi, acc_lo)
+            acc_hi = jnp.where(fl, uzero, acc_hi)
+            nbits = jnp.where(fl, nbits - 32, nbits)
+            wpos = jnp.where(fl, wpos + 1, wpos)
+
+        # final drains: force everything left in W3 and w8 into out
+        for _d in range(3):
+            base3 = spill_w3(base3, base2 + 64)
+        c2 = jnp.maximum(base2, 0) >> 2
+        for k in range(8):
+            kk = wpos - base2
+            for cc in range(SW // 4):
+                r = min(cc * 4 + k, SW - 1)
+                cur = out_ref[0, r, :, :]
+                out_ref[0, r, :, :] = jnp.where((c2 == cc) & (kk > k), w8[k], cur)
+        bits_ref[0, :, :] = total
+
+    return kernel
+
+
+@lru_cache(maxsize=None)
+def _encode_call(SW: int, SEG: int, n_blocks: int):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kernel = _build_kernel(SW, SEG)
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, SEG // 4, 8, 128), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 128), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, SW, 8, 128), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks, SW, 8, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((n_blocks, 8, 128), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((64, 8, 128), jnp.uint32)],
+    )
+    return jax.jit(call)
+
+
+def encode_shared_table(syms_rev, tbl8e, seg: int):
+    """Encode S streams (symbols PRE-REVERSED, [S, seg] uint8 on device or
+    host) with one shared <=8-bit table.
+
+    Returns (words [S, SW] uint32 device, total_bits [S] int32 device) where
+    stream bytes are the first ceil(total_bits/8) bytes of each row.
+    """
+    import jax.numpy as jnp
+
+    from . import jax_transforms
+
+    S, seg_in = syms_rev.shape
+    assert seg_in == seg and seg % 64 == 0
+    S_pad = -(-S // BLOCK) * BLOCK
+    n_blocks = S_pad // BLOCK
+    SW = -(-(seg + 32) // 32) * 32 // 4 + 32  # seg bytes max + slack, words
+    SW = max(96, -(-SW // 32) * 32)
+
+    x = jnp.asarray(syms_rev, jnp.uint8)
+    if S_pad != S:
+        x = jnp.concatenate([x, jnp.zeros((S_pad - S, seg), jnp.uint8)])
+    words = jax_transforms.u8_flat_to_u32(x.reshape(-1))  # LE pack per row
+    blocks = words.reshape(n_blocks, 8, 128, seg // 4).transpose(0, 3, 1, 2)
+
+    out, bits = _encode_call(SW, seg, n_blocks)(blocks, jnp.asarray(tbl8e))
+    rows = out.transpose(0, 2, 3, 1).reshape(S_pad, SW)
+    return rows[:S], bits.reshape(-1)[:S]
