@@ -153,6 +153,30 @@ def test_sim_encode_low_entropy():
 
 
 @pytest.mark.tpu
+def test_tpu_engine_shared_compress_parity():
+    """engine='tpu' shared-table compress (Pallas encode path) must emit
+    byte-identical containers to the numpy golden model."""
+    import jax
+
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("needs a real TPU")
+    from zipnn_tpu import ZipNN
+
+    rng = np.random.default_rng(7)
+    n = 4 * 1024 * 1024 + 12345  # ragged tail chunk too
+    vals = (rng.standard_normal(n // 2 + 1) * 0.05).astype(np.float32)
+    data = ((vals.view(np.uint32) >> 16).astype(np.uint16)).tobytes()[:n]
+    for chunk in (32768, 262144):  # Pallas path + XLA fallback (seg > 4096)
+        ref = ZipNN(
+            engine="numpy", huffman_table="shared", compression_chunk=chunk
+        ).compress(data)
+        got = ZipNN(
+            engine="tpu", huffman_table="shared", compression_chunk=chunk
+        ).compress(data)
+        assert bytes(got) == bytes(ref), chunk
+
+
+@pytest.mark.tpu
 def test_tpu_encode_kernel():
     import jax
 

@@ -548,6 +548,41 @@ def _plan_cell(count: np.ndarray, n: int):
     return ("huf", header, table_log, lengths, vals)
 
 
+def _encode_shared_pallas(pbytes, enc_cells, shared, num_buf, seg):
+    """Per-plane Pallas lockstep encode for the shared-table profile.
+
+    One kernel launch per plane (every huf cell of a plane shares that
+    plane's <=8-bit table); returns the per-stream byte arrays in
+    ``enc_cells`` order, matching the generic encode path exactly.
+    """
+    from . import pallas_huf_enc  # noqa: PLC0415
+
+    jnp = _jnp()
+    n_enc = len(enc_cells)
+    byte_rows: List[Optional[np.ndarray]] = [None] * (n_enc * 4)
+    for b in range(num_buf):
+        sel = [i for i, (_c, bb) in enumerate(enc_cells) if bb == b]
+        if not sel:
+            continue
+        lengths, vals, _header, _tlog = shared[b]
+        tbl = pallas_huf_enc.pack_etable8(vals, lengths)
+        idx_c = jnp.asarray(
+            np.asarray([enc_cells[i][0] for i in sel], dtype=np.int32)
+        )
+        syms = pbytes[idx_c, b].reshape(len(sel) * 4, seg)
+        rows, bits = pallas_huf_enc.encode_shared_table(syms[:, ::-1], tbl, seg)
+        rows_h = np.ascontiguousarray(rows)
+        bits_h = np.asarray(bits)
+        bv = rows_h.astype("<u4", copy=False).view(np.uint8).reshape(
+            len(sel) * 4, -1
+        )
+        for j, i in enumerate(sel):
+            for k in range(4):
+                nbytes = (int(bits_h[4 * j + k]) + 7) // 8
+                byte_rows[4 * i + k] = bv[4 * j + k, :nbytes]
+    return byte_rows
+
+
 def compress_payload(
     data: np.ndarray,
     num_buf: int,
@@ -631,7 +666,22 @@ def compress_payload(
 
         # device: lockstep-encode the 4 streams of every huf cell
         stream_bytes_out: List[np.ndarray] = []
-        if enc_cells:
+        # seg cap: the kernel's symbol + output blocks must fit the ~16MB
+        # scoped-VMEM budget (seg*1024 bytes each); 4096 = the 32KB-chunk
+        # shared profile.  Larger segments take the XLA lockstep encoder.
+        pallas_enc = (
+            bool(enc_cells)
+            and shared_tables
+            and seg % 64 == 0
+            and seg <= 4096
+            and _platform_is_tpu()
+            and _mesh() is None
+        )
+        if pallas_enc:
+            stream_bytes_out = _encode_shared_pallas(
+                pbytes, enc_cells, shared, num_buf, seg
+            )
+        elif enc_cells:
             n_enc = len(enc_cells)
             if shared_tables:
                 # one table per plane, shared by every cell of that plane
