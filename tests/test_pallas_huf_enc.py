@@ -177,6 +177,33 @@ def test_tpu_engine_shared_compress_parity():
 
 
 @pytest.mark.tpu
+def test_tpu_plan_fast_encode_matches_numpy_spec():
+    """Fused device compress (split + MXU hist + Pallas encode) must
+    assemble a payload byte-identical to the numpy golden model."""
+    import jax
+
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("needs a real TPU")
+    from zipnn_tpu import codec as host_codec
+    from zipnn_tpu.ops import jax_codec
+
+    rng = np.random.default_rng(7)
+    n = 4 * 1024 * 1024
+    vals = (rng.standard_normal(n // 2) * 0.05).astype(np.float32)
+    data = np.frombuffer(
+        ((vals.view(np.uint32) >> 16).astype(np.uint16)).tobytes()[:n], np.uint8
+    )
+    plan = jax_codec.plan_fast_encode(data, 2, 1, 10, 32768)
+    assert plan is not None
+    run, words_dev, assemble = plan
+    payload = assemble(*run(words_dev))
+    want = host_codec.compress_payload_numpy(
+        data, 2, 1, 10, 32768, shared_tables=True
+    )
+    assert payload == bytes(want)
+
+
+@pytest.mark.tpu
 def test_tpu_encode_kernel():
     import jax
 

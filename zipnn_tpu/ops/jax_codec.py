@@ -548,11 +548,12 @@ def _plan_cell(count: np.ndarray, n: int):
     return ("huf", header, table_log, lengths, vals)
 
 
-def _encode_shared_pallas(pbytes, enc_cells, shared, num_buf, seg):
+def _encode_shared_pallas(planes_words, enc_cells, shared, num_buf, seg):
     """Per-plane Pallas lockstep encode for the shared-table profile.
 
     One kernel launch per plane (every huf cell of a plane shares that
-    plane's <=8-bit table); returns the per-stream byte arrays in
+    plane's <=8-bit table); input is the device plane words
+    [full, num_buf, plane_words].  Returns the per-stream byte arrays in
     ``enc_cells`` order, matching the generic encode path exactly.
     """
     from . import pallas_huf_enc  # noqa: PLC0415
@@ -569,8 +570,8 @@ def _encode_shared_pallas(pbytes, enc_cells, shared, num_buf, seg):
         idx_c = jnp.asarray(
             np.asarray([enc_cells[i][0] for i in sel], dtype=np.int32)
         )
-        syms = pbytes[idx_c, b].reshape(len(sel) * 4, seg)
-        rows, bits = pallas_huf_enc.encode_shared_table(syms[:, ::-1], tbl, seg)
+        syms_w = planes_words[idx_c, b].reshape(len(sel) * 4, seg // 4)
+        rows, bits = pallas_huf_enc.encode_words(syms_w, tbl, seg)
         rows_h = np.ascontiguousarray(rows)
         bits_h = np.asarray(bits)
         bv = rows_h.astype("<u4", copy=False).view(np.uint8).reshape(
@@ -679,7 +680,7 @@ def compress_payload(
         )
         if pallas_enc:
             stream_bytes_out = _encode_shared_pallas(
-                pbytes, enc_cells, shared, num_buf, seg
+                planes_dev, enc_cells, shared, num_buf, seg
             )
         elif enc_cells:
             n_enc = len(enc_cells)
@@ -806,6 +807,172 @@ def compress_payload(
 
 def codec_empty(num_buf: int) -> bytes:
     return b""
+
+
+# ---------------------------------------------------------------------------
+# fused device compress (shared-table profile)
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _fused_split_hist_call(full, chunk_words, num_buf, byte_reorder, bit_reorder):
+    import jax  # noqa: PLC0415
+
+    jnp = _jnp()
+    plane_bytes = chunk_words * 4 // num_buf
+
+    def run(words):  # uint32 [full * chunk_words]
+        planes = jax_transforms.split_device(
+            words.reshape(full, chunk_words), num_buf, byte_reorder, bit_reorder
+        )  # [full, num_buf, plane_words]
+        pb = jax_transforms.u32_flat_to_u8(planes.reshape(-1)).reshape(
+            full * num_buf, plane_bytes
+        )
+        hist = jax_entropy.histogram_cells(pb)  # [cells, 256] int32
+        phist = hist.reshape(full, num_buf, 256).sum(axis=0)
+        cmax = hist.max(axis=1)
+        carg = hist.argmax(axis=1).astype(jnp.int32)
+        return planes, phist, cmax, carg
+
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=None)
+def _fused_encode_call(full, num_buf, seg):
+    import jax  # noqa: PLC0415
+
+    from . import pallas_huf_enc  # noqa: PLC0415
+
+    jnp = _jnp()
+
+    def run(planes, tbls):  # planes [full, nb, plane_words]; tbls [nb, 8, 128]
+        rows_all, bits_all = [], []
+        for b in range(num_buf):
+            w = planes[:, b].reshape(full * 4, seg // 4)
+            rows, bits = pallas_huf_enc.encode_words(w, tbls[b], seg)
+            rows_all.append(rows)
+            bits_all.append(bits)
+        return jnp.stack(rows_all), jnp.stack(bits_all)
+
+    return jax.jit(run)
+
+
+def plan_fast_encode(
+    data: np.ndarray,
+    num_buf: int,
+    bit_reorder: int,
+    byte_reorder: int,
+    chunk_size: int,
+    threshold: float = DEFAULT_THRESHOLD,
+):
+    """Fused device compress for the shared-table profile.
+
+    The whole-buffer byte work runs in two device dispatches — (1) byte-
+    group split + per-cell MXU histogram, (2) per-plane Pallas lockstep
+    encode — with only the tiny per-plane table build (2 x 256 counts) on
+    the host between them.  This is the TPU-native equivalent of the
+    reference compress core's pthread chunk pipeline (csrc/zipnn_core.c:
+    294-390) with the host reduced to serial table work.
+
+    Returns (run, words_dev, assemble) or None when not eligible (needs a
+    TPU, chunk-aligned input, and seg <= 4096 for the encode kernel's VMEM
+    budget).  ``run(words_dev)`` executes the device pipeline and returns
+    intermediates; ``assemble(*run(...))`` builds the container payload
+    bytes, byte-identical to the numpy golden model's shared profile.
+    """
+    from .entropy import huf as _huf  # noqa: PLC0415
+    from . import pallas_huf_enc  # noqa: PLC0415
+
+    jnp = _jnp()
+    data = np.ascontiguousarray(data, dtype=np.uint8).reshape(-1)
+    n = data.size
+    if n == 0 or n % chunk_size or not _platform_is_tpu() or _mesh() is not None:
+        return None
+    plane_bytes = chunk_size // num_buf
+    seg = plane_bytes // 4
+    if seg % 64 or seg > 4096:
+        return None
+    full = n // chunk_size
+    chunk_words = chunk_size // 4
+    sh = _fused_split_hist_call(full, chunk_words, num_buf, byte_reorder, bit_reorder)
+    enc = _fused_encode_call(full, num_buf, seg)
+    words_dev = jnp.asarray(data.view("<u4"))
+
+    def run(words):
+        planes, phist, cmax, carg = sh(words)
+        ph = np.asarray(phist)  # 2x256 ints: the only host sync mid-pipeline
+        shared = [None] * num_buf
+        tbls = np.zeros((num_buf, 8, 128), np.int32)
+        for b in range(num_buf):
+            cnt = ph[b].astype(np.int64)
+            if cnt.sum():
+                shared[b] = _huf.build_shared_table(cnt)
+            if shared[b] is not None:
+                lengths, vals, _header, _tl = shared[b]
+                tbls[b] = pallas_huf_enc.pack_etable8(vals, lengths)
+            else:  # plane is all-RLE/raw; encode output is unused
+                tbls[b] = pallas_huf_enc.pack_etable8(
+                    np.zeros(256, np.uint8), np.ones(256, np.uint8)
+                )
+        rows, bits = enc(planes, jnp.asarray(tbls))
+        return planes, shared, rows, bits, cmax, carg
+
+    def assemble(planes, shared, rows, bits, cmax, carg):
+        bits_h = np.asarray(bits).reshape(num_buf, full, 4).astype(np.int64)
+        slen = (bits_h + 7) // 8  # [nb, full, 4] stream byte lengths
+        cmax_h = np.asarray(cmax).reshape(full, num_buf)
+        carg_h = np.asarray(carg).reshape(full, num_buf)
+        rows_h = np.ascontiguousarray(rows)  # [nb, full*4, SW] uint32
+        rview = rows_h.astype("<u4", copy=False).view(np.uint8).reshape(
+            num_buf, full * 4, -1
+        )
+        planes_h = None
+        chunk_types = np.zeros((num_buf, full), dtype=np.uint8)
+        chunk_sizes = np.zeros((num_buf, full), dtype=np.uint64)
+        blobs: List[List[Optional[bytes]]] = [
+            [None] * full for _ in range(num_buf)
+        ]
+        for b in range(num_buf):
+            header = shared[b][2] if shared[b] is not None else None
+            for c in range(full):
+                comp = None
+                if int(cmax_h[c, b]) == plane_bytes:
+                    comp = bytes([int(carg_h[c, b])])
+                elif header is not None:
+                    ls = slen[b, c]
+                    if np.all((ls > 0) & (ls <= 65535)):
+                        jump = b"".join(
+                            int(x).to_bytes(2, "little") for x in ls[:3]
+                        )
+                        streams = b"".join(
+                            rview[b, 4 * c + k, : ls[k]].tobytes()
+                            for k in range(4)
+                        )
+                        comp = header + jump + streams
+                        if (
+                            len(comp) >= plane_bytes - 1
+                            or len(comp) >= plane_bytes * threshold
+                        ):
+                            comp = None
+                if comp is not None and len(comp) < plane_bytes * threshold:
+                    chunk_types[b, c] = 1
+                    chunk_sizes[b, c] = len(comp)
+                    blobs[b][c] = comp
+                else:
+                    if planes_h is None:
+                        pw = np.ascontiguousarray(planes)
+                        planes_h = pw.astype("<u4", copy=False).view(
+                            np.uint8
+                        ).reshape(full, num_buf, plane_bytes)
+                    chunk_types[b, c] = 0
+                    chunk_sizes[b, c] = plane_bytes
+                    blobs[b][c] = planes_h[c, b].tobytes()
+        cumulative = np.cumsum(chunk_sizes, axis=1, dtype=np.uint64)
+        parts = [chunk_types.tobytes(), cumulative.astype("<u8").tobytes()]
+        for b in range(num_buf):
+            parts.extend(blobs[b])
+        return b"".join(parts)
+
+    return run, words_dev, assemble
 
 
 def plan_fast_decode(

@@ -96,9 +96,9 @@ def split_2(words: jax.Array, bit_reorder: int) -> jax.Array:
     w = _u32(words)
     if bit_reorder:
         w = reorder_sign_16(w)
-    *lead, n = w.shape
-    pair = w.reshape(*lead, n // 2, 2)
-    lo, hi = pair[..., 0], pair[..., 1]  # two consecutive words = 4 lanes
+    # strided lane slices, NOT a reshape to [..., n//2, 2]: a minor dim of 2
+    # lane-pads to 128 if XLA materializes it (64x HBM inflation at scale)
+    lo, hi = w[..., 0::2], w[..., 1::2]  # two consecutive words = 4 lanes
     b0, b1, b2, b3 = _bytes_of(lo)
     c0, c1, c2, c3 = _bytes_of(hi)
     p0 = _pack4(b0, b2, c0, c2)  # even bytes of 8 input bytes
@@ -129,9 +129,8 @@ def split_4(words: jax.Array, bit_reorder: int) -> jax.Array:
     w = _u32(words)
     if bit_reorder:
         w = reorder_sign_32(w)
-    *lead, n = w.shape
-    quad = w.reshape(*lead, n // 4, 4)
-    cols = [quad[..., i] for i in range(4)]  # 4 consecutive words = 16 bytes
+    # strided lane slices (see split_2: minor-dim-4 reshape lane-pads 32x)
+    cols = [w[..., i::4] for i in range(4)]  # 4 consecutive words = 16 bytes
     by = [_bytes_of(c) for c in cols]  # by[word][byte]
     planes = [
         _pack4(by[0][b], by[1][b], by[2][b], by[3][b]) for b in range(4)

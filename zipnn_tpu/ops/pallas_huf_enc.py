@@ -215,8 +215,58 @@ def _encode_call(SW: int, SEG: int, n_blocks: int):
             jax.ShapeDtypeStruct((n_blocks, 8, 128), jnp.int32),
         ],
         scratch_shapes=[pltpu.VMEM((64, 8, 128), jnp.uint32)],
+        # double-buffered in+out blocks at seg=4096 are ~17MB, past the
+        # 16MB default scoped-vmem limit (v5e has 128MB physical)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
     )
     return jax.jit(call)
+
+
+def _sw_for(seg: int) -> int:
+    SW = -(-(seg + 32) // 32) * 32 // 4 + 32  # seg bytes max + slack, words
+    return max(96, -(-SW // 32) * 32)
+
+
+def _call_blocks(words_rev, seg: int, tbl8e):
+    """Kernel dispatch on LE-packed PRE-REVERSED stream words [S, seg//4]."""
+    import jax.numpy as jnp
+
+    S = words_rev.shape[0]
+    S_pad = -(-S // BLOCK) * BLOCK
+    n_blocks = S_pad // BLOCK
+    SW = _sw_for(seg)
+    x = words_rev.astype(jnp.uint32)
+    if S_pad != S:
+        x = jnp.concatenate(
+            [x, jnp.zeros((S_pad - S, seg // 4), jnp.uint32)]
+        )
+    blocks = x.reshape(n_blocks, 8, 128, seg // 4).transpose(0, 3, 1, 2)
+    out, bits = _encode_call(SW, seg, n_blocks)(blocks, jnp.asarray(tbl8e))
+    rows = out.transpose(0, 2, 3, 1).reshape(S_pad, SW)
+    return rows[:S], bits.reshape(-1)[:S]
+
+
+def encode_words(rows_words, tbl8e, seg: int):
+    """Encode S streams given their FORWARD-order LE-packed words
+    ([S, seg//4] uint32 on device) with one shared <=8-bit table.
+
+    Symbol reversal (the backward bit-writer order) happens in word space:
+    reverse the word row and byteswap each word.  Returns (words [S, SW]
+    uint32 device, total_bits [S] int32 device).
+    """
+    import jax.numpy as jnp
+
+    w = rows_words[:, ::-1].astype(jnp.uint32)
+    U = jnp.uint32
+    rev = (
+        (w >> U(24))
+        | ((w >> U(8)) & U(0xFF00))
+        | ((w << U(8)) & U(0xFF0000))
+        | (w << U(24))
+    )
+    return _call_blocks(rev, seg, tbl8e)
 
 
 def encode_shared_table(syms_rev, tbl8e, seg: int):
@@ -232,17 +282,7 @@ def encode_shared_table(syms_rev, tbl8e, seg: int):
 
     S, seg_in = syms_rev.shape
     assert seg_in == seg and seg % 64 == 0
-    S_pad = -(-S // BLOCK) * BLOCK
-    n_blocks = S_pad // BLOCK
-    SW = -(-(seg + 32) // 32) * 32 // 4 + 32  # seg bytes max + slack, words
-    SW = max(96, -(-SW // 32) * 32)
 
     x = jnp.asarray(syms_rev, jnp.uint8)
-    if S_pad != S:
-        x = jnp.concatenate([x, jnp.zeros((S_pad - S, seg), jnp.uint8)])
     words = jax_transforms.u8_flat_to_u32(x.reshape(-1))  # LE pack per row
-    blocks = words.reshape(n_blocks, 8, 128, seg // 4).transpose(0, 3, 1, 2)
-
-    out, bits = _encode_call(SW, seg, n_blocks)(blocks, jnp.asarray(tbl8e))
-    rows = out.transpose(0, 2, 3, 1).reshape(S_pad, SW)
-    return rows[:S], bits.reshape(-1)[:S]
+    return _call_blocks(words.reshape(S, seg // 4), seg, tbl8e)
