@@ -1,0 +1,64 @@
+"""Device-resident checkpoint serving: compressed payload in, HBM weights out.
+
+The production TPU serving shape: a host reads a ``.znn`` checkpoint and
+uploads ONLY the compressed bytes (~33% less PCIe/DMA traffic for bf16
+weights); one fused device dispatch decompresses straight into HBM, and the
+weights are consumed by a jitted model without ever touching host memory.
+
+Runs on a real TPU; on CPU it falls back to the host path.
+"""
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from zipnn_tpu import ZipNN
+from zipnn_tpu.core.header import HEADER_LEN
+from zipnn_tpu.ops import jax_codec
+
+CHUNK = 32768
+
+# --- offline: compress a checkpoint with the TPU-optimal profile ----------
+rng = np.random.default_rng(0)
+w = (rng.standard_normal((1024, 2048)) * 0.05).astype(np.float32)
+weights_bf16 = jnp.asarray(w, jnp.bfloat16)
+raw = np.asarray(weights_bf16).tobytes()
+
+z = ZipNN(huffman_table="shared", compression_chunk=CHUNK)
+compressed = bytes(z.compress(raw))
+print(f"checkpoint: {len(raw)} B -> {len(compressed)} B "
+      f"({len(compressed)/len(raw):.3f})")
+
+# --- serving: one fused dispatch, payload -> HBM weights ------------------
+payload = np.frombuffer(compressed, np.uint8)[HEADER_LEN:]
+plan = jax_codec.plan_fast_decode(payload, 2, 1, 10, CHUNK, len(raw))
+if plan is None:  # not on a TPU (or container not fast-path eligible)
+    restored = jnp.asarray(
+        np.frombuffer(ZipNN().decompress(compressed), np.uint16)
+    ).view(jnp.bfloat16)
+    print("host decompress fallback")
+else:
+    run, dev_args, meta = plan
+    owords, pend = run(*dev_args)  # device: uint32 words of the weights
+    restored = owords.reshape(-1).view(jnp.bfloat16)
+    print("fused device decompress:", owords.shape, "->", restored.shape)
+
+restored = restored.reshape(weights_bf16.shape)
+assert bool(jnp.all(restored.view(jnp.uint16) == weights_bf16.view(jnp.uint16)))
+
+# --- weights feed a jitted model step directly from HBM -------------------
+x = jnp.asarray(rng.standard_normal((8, 1024)), jnp.bfloat16)
+
+
+@jax.jit
+def forward(x, w):
+    return jnp.maximum(x @ w, 0)
+
+
+y = forward(x, restored)
+print("forward OK:", y.shape, y.dtype)

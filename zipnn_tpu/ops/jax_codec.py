@@ -149,23 +149,18 @@ def _fused_fast_decode(
     pad = 4 * SW
     plane_words = plane_bytes // 4
 
-    def run(region, row_starts, p0, tbl8, stored_starts, rle_vals, perm):
+    def run(tiles, row_starts, p0, tbl8, stored_starts, rle_vals, perm):
         from . import pallas_gather  # noqa: PLC0415
 
         RT = SW // 128
-        tiles = pallas_gather.to_tiles(
-            jnp.concatenate([jnp.zeros(512 * RT, jnp.uint8), region])
-        )
         rows = []
         if n_stored:
-            # aligned tile gather + barrel shift to the exact byte offset
+            # aligned tile gather, then a one-pass in-kernel roll to the
+            # word offset + a fused sub-word shift to the exact byte
             bs = stored_starts.astype(jnp.int32) + 512 * RT
             rtp = plane_words // 128 + 2
             srows = pallas_gather.gather_rows(tiles, bs >> 9, rtp)
-            dw = (bs >> 2) & 127
-            for bit in (64, 32, 16, 8, 4, 2, 1):
-                shifted = jnp.concatenate([srows[:, bit:], srows[:, :bit]], axis=1)
-                srows = jnp.where(((dw & bit) != 0)[:, None], shifted, srows)
+            srows = pallas_gather.align_rows(srows, (bs >> 2) & 127)
             sh = ((bs & 3) << 3)[:, None].astype(jnp.uint32)
             w1 = srows[:, : plane_words]
             w2 = srows[:, 1 : plane_words + 1]
@@ -244,8 +239,17 @@ def _make_fast_args(
     perm[st_c, st_b] = np.arange(n_stored, dtype=np.int32)
     perm[rl_c, rl_b] = n_stored + np.arange(n_rle, dtype=np.int32)
     perm[huf_c, huf_b] = n_stored + n_rle + np.arange(n_huf, dtype=np.int32)
+    # tile prep on the host (front pad for in-bounds row gathers + 512B
+    # alignment + guard tile): a u8->u32 lane restride on device costs
+    # ~5 ms / 96 MB, a host view is free
+    pad_front = 512 * (SW // 128)
+    total = pad_front + payload_np.size
+    pad_end = (-total) % 512 + 512
+    region8 = np.zeros(total + pad_end, dtype=np.uint8)
+    region8[pad_front : pad_front + payload_np.size] = payload_np
+    tiles_np = region8.view("<u4").reshape(-1, 128)
     dev_args = (
-        jnp.asarray(payload_np),
+        jnp.asarray(tiles_np),
         jnp.asarray(row_starts),
         jnp.asarray(p0),
         tbl_dev,

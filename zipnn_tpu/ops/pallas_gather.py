@@ -89,6 +89,81 @@ def gather_rows(src_tiles, tile_starts, row_tiles: int):
     return out.reshape(n_pad, row_tiles * LANE)[:n]
 
 
+ALIGN_ROWS_PER_BLOCK = 128
+
+
+@lru_cache(maxsize=None)
+def _align_call(n_blocks: int, row_tiles: int):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    R = ALIGN_ROWS_PER_BLOCK
+    RT = row_tiles - 1  # one tile of each input row is alignment slack
+
+    def kernel(shifts_ref, in_ref, out_ref):
+        b = pl.program_id(0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (RT, LANE), 1)
+        for r in range(R):
+            dw = shifts_ref[b * R + r]
+            x = in_ref[0, r]  # [RT + 1, 128]
+            a = pltpu.roll(x, (LANE - dw) % LANE, axis=1)
+            out_ref[0, r] = jnp.where(lane < LANE - dw, a[:RT], a[1:])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, R, row_tiles, LANE),
+                lambda b, shifts: (b, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, R, RT, LANE),
+            lambda b, shifts: (b, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_blocks, R, RT, LANE), jnp.uint32),
+    )
+    return jax.jit(call)
+
+
+def align_rows(rows, word_shifts):
+    """rows[i, j] -> rows[i, word_shifts[i] + j]: per-row word alignment.
+
+    ``rows`` is [n, row_tiles * 128] uint32 (e.g. a :func:`gather_rows`
+    result whose true row data starts ``word_shifts[i]`` words in,
+    ``0 <= shift < 128``); returns [n, (row_tiles - 1) * 128].  One in-VMEM
+    lane roll + sublane-carry select per row — replaces an XLA 7-pass
+    barrel shift (a lane-shuffle pass over the whole array per bit) with a
+    single pass.
+    """
+    import jax.numpy as jnp
+
+    n, w = rows.shape
+    row_tiles = w // LANE
+    R = ALIGN_ROWS_PER_BLOCK
+    n_pad = -(-max(n, 1) // R) * R
+    x = rows.reshape(n, row_tiles, LANE)
+    sh = jnp.asarray(word_shifts, jnp.int32)
+    if n_pad != n:
+        x = jnp.concatenate(
+            [x, jnp.zeros((n_pad - n, row_tiles, LANE), jnp.uint32)]
+        )
+        sh = jnp.concatenate([sh, jnp.zeros(n_pad - n, jnp.int32)])
+    out = _align_call(n_pad // R, row_tiles)(
+        sh, x.reshape(n_pad // R, R, row_tiles, LANE)
+    )
+    return out.reshape(n_pad, (row_tiles - 1) * LANE)[:n]
+
+
 def to_tiles(region_u8):
     """Pad a flat uint8 payload to [X, 128] uint32 tiles (device)."""
     import jax.numpy as jnp

@@ -123,6 +123,36 @@ def frame_stats(frame) -> Dict:
     return info
 
 
+# ---------------------------------------------------------------------------
+# device tracing (SURVEY.md §5: the reference's profiling is commented-out
+# gettimeofday blocks; the TPU build exposes the real profiler)
+# ---------------------------------------------------------------------------
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def trace(log_dir: str, label: str = "zipnn"):
+    """Capture a ``jax.profiler`` device trace around a codec region.
+
+    Usage::
+
+        with zipnn_tpu.stats.trace("/tmp/znn-trace"):
+            znn.decompress(buf)
+
+    View with TensorBoard or Perfetto (trace files land in ``log_dir``).
+    Falls back to a no-op when no JAX backend is available.
+    """
+    try:
+        import jax  # noqa: PLC0415
+
+        with jax.profiler.trace(log_dir):
+            with jax.profiler.TraceAnnotation(label):
+                yield
+    except ImportError:  # pragma: no cover - jax is a hard dep in practice
+        yield
+
+
 def file_stats(path_or_bytes) -> Dict:
     """Frame stats for a file path or a bytes-like object (all frames)."""
     if isinstance(path_or_bytes, str):
