@@ -25,7 +25,7 @@ from zipnn_tpu import ZipNN  # noqa: E402
 
 BASELINE_SINGLE_WORKER_GBPS = 1.66
 MB = 1024 * 1024
-SIZE = int(os.environ.get("BENCH_MB", "384")) * MB
+SIZE = int(os.environ.get("BENCH_MB", "768")) * MB
 CHUNK = int(os.environ.get("BENCH_CHUNK", "32768"))  # TPU shared-table profile
 
 

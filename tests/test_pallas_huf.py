@@ -77,10 +77,10 @@ def sim_decode(region, starts, lens, tbl8, seg):
     U = np.uint32
     wtop = (p0 - 1) >> 5
     base2 = ((wtop >> 2) << 2) - 4
-    base3 = ((base2 - 28) >> 5) << 5
+    base3 = ((base2 - 36) >> 5) << 5
     idx = np.arange(S)
-    w3 = np.zeros((64, S), U)
-    for m in range(64):
+    w3 = np.zeros((96, S), U)
+    for m in range(96):
         w3[m] = words[idx, np.minimum(base3 + m, SW - 1)]
     w8 = [words[idx, np.minimum(base2 + k, SW - 1)].copy() for k in range(8)]
     w_a = words[idx, wtop]
@@ -93,13 +93,13 @@ def sim_decode(region, starts, lens, tbl8, seg):
     wpos = wtop - 2
 
     out = np.zeros((S, seg), np.uint8)
-    assert seg % 64 == 0
+    assert seg % 128 == 0
     step = 0
-    for outer in range(seg // 64):
-        slide3 = (base2 - base3) < 28
+    for outer in range(seg // 128):
+        slide3 = (base2 - base3) < 36
         nbase3 = np.where(slide3, base3 - 32, base3)
         c3 = np.maximum(nbase3, 0) >> 5
-        for m in range(63, 31, -1):
+        for m in range(95, 31, -1):
             w3[m] = np.where(slide3, w3[m - 32], w3[m])
         for m in range(31, -1, -1):
             src = np.minimum(c3 * 32 + m, SW - 1)
@@ -107,10 +107,11 @@ def sim_decode(region, starts, lens, tbl8, seg):
             w3[m] = np.where(slide3, fetched, w3[m])
         base3 = nbase3
 
-        for sub in range(8):
+        for sub in range(16):
             slide2 = (wpos - base2) < 4
             nbase2 = np.where(slide2, base2 - 4, base2)
             q2 = np.maximum(nbase2 - base3, 0) >> 2
+            assert np.all((q2 < 16) | ~slide2), "w3 window invariant"
             for k in range(7, 3, -1):
                 w8[k] = np.where(slide2, w8[k - 4], w8[k])
             for k in range(3, -1, -1):

@@ -49,6 +49,7 @@ def sim_encode(syms_rev, lengths, vals, SW):
     def dump_w8(base2, base3, wpos, w8):
         dump = (wpos - base2) >= 4
         q2 = np.maximum(base2 - base3, 0) >> 2
+        assert np.all((q2 <= 15) | ~dump), "w3 window invariant"
         for k in range(4):
             r = np.minimum(4 * q2 + k, 63)
             w3[r, idx] = np.where(dump, w8[k], w3[r, idx])
@@ -133,6 +134,23 @@ def test_sim_encode_matches_host_encoder(seg):
     syms_rev = datas[:, ::-1].copy()
     out, total = sim_encode(syms_rev, lengths, vals, SW)
     for i in range(S):
+        want = huf.encode_stream(datas[i], vals, lengths)
+        nbytes = (int(total[i]) + 7) // 8
+        got = out[i].astype("<u4").view(np.uint8)[:nbytes]
+        assert np.array_equal(got, np.frombuffer(want, np.uint8)), i
+
+
+def test_sim_encode_max_rate():
+    """Adversarial worst case: uniform bytes give a flat table where every
+    code is 8 bits, driving the bit writer at its maximum sustained rate —
+    stresses the W3 window invariant (dump index <= 17)."""
+    seg = 1024
+    datas = RNG.integers(0, 256, size=(7, seg), dtype=np.uint8)
+    lengths, vals = make_table(datas)
+    assert int(lengths[np.nonzero(lengths)].min()) >= 7  # near-flat codes
+    SW = max(96, -(-(seg + 128) // 128) * 32)
+    out, total = sim_encode(datas[:, ::-1].copy(), lengths, vals, SW)
+    for i in range(7):
         want = huf.encode_stream(datas[i], vals, lengths)
         nbytes = (int(total[i]) + 7) // 8
         got = out[i].astype("<u4").view(np.uint8)[:nbytes]

@@ -336,7 +336,7 @@ def decompress_payload(
             first = bytes(payload_np[int(hcs[0]) : int(hcs[0] + hsz[0])])
             weights, rank_stats, tlog, _, consumed = huf.read_stats(first)
 
-            if tlog <= pallas_huf.TMAX and _platform_is_tpu():
+            if tlog <= pallas_huf.TMAX and seg % 128 == 0 and _platform_is_tpu():
                 hdr = payload_np[int(hcs[0]) : int(hcs[0]) + consumed]
                 ok = np.all(hsz > consumed + 6)
                 if ok:
@@ -1022,7 +1022,7 @@ def plan_fast_decode(
         hsz = sz[huf_b, huf_c].astype(np.int64)
         first = bytes(payload_np[int(hcs[0]) : int(hcs[0] + hsz[0])])
         weights, rank_stats, tlog, _, consumed = huf.read_stats(first)
-        if tlog > pallas_huf.TMAX:
+        if tlog > pallas_huf.TMAX or seg % 128:
             return None
         hdr = payload_np[int(hcs[0]) : int(hcs[0]) + consumed]
         if not np.all(hsz > consumed + 6):

@@ -82,11 +82,11 @@ def _build_kernel(SW: int, SEG: int):
     from jax.experimental.pallas import tpu as pltpu
 
     assert SW >= 64 and SW % 32 == 0, SW
-    assert SEG % 64 == 0, SEG
+    assert SEG % 128 == 0, SEG
     U = jnp.uint32
     I = jnp.int32
     SW32 = SW // 32
-    N_PERIODS = SEG // 64
+    N_PERIODS = SEG // 128
 
     # the sentinel word index per lane lives in the top TRANGE rows of the
     # row buffer (tile-aligned gather leaves a sub-tile offset per stream)
@@ -98,14 +98,18 @@ def _build_kernel(SW: int, SEG: int):
         p0 = p0_ref[0, :, :].astype(I)
 
         # ---- init: per-lane sentinel word (tile-aligned rows) -------------
+        # W3 is a 96-row window [base3, base3+96) sliding by 32 once per
+        # 128-symbol period: max drain is 32 words/period (8 bits/symbol),
+        # so with base2-base3 in [36, 68) at period start the w8 fetch index
+        # (base2-4-base3)>>2 stays in [0, 16) all period.
         wtop = (p0 - 1) >> 5
         base2 = ((wtop >> 2) << 2) - 4  # aligned 4; wtop - base2 in [4, 8)
-        base3 = ((base2 - 28) >> 5) << 5  # aligned 32; base2 - base3 in [28, 60)
+        base3 = ((base2 - 36) >> 5) << 5  # aligned 32; base2 - base3 in [36, 68)
 
-        b3min = ((((WTOP_MIN >> 2) << 2) - 4 - 28) >> 5) << 5
-        b3max = (((((SW - 1) >> 2) << 2) - 4 - 28) >> 5) << 5
+        b3min = ((((WTOP_MIN >> 2) << 2) - 4 - 36) >> 5) << 5
+        b3max = (((((SW - 1) >> 2) << 2) - 4 - 36) >> 5) << 5
         c3 = base3 >> 5
-        for m in range(64):
+        for m in range(96):
             # rows above wtop may fall past SW for top-of-buffer lanes; they
             # are never consumed (decode walks downward), so clamp the read
             row = sbuf_ref[0, min(max(b3min, 0) + m, SW - 1), :, :]
@@ -113,11 +117,11 @@ def _build_kernel(SW: int, SEG: int):
                 row = jnp.where(c3 == cc, sbuf_ref[0, min(cc * 32 + m, SW - 1), :, :], row)
             w3_ref[m, :, :] = row
 
-        q0 = (base2 - base3) >> 2  # in [7, 15)
+        q0 = (base2 - base3) >> 2  # in [9, 17)
         w8 = []
         for k in range(8):
-            v = w3_ref[28 + k, :, :]
-            for q in range(8, 15):
+            v = w3_ref[36 + k, :, :]
+            for q in range(10, 17):
                 v = jnp.where(q0 == q, w3_ref[4 * q + k, :, :], v)
             w8.append(v)
 
@@ -140,11 +144,11 @@ def _build_kernel(SW: int, SEG: int):
             hi, lo, navail, p, wpos, base2, base3, *w8 = carry
             w8 = list(w8)
 
-            # ---- W3 slide: every 64 symbols, per-lane 0 or 32 rows -------
-            slide3 = (base2 - base3) < 28
+            # ---- W3 slide: every 128 symbols, per-lane 0 or 32 rows ------
+            slide3 = (base2 - base3) < 36
             nbase3 = jnp.where(slide3, base3 - 32, base3)
             c3 = jnp.maximum(nbase3, 0) >> 5  # aligned-32 candidate id
-            for m in range(63, 31, -1):
+            for m in range(95, 31, -1):
                 w3_ref[m, :, :] = jnp.where(slide3, w3_ref[m - 32, :, :], w3_ref[m, :, :])
             for m in range(31, -1, -1):
                 fetched = sbuf_ref[0, m, :, :]
@@ -154,7 +158,7 @@ def _build_kernel(SW: int, SEG: int):
             base3 = nbase3
 
             ob = jnp.zeros((8, 128), U)
-            for sub in range(8):
+            for sub in range(16):
                 # ---- w8 slide: every 8 symbols, per-lane 0 or 4 words ----
                 slide2 = (wpos - base2) < 4
                 nbase2 = jnp.where(slide2, base2 - 4, base2)
@@ -200,7 +204,7 @@ def _build_kernel(SW: int, SEG: int):
 
                     ob = (ob >> U(8)) | (sym << U(24))
                     if local % 4 == 3:
-                        row = outer * 16 + (sub * 8 + local) // 4
+                        row = outer * 32 + (sub * 8 + local) // 4
                         out_ref[0, row, :, :] = ob
 
             return (hi, lo, navail, p, wpos, base2, base3, *w8)
@@ -236,7 +240,7 @@ def _decode_call(SW: int, SEG: int, n_blocks: int):
             jax.ShapeDtypeStruct((n_blocks, SEG // 4, 8, 128), jnp.uint32),
             jax.ShapeDtypeStruct((n_blocks, 8, 128), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((64, 8, 128), jnp.uint32)],
+        scratch_shapes=[pltpu.VMEM((96, 8, 128), jnp.uint32)],
     )
     return jax.jit(call)
 
