@@ -222,6 +222,41 @@ def test_tpu_plan_fast_encode_matches_numpy_spec():
 
 
 @pytest.mark.tpu
+def test_tpu_fp32_fused_paths():
+    """fp32 (4-plane, mode 220) through fused device decode AND encode."""
+    import jax
+
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("needs a real TPU")
+    from zipnn_tpu import ZipNN
+    from zipnn_tpu.core.header import HEADER_LEN
+    from zipnn_tpu.ops import jax_codec
+
+    rng = np.random.default_rng(3)
+    n = 8 * 1024 * 1024
+    data = (rng.standard_normal(n // 4) * 0.05).astype(np.float32).tobytes()
+    comp = ZipNN(
+        engine="numpy", huffman_table="shared", compression_chunk=32768,
+        bytearray_dtype="float32",
+    ).compress(data)
+    payload = np.frombuffer(comp, np.uint8)[HEADER_LEN:]
+
+    plan = jax_codec.plan_fast_decode(payload, 4, 1, 220, 32768, len(data))
+    assert plan is not None
+    run, dev_args, _meta = plan
+    owords, _p = run(*dev_args)
+    got = np.ascontiguousarray(owords).astype("<u4").view(np.uint8)
+    assert bytes(got.reshape(-1)[: len(data)]) == data
+
+    plan_e = jax_codec.plan_fast_encode(
+        np.frombuffer(data, np.uint8), 4, 1, 220, 32768
+    )
+    assert plan_e is not None
+    run_e, words_dev, assemble = plan_e
+    assert assemble(*run_e(words_dev)) == bytes(payload)
+
+
+@pytest.mark.tpu
 def test_tpu_encode_kernel():
     import jax
 
