@@ -141,6 +141,54 @@ def test_hf_replace_in_file(tmp_path):
         assert ".znn" not in f.read()
 
 
+def test_hf_from_pretrained_end_to_end(tmp_path):
+    """Full serving path: a local tiny GPT-2 whose safetensors shard is
+    replaced by a .znn file loads through the patched from_pretrained
+    with replace_local_file=True (reference flow: zipnn.py:1418-1519;
+    plain zipnn_hf() intercepts hub-cache loads, which bypass local-dir
+    isfile probes)."""
+    transformers = pytest.importorskip("transformers")
+    import os
+
+    from transformers import GPT2Config, GPT2LMHeadModel, modeling_utils
+
+    orig_lsd = modeling_utils.load_state_dict
+    orig_fp = modeling_utils.PreTrainedModel.from_pretrained
+    orig_cf = modeling_utils.cached_file
+    try:
+        cfg = GPT2Config(
+            n_embd=32, n_layer=2, n_head=2, n_positions=64,
+            vocab_size=128, attn_implementation="eager",
+        )
+        model = GPT2LMHeadModel(cfg)
+        d = str(tmp_path / "tiny-gpt2")
+        model.save_pretrained(d, safe_serialization=True)
+
+        from zipnn_tpu import ZipNN, zipnn_hf
+
+        plain = os.path.join(d, "model.safetensors")
+        with open(plain, "rb") as f:
+            raw = f.read()
+        comp = ZipNN(is_streaming=True).compress(raw)
+        with open(plain + ".znn", "wb") as f:
+            f.write(comp)
+        os.remove(plain)  # only the compressed shard remains
+
+        zipnn_hf(replace_local_file=True)
+        loaded = GPT2LMHeadModel.from_pretrained(d)
+        assert os.path.exists(plain)  # shard restored in place
+        assert not os.path.exists(plain + ".znn")
+        want = model.state_dict()
+        got = loaded.state_dict()
+        assert want.keys() == got.keys()
+        for k in want:
+            assert torch.equal(want[k], got[k]), k
+    finally:
+        modeling_utils.load_state_dict = orig_lsd
+        modeling_utils.PreTrainedModel.from_pretrained = orig_fp
+        modeling_utils.cached_file = orig_cf
+
+
 def test_hf_load_state_dict_patch(tmp_path, monkeypatch):
     """zipnn_hf() patches load_state_dict to open .safetensors.znn files."""
     transformers = pytest.importorskip("transformers")
