@@ -355,16 +355,21 @@ def decompress_payload(
                     )
                     l4 = hsz - consumed - 6 - l1 - l2 - l3
                     if np.all((l1 > 0) & (l2 > 0) & (l3 > 0) & (l4 > 0)):
-                        s0 = jt + 6
-                        sstarts = np.stack(
-                            [s0, s0 + l1, s0 + l1 + l2, s0 + l1 + l2 + l3], axis=1
-                        ).reshape(-1)
                         slens = np.stack([l1, l2, l3, l4], axis=1).reshape(-1)
-                        sym_t, nb_t = huf.build_dtable(weights, rank_stats, tlog)
-                        tbl8 = pallas_huf.expand_dtable8(sym_t, nb_t, tlog)
-                        fast = True
+                        if pallas_huf.fused_vmem_ok(int(slens.max()), seg):
+                            s0 = jt + 6
+                            sstarts = np.stack(
+                                [s0, s0 + l1, s0 + l1 + l2, s0 + l1 + l2 + l3],
+                                axis=1,
+                            ).reshape(-1)
+                            sym_t, nb_t = huf.build_dtable(weights, rank_stats, tlog)
+                            tbl8 = pallas_huf.expand_dtable8(sym_t, nb_t, tlog)
+                            fast = True
 
-        if fast or (full and n_huf == 0 and _platform_is_tpu()):
+        # stored planes ride the gather+align kernels, whose blocks scale
+        # with plane width: gate at 96KB (rtp <= 194, ~50MB double-buffered)
+        stored_ok = not np.any(stored_mask) or plane_bytes <= 96 * 1024
+        if (fast or (full and n_huf == 0 and _platform_is_tpu())) and stored_ok:
             # ---- one-dispatch fused device pipeline -----------------------
             if not n_huf:
                 sstarts = slens = None
@@ -1016,6 +1021,8 @@ def plan_fast_decode(
     stored_mask = raw_mask | ((t == 1) & (sz == plane_bytes))
     huf_mask = (t == 1) & ~rle_mask & ~stored_mask
     huf_b, huf_c = np.nonzero(huf_mask)
+    if np.any(stored_mask) and plane_bytes > 96 * 1024:
+        return None  # stored-plane gather blocks would exceed VMEM
     sstarts = slens = tbl8 = None
     if huf_b.size:
         hcs = cs[huf_b, huf_c].astype(np.int64)
@@ -1037,9 +1044,11 @@ def plan_fast_decode(
         l4 = hsz - consumed - 6 - l1 - l2 - l3
         if not np.all((l1 > 0) & (l2 > 0) & (l3 > 0) & (l4 > 0)):
             return None
+        slens = np.stack([l1, l2, l3, l4], axis=1).reshape(-1)
+        if not pallas_huf.fused_vmem_ok(int(slens.max()), seg):
+            return None
         s0 = jt + 6
         sstarts = np.stack([s0, s0 + l1, s0 + l1 + l2, s0 + l1 + l2 + l3], axis=1).reshape(-1)
-        slens = np.stack([l1, l2, l3, l4], axis=1).reshape(-1)
         sym_t, nb_t = huf.build_dtable(weights, rank_stats, tlog)
         tbl8 = pallas_huf.expand_dtable8(sym_t, nb_t, tlog)
     run, dev_args, SW, end_in_row = _make_fast_args(

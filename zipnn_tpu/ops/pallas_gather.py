@@ -66,7 +66,12 @@ def _gather_call(n_blocks: int, row_tiles: int):
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_blocks, R, row_tiles, LANE), jnp.uint32),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # double-buffered out blocks exceed the 16MB default for wide
+            # rows (fp32/fp8 stored planes); callers gate at <= 96KB rows
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
     )
     return jax.jit(call)
 
@@ -131,6 +136,9 @@ def _align_call(n_blocks: int, row_tiles: int):
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_blocks, R, RT, LANE), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
     )
     return jax.jit(call)
 

@@ -241,6 +241,11 @@ def _decode_call(SW: int, SEG: int, n_blocks: int):
             jax.ShapeDtypeStruct((n_blocks, 8, 128), jnp.int32),
         ],
         scratch_shapes=[pltpu.VMEM((96, 8, 128), jnp.uint32)],
+        # the bf16 shared profile fits the 16MB default, but fp8/fp32
+        # shared profiles at 32KB chunks need more (fused_vmem_ok gates)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
     )
     return jax.jit(call)
 
@@ -253,6 +258,14 @@ def row_tiles_for(max_bytes: int) -> int:
     """512-byte row tiles per stream: the stream + 576B slack (sub-tile
     alignment up to 511B + >=64B of index-safe margin below the start)."""
     return -(-(int(max_bytes) + 576) // 512)
+
+
+def fused_vmem_ok(max_stream_bytes: int, seg: int) -> bool:
+    """Whether the double-buffered sbuf + out blocks fit the kernel's
+    64MB scoped-VMEM budget (e.g. fp8's single-plane 128KB chunks give
+    seg=32768 and ~70MB blocks — those take the XLA fallback decoder)."""
+    SW = 128 * row_tiles_for(max_stream_bytes)
+    return 2 * (SW + seg // 4) * 4096 <= 56 * 1024 * 1024
 
 
 @lru_cache(maxsize=None)
