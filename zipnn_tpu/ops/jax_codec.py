@@ -155,16 +155,15 @@ def _fused_fast_decode(
         RT = SW // 128
         rows = []
         if n_stored:
-            # aligned tile gather, then a one-pass in-kernel roll to the
-            # word offset + a fused sub-word shift to the exact byte
+            # aligned tile gather, then one in-kernel pass rolling each
+            # row to its word offset AND applying the sub-word byte shift
             bs = stored_starts.astype(jnp.int32) + 512 * RT
             rtp = plane_words // 128 + 2
             srows = pallas_gather.gather_rows(tiles, bs >> 9, rtp)
-            srows = pallas_gather.align_rows(srows, (bs >> 2) & 127)
-            sh = ((bs & 3) << 3)[:, None].astype(jnp.uint32)
-            w1 = srows[:, : plane_words]
-            w2 = srows[:, 1 : plane_words + 1]
-            rows.append(jnp.where(sh == 0, w1, (w1 >> sh) | (w2 << (jnp.uint32(32) - sh))))
+            srows = pallas_gather.align_rows(
+                srows, (bs >> 2) & 127, (bs & 3) << 3
+            )
+            rows.append(srows[:, :plane_words])
         if n_rle:
             v = rle_vals.astype(jnp.uint32)
             v = v | (v << 8) | (v << 16) | (v << 24)

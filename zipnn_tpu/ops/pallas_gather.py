@@ -98,7 +98,7 @@ ALIGN_ROWS_PER_BLOCK = 128
 
 
 @lru_cache(maxsize=None)
-def _align_call(n_blocks: int, row_tiles: int):
+def _align_call(n_blocks: int, row_tiles: int, bitshift: bool):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -111,10 +111,20 @@ def _align_call(n_blocks: int, row_tiles: int):
         b = pl.program_id(0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (RT, LANE), 1)
         for r in range(R):
-            dw = shifts_ref[b * R + r]
+            enc = shifts_ref[b * R + r]
+            dw = enc & 127
             x = in_ref[0, r]  # [RT + 1, 128]
             a = pltpu.roll(x, (LANE - dw) % LANE, axis=1)
-            out_ref[0, r] = jnp.where(lane < LANE - dw, a[:RT], a[1:])
+            w = jnp.where(lane < LANE - dw, a[:RT], a[1:])
+            if bitshift:
+                # fuse word i+1 + the sub-word byte shift into this pass:
+                # an XLA [1:] lane slice would relayout the whole array
+                sh = (enc >> 7).astype(jnp.uint32)  # 0, 8, 16 or 24
+                a2 = pltpu.roll(x, (LANE - dw - 1) % LANE, axis=1)
+                wn = jnp.where(lane < LANE - 1 - dw, a2[:RT], a2[1:])
+                shifted = (w >> sh) | (wn << ((jnp.uint32(32) - sh) & 31))
+                w = jnp.where(sh == 0, w, shifted)
+            out_ref[0, r] = w
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -143,7 +153,7 @@ def _align_call(n_blocks: int, row_tiles: int):
     return jax.jit(call)
 
 
-def align_rows(rows, word_shifts):
+def align_rows(rows, word_shifts, bit_shifts=None):
     """rows[i, j] -> rows[i, word_shifts[i] + j]: per-row word alignment.
 
     ``rows`` is [n, row_tiles * 128] uint32 (e.g. a :func:`gather_rows`
@@ -152,6 +162,10 @@ def align_rows(rows, word_shifts):
     lane roll + sublane-carry select per row — replaces an XLA 7-pass
     barrel shift (a lane-shuffle pass over the whole array per bit) with a
     single pass.
+
+    ``bit_shifts`` (per-row 0/8/16/24) additionally applies the sub-word
+    byte shift in the same pass: out[j] = aligned[j] >> sh | aligned[j+1]
+    << (32-sh).
     """
     import jax.numpy as jnp
 
@@ -161,12 +175,14 @@ def align_rows(rows, word_shifts):
     n_pad = -(-max(n, 1) // R) * R
     x = rows.reshape(n, row_tiles, LANE)
     sh = jnp.asarray(word_shifts, jnp.int32)
+    if bit_shifts is not None:
+        sh = sh | (jnp.asarray(bit_shifts, jnp.int32) << 7)
     if n_pad != n:
         x = jnp.concatenate(
             [x, jnp.zeros((n_pad - n, row_tiles, LANE), jnp.uint32)]
         )
         sh = jnp.concatenate([sh, jnp.zeros(n_pad - n, jnp.int32)])
-    out = _align_call(n_pad // R, row_tiles)(
+    out = _align_call(n_pad // R, row_tiles, bit_shifts is not None)(
         sh, x.reshape(n_pad // R, R, row_tiles, LANE)
     )
     return out.reshape(n_pad, (row_tiles - 1) * LANE)[:n]
