@@ -108,10 +108,11 @@ def bench_tpu_fused(data: bytes, comp: bytes, t_c: float, results: dict) -> floa
             results["tpu_fused"] = {"error": "fast path not eligible"}
             return 0.0
         run, dev_args, meta = plan
-        owords, pend = run(*dev_args)
-        _ = np.asarray(pend[:1])  # compile + sync
+        for _w in range(2):  # compile + settle (tunnel timing jitters)
+            owords, pend = run(*dev_args)
+            _ = np.asarray(pend[:1])
         best = float("inf")
-        for _i in range(3):
+        for _i in range(5):
             t0 = time.perf_counter()
             owords, pend = run(*dev_args)
             _ = np.asarray(pend[:1])

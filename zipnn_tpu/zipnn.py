@@ -525,6 +525,9 @@ class ZipNN:
                 )
 
         mv_data = memoryview(data)
+        if len(mv_data) == 0 and self.is_streaming:
+            # a streaming compress of empty input emits zero frames
+            return b""
         if len(mv_data) < HEADER_LEN or bytes(mv_data[0:2]) != b"ZN":
             raise ValueError("Header should start with ZN")
         was_delta = mv_data[9]
