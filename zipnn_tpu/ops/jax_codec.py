@@ -556,13 +556,24 @@ def _plan_cell(count: np.ndarray, n: int):
     return ("huf", header, table_log, lengths, vals)
 
 
-def _encode_shared_pallas(planes_words, enc_cells, shared, num_buf, seg):
+def _expected_bits(plane_hist: np.ndarray, lengths: np.ndarray) -> float:
+    total = float(plane_hist.sum())
+    if total == 0:
+        return 8.0
+    return float((plane_hist * lengths.astype(np.int64)).sum()) / total
+
+
+def _encode_shared_pallas(planes_words, enc_cells, shared, num_buf, seg, phist):
     """Per-plane Pallas lockstep encode for the shared-table profile.
 
     One kernel launch per plane (every huf cell of a plane shares that
     plane's <=8-bit table); input is the device plane words
-    [full, num_buf, plane_words].  Returns the per-stream byte arrays in
-    ``enc_cells`` order, matching the generic encode path exactly.
+    [full, num_buf, plane_words].  Output rows are sized optimistically
+    from the plane histogram's expected code length (halves the kernel's
+    spill select-tree and VMEM for typical exponent planes); the rare
+    stream that overflows its row is re-encoded exactly on the host.
+    Returns the per-stream byte arrays in ``enc_cells`` order, matching
+    the generic encode path exactly.
     """
     from . import pallas_huf_enc  # noqa: PLC0415
 
@@ -575,11 +586,14 @@ def _encode_shared_pallas(planes_words, enc_cells, shared, num_buf, seg):
             continue
         lengths, vals, _header, _tlog = shared[b]
         tbl = pallas_huf_enc.pack_etable8(vals, lengths)
+        sw = pallas_huf_enc.sw_for_expected(
+            seg, _expected_bits(phist[b], lengths)
+        )
         idx_c = jnp.asarray(
             np.asarray([enc_cells[i][0] for i in sel], dtype=np.int32)
         )
         syms_w = planes_words[idx_c, b].reshape(len(sel) * 4, seg // 4)
-        rows, bits = pallas_huf_enc.encode_words(syms_w, tbl, seg)
+        rows, bits = pallas_huf_enc.encode_words(syms_w, tbl, seg, sw)
         rows_h = np.ascontiguousarray(rows)
         bits_h = np.asarray(bits)
         bv = rows_h.astype("<u4", copy=False).view(np.uint8).reshape(
@@ -587,8 +601,17 @@ def _encode_shared_pallas(planes_words, enc_cells, shared, num_buf, seg):
         )
         for j, i in enumerate(sel):
             for k in range(4):
-                nbytes = (int(bits_h[4 * j + k]) + 7) // 8
-                byte_rows[4 * i + k] = bv[4 * j + k, :nbytes]
+                s = 4 * j + k
+                if (int(bits_h[s]) + 31) // 32 + 8 > sw:  # row overflowed
+                    cw = np.ascontiguousarray(
+                        planes_words[enc_cells[i][0], b]
+                    ).astype("<u4", copy=False)
+                    syms = cw.view(np.uint8).reshape(4, seg)[k]
+                    blob = huf.encode_stream(syms, vals, lengths)
+                    byte_rows[4 * i + k] = np.frombuffer(blob, np.uint8)
+                    continue
+                nbytes = (int(bits_h[s]) + 7) // 8
+                byte_rows[4 * i + k] = bv[s, :nbytes]
     return byte_rows
 
 
@@ -688,7 +711,8 @@ def compress_payload(
         )
         if pallas_enc:
             stream_bytes_out = _encode_shared_pallas(
-                planes_dev, enc_cells, shared, num_buf, seg
+                planes_dev, enc_cells, shared, num_buf, seg,
+                hist.sum(axis=0),  # [num_buf, 256] plane histograms
             )
         elif enc_cells:
             n_enc = len(enc_cells)
@@ -845,7 +869,7 @@ def _fused_split_hist_call(full, chunk_words, num_buf, byte_reorder, bit_reorder
 
 
 @lru_cache(maxsize=None)
-def _fused_encode_call(full, num_buf, seg):
+def _fused_encode_call(full, num_buf, seg, sws):
     import jax  # noqa: PLC0415
 
     from . import pallas_huf_enc  # noqa: PLC0415
@@ -853,13 +877,12 @@ def _fused_encode_call(full, num_buf, seg):
     jnp = _jnp()
 
     def run(planes, tbls):  # planes [full, nb, plane_words]; tbls [nb, 8, 128]
-        rows_all, bits_all = [], []
+        outs = []
         for b in range(num_buf):
             w = planes[:, b].reshape(full * 4, seg // 4)
-            rows, bits = pallas_huf_enc.encode_words(w, tbls[b], seg)
-            rows_all.append(rows)
-            bits_all.append(bits)
-        return jnp.stack(rows_all), jnp.stack(bits_all)
+            rows, bits = pallas_huf_enc.encode_words(w, tbls[b], seg, sws[b])
+            outs.append((rows, bits))
+        return tuple(outs)
 
     return jax.jit(run)
 
@@ -902,7 +925,6 @@ def plan_fast_encode(
     full = n // chunk_size
     chunk_words = chunk_size // 4
     sh = _fused_split_hist_call(full, chunk_words, num_buf, byte_reorder, bit_reorder)
-    enc = _fused_encode_call(full, num_buf, seg)
     words_dev = jnp.asarray(data.view("<u4"))
 
     def run(words):
@@ -910,6 +932,7 @@ def plan_fast_encode(
         ph = np.asarray(phist)  # 2x256 ints: the only host sync mid-pipeline
         shared = [None] * num_buf
         tbls = np.zeros((num_buf, 8, 128), np.int32)
+        sws = []
         for b in range(num_buf):
             cnt = ph[b].astype(np.int64)
             if cnt.sum():
@@ -917,28 +940,54 @@ def plan_fast_encode(
             if shared[b] is not None:
                 lengths, vals, _header, _tl = shared[b]
                 tbls[b] = pallas_huf_enc.pack_etable8(vals, lengths)
+                sws.append(pallas_huf_enc.sw_for_expected(
+                    seg, _expected_bits(cnt, lengths)
+                ))
             else:  # plane is all-RLE/raw; encode output is unused
                 tbls[b] = pallas_huf_enc.pack_etable8(
                     np.zeros(256, np.uint8), np.ones(256, np.uint8)
                 )
-        rows, bits = enc(planes, jnp.asarray(tbls))
-        return planes, shared, rows, bits, cmax, carg
+                sws.append(128)
+        enc = _fused_encode_call(full, num_buf, seg, tuple(sws))
+        outs = enc(planes, jnp.asarray(tbls))
+        return planes, shared, outs, tuple(sws), cmax, carg
 
-    def assemble(planes, shared, rows, bits, cmax, carg):
-        bits_h = np.asarray(bits).reshape(num_buf, full, 4).astype(np.int64)
-        slen = (bits_h + 7) // 8  # [nb, full, 4] stream byte lengths
+    def assemble(planes, shared, outs, sws, cmax, carg):
+        bits_h = [
+            np.asarray(outs[b][1]).reshape(full, 4).astype(np.int64)
+            for b in range(num_buf)
+        ]
+        slen = [(x + 7) // 8 for x in bits_h]  # per plane [full, 4]
         cmax_h = np.asarray(cmax).reshape(full, num_buf)
         carg_h = np.asarray(carg).reshape(full, num_buf)
-        rows_h = np.ascontiguousarray(rows)  # [nb, full*4, SW] uint32
-        rview = rows_h.astype("<u4", copy=False).view(np.uint8).reshape(
-            num_buf, full * 4, -1
-        )
+        rview = [
+            np.ascontiguousarray(outs[b][0])
+            .astype("<u4", copy=False)
+            .view(np.uint8)
+            .reshape(full * 4, -1)
+            for b in range(num_buf)
+        ]
         planes_h = None
         chunk_types = np.zeros((num_buf, full), dtype=np.uint8)
         chunk_sizes = np.zeros((num_buf, full), dtype=np.uint64)
         blobs: List[List[Optional[bytes]]] = [
             [None] * full for _ in range(num_buf)
         ]
+        def stream_bytes(b, c, k):
+            # rare: a stream that overflowed its optimistic row gets an
+            # exact host re-encode from the device plane words
+            if (int(bits_h[b][c, k]) + 31) // 32 + 8 > sws[b]:
+                nonlocal planes_h
+                if planes_h is None:
+                    pw = np.ascontiguousarray(planes)
+                    planes_h = pw.astype("<u4", copy=False).view(
+                        np.uint8
+                    ).reshape(full, num_buf, plane_bytes)
+                lengths, vals, _header, _tl = shared[b]
+                syms = planes_h[c, b].reshape(4, seg)[k]
+                return huf.encode_stream(syms, vals, lengths)
+            return rview[b][4 * c + k, : slen[b][c, k]].tobytes()
+
         for b in range(num_buf):
             header = shared[b][2] if shared[b] is not None else None
             for c in range(full):
@@ -946,15 +995,13 @@ def plan_fast_encode(
                 if int(cmax_h[c, b]) == plane_bytes:
                     comp = bytes([int(carg_h[c, b])])
                 elif header is not None:
-                    ls = slen[b, c]
+                    parts4 = [stream_bytes(b, c, k) for k in range(4)]
+                    ls = np.asarray([len(x) for x in parts4], dtype=np.int64)
                     if np.all((ls > 0) & (ls <= 65535)):
                         jump = b"".join(
                             int(x).to_bytes(2, "little") for x in ls[:3]
                         )
-                        streams = b"".join(
-                            rview[b, 4 * c + k, : ls[k]].tobytes()
-                            for k in range(4)
-                        )
+                        streams = b"".join(parts4)
                         comp = header + jump + streams
                         if (
                             len(comp) >= plane_bytes - 1

@@ -229,14 +229,29 @@ def _sw_for(seg: int) -> int:
     return max(96, -(-SW // 32) * 32)
 
 
-def _call_blocks(words_rev, seg: int, tbl8e):
+def sw_for_expected(seg: int, bits_per_symbol: float) -> int:
+    """Optimistic output width from the plane's expected code length.
+
+    The kernel clamps spills at row SW-1 and keeps exact bit counts, so an
+    under-sized row only corrupts that one stream's output, which the
+    caller detects via ``bits`` and re-encodes on the host (rare: the
+    budget is 15% + 2048 bits over the histogram expectation, and
+    adversarial flat data drives the expectation itself to 8 bits).
+    Quantized up to 128 words to bound kernel recompiles.
+    """
+    bits = bits_per_symbol * seg * 1.15 + 2048
+    sw = -(-int(bits) // (32 * 128)) * 128
+    return max(128, min(sw, _sw_for(seg)))
+
+
+def _call_blocks(words_rev, seg: int, tbl8e, sw=None):
     """Kernel dispatch on LE-packed PRE-REVERSED stream words [S, seg//4]."""
     import jax.numpy as jnp
 
     S = words_rev.shape[0]
     S_pad = -(-S // BLOCK) * BLOCK
     n_blocks = S_pad // BLOCK
-    SW = _sw_for(seg)
+    SW = _sw_for(seg) if sw is None else sw
     x = words_rev.astype(jnp.uint32)
     if S_pad != S:
         x = jnp.concatenate(
@@ -248,13 +263,16 @@ def _call_blocks(words_rev, seg: int, tbl8e):
     return rows[:S], bits.reshape(-1)[:S]
 
 
-def encode_words(rows_words, tbl8e, seg: int):
+def encode_words(rows_words, tbl8e, seg: int, sw=None):
     """Encode S streams given their FORWARD-order LE-packed words
     ([S, seg//4] uint32 on device) with one shared <=8-bit table.
 
     Symbol reversal (the backward bit-writer order) happens in word space:
     reverse the word row and byteswap each word.  Returns (words [S, SW]
-    uint32 device, total_bits [S] int32 device).
+    uint32 device, total_bits [S] int32 device).  ``sw`` overrides the
+    worst-case output width (see :func:`sw_for_expected`); a stream whose
+    (exact) bit count exceeds ``sw*32`` has truncated row data and must be
+    re-encoded by the caller.
     """
     import jax.numpy as jnp
 
@@ -266,7 +284,7 @@ def encode_words(rows_words, tbl8e, seg: int):
         | ((w << U(8)) & U(0xFF0000))
         | (w << U(24))
     )
-    return _call_blocks(rev, seg, tbl8e)
+    return _call_blocks(rev, seg, tbl8e, sw)
 
 
 def encode_shared_table(syms_rev, tbl8e, seg: int):
