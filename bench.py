@@ -81,7 +81,8 @@ def bench_tpu_fused_encode(data: bytes, comp: bytes, results: dict) -> None:
         for _i in range(3):
             t0 = time.perf_counter()
             outs = run(words_dev)
-            _ = np.asarray(outs[3].reshape(-1)[:1])  # sync on bits
+            # sync on plane 0's bit counts (outs[2] = per-plane (rows, bits))
+            _ = np.asarray(outs[2][0][1].reshape(-1)[:1])
             best = min(best, time.perf_counter() - t0)
         results["tpu_fused_encode"] = {
             "compress_GBps_hbm": len(data) / 1e9 / best,
