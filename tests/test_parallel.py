@@ -50,3 +50,20 @@ def test_entry_compiles_and_runs():
     # the fused step reproduces the original words of the synthetic buffer
     # only for huffman cells; shape sanity is the contract here
     assert out.ndim == 2
+
+
+@pytest.mark.tpu
+def test_mesh_engine_tpu_on_chip():
+    """Ambient 1-device mesh on real hardware: engine='tpu' compress and
+    decompress run the shard_mapped stages and stay byte-identical to the
+    numpy golden model."""
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("needs a real TPU")
+    data = bytes(_bf16ish(2 * 1024 * 1024))
+    mesh = parallel.make_mesh()
+    with parallel.use_mesh(mesh):
+        c = ZipNN(engine="tpu", compression_chunk=32768).compress(data)
+        back = ZipNN(engine="tpu", compression_chunk=32768).decompress(bytes(c))
+    ref = ZipNN(engine="numpy", compression_chunk=32768).compress(data)
+    assert back == data
+    assert bytes(c) == bytes(ref)
