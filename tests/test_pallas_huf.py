@@ -220,3 +220,32 @@ def test_tpu_kernel_matches_golden():
     datas, region, starts, lens, tbl8 = make_shared_streams(2050, seg)
     out = pallas_huf.decode_shared_table(region, starts, lens, tbl8, seg)
     assert np.array_equal(np.asarray(out), datas)
+
+
+@pytest.mark.tpu
+def test_tpu_fused_decode_full_byte():
+    """The one-dispatch fused pipeline (gather + align + kernel + combine)
+    reproduces every byte of a 16MB shared-profile container, including
+    the raw-stored mantissa plane."""
+    import jax
+
+    if jax.devices()[0].platform not in ("tpu",):
+        pytest.skip("needs a real TPU")
+    from zipnn_tpu import ZipNN
+    from zipnn_tpu.core.header import HEADER_LEN
+    from zipnn_tpu.ops import jax_codec
+
+    rng = np.random.default_rng(7)
+    n = 16 * 1024 * 1024
+    vals = (rng.standard_normal(n // 2) * 0.05).astype(np.float32)
+    data = ((vals.view(np.uint32) >> 16).astype(np.uint16)).tobytes()[:n]
+    comp = ZipNN(
+        engine="numpy", huffman_table="shared", compression_chunk=32768
+    ).compress(data)
+    payload = np.frombuffer(comp, np.uint8)[HEADER_LEN:]
+    plan = jax_codec.plan_fast_decode(payload, 2, 1, 10, 32768, len(data))
+    assert plan is not None
+    run, dev_args, _meta = plan
+    owords, _pend = run(*dev_args)
+    got = np.ascontiguousarray(owords).astype("<u4").view(np.uint8)
+    assert bytes(got.reshape(-1)[: len(data)]) == data
