@@ -128,20 +128,25 @@ def _build_kernel(SW: int, SEG: int):
             for sub in range(8):
                 base2, w8 = dump_w8(base2, base3, wpos, w8)
                 base2_ref[0] = base2
-                for local in range(8):
-                    row = outer * 16 + (sub * 8 + local) // 4
-                    sym = (
-                        syms_ref[0, row, :, :] >> U(8 * (local % 4))
-                    ).astype(I) & 255
-                    g = jnp.take_along_axis(tbl, sym >> 1, axis=1).astype(U)
-                    ent = jnp.where((sym & 1) == 1, g >> U(16), g) & U(0xFFFF)
-                    val = ent & U(0xFF)
-                    nb = (ent >> U(8)).astype(I)
-                    acc_lo, acc_hi, nbits, total = append(
-                        acc_lo, acc_hi, nbits, total, val, nb
-                    )
-                    if local % 2 == 1:
-                        # nb <= 8: nbits grows <= 16 per 2 symbols, < 48 peak
+                for half in range(2):
+                    row = outer * 16 + sub * 2 + half
+                    w = syms_ref[0, row, :, :]
+                    for pair in range(2):
+                        # fuse each symbol PAIR into one <=16-bit code:
+                        # one append + one flush per two symbols
+                        sa = (w >> U(16 * pair)).astype(I) & 255
+                        sb = (w >> U(16 * pair + 8)).astype(I) & 255
+                        ga = jnp.take_along_axis(tbl, sa >> 1, axis=1).astype(U)
+                        ea = jnp.where((sa & 1) == 1, ga >> U(16), ga) & U(0xFFFF)
+                        gb = jnp.take_along_axis(tbl, sb >> 1, axis=1).astype(U)
+                        eb = jnp.where((sb & 1) == 1, gb >> U(16), gb) & U(0xFFFF)
+                        na = ea >> U(8)  # <= 8
+                        val2 = (ea & U(0xFF)) | ((eb & U(0xFF)) << na)
+                        nb2 = (na + (eb >> U(8))).astype(I)
+                        acc_lo, acc_hi, nbits, total = append(
+                            acc_lo, acc_hi, nbits, total, val2, nb2
+                        )
+                        # nb2 <= 16: nbits stays < 48 at every append
                         acc_lo, acc_hi, nbits, wpos, w8 = flush(
                             acc_lo, acc_hi, nbits, wpos, w8, nbits >= 0
                         )
