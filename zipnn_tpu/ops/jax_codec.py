@@ -170,7 +170,7 @@ def _fused_fast_decode(
             rows.append(jnp.broadcast_to(v[:, None], (n_rle, plane_words)))
         if n_huf:
             words = pallas_gather.gather_rows(tiles, row_starts, RT)  # [S_pad, SW]
-            blocks = words.reshape(n_blocks, 8, 128, SW).transpose(0, 3, 1, 2)
+            blocks = words.reshape(n_blocks, pallas_huf.SUBS, 128, SW).transpose(0, 3, 1, 2)
             out, pend = kernel(blocks, p0, tbl8)
             # LE-packed symbol words == plane words, stream-major
             ow = out.transpose(0, 2, 3, 1).reshape(S_pad, seg // 4)
@@ -219,14 +219,14 @@ def _make_fast_args(
         msb = np.floor(np.log2(last.astype(np.int64))).astype(np.int64)
         p0 = np.full(S_pad, 8 * (4 * SW - 1), dtype=np.int32)
         p0[:S] = (8 * (end_in_row - 1) + msb).astype(np.int32)
-        p0 = p0.reshape(n_blocks, 8, 128)
+        p0 = p0.reshape(n_blocks, pallas_huf.SUBS, 128)
         tbl_dev = jnp.asarray(tbl8)
     else:
         SW = 128
         end_in_row = None
         row_starts = np.zeros(0, dtype=np.int32)
-        p0 = np.zeros((0, 8, 128), dtype=np.int32)
-        tbl_dev = jnp.zeros((8, 128), jnp.int32)
+        p0 = np.zeros((0, pallas_huf.SUBS, 128), dtype=np.int32)
+        tbl_dev = jnp.zeros((pallas_huf.SUBS, 128), jnp.int32)
 
     run = _fused_fast_decode(
         SW, seg, full, num_buf, plane_bytes, byte_reorder, bit_reorder,

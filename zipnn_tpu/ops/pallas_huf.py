@@ -46,7 +46,10 @@ import numpy as np
 from .entropy import huf
 
 TMAX = 8  # max table_log this kernel supports (one packed table row)
-BLOCK = 1024  # streams per grid step (8 sublanes x 128 lanes)
+SUBS = 16  # sublane rows per block: 2 vregs/op = 2-way ILP on the
+# per-symbol dependency chain (the kernel is latency-bound, not
+# issue-bound; 16 rows measured +22% over 8 on v5e)
+BLOCK = SUBS * 128  # streams per grid step, one per lane
 
 
 # ---------------------------------------------------------------------------
@@ -68,7 +71,7 @@ def expand_dtable8(sym_t: np.ndarray, nb_t: np.ndarray, table_log: int) -> np.nd
     if np.any(nb_t[:size] == 0):
         raise ValueError("dtable has unpopulated entries (corrupt weights)")
     packed = (ent[0::2] | (ent[1::2] << 16)).astype(np.uint32)  # [128]
-    return np.broadcast_to(packed, (8, 128)).astype(np.int32)
+    return np.broadcast_to(packed, (SUBS, 128)).astype(np.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -157,7 +160,7 @@ def _build_kernel(SW: int, SEG: int):
                 w3_ref[m, :, :] = jnp.where(slide3, fetched, w3_ref[m, :, :])
             base3 = nbase3
 
-            ob = jnp.zeros((8, 128), U)
+            ob = jnp.zeros((SUBS, 128), U)
             for sub in range(16):
                 # ---- w8 slide: every 8 symbols, per-lane 0 or 4 words ----
                 slide2 = (wpos - base2) < 4
@@ -228,23 +231,23 @@ def _decode_call(SW: int, SEG: int, n_blocks: int):
         kernel,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((1, SW, 8, 128), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SW, SUBS, 128), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUBS, 128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBS, 128), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, SEG // 4, 8, 128), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SEG // 4, SUBS, 128), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUBS, 128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_blocks, SEG // 4, 8, 128), jnp.uint32),
-            jax.ShapeDtypeStruct((n_blocks, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks, SEG // 4, SUBS, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((n_blocks, SUBS, 128), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((96, 8, 128), jnp.uint32)],
+        scratch_shapes=[pltpu.VMEM((96, SUBS, 128), jnp.uint32)],
         # the bf16 shared profile fits the 16MB default, but fp8/fp32
         # shared profiles at 32KB chunks need more (fused_vmem_ok gates)
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
+            vmem_limit_bytes=96 * 1024 * 1024
         ),
     )
     return jax.jit(call)
@@ -265,7 +268,7 @@ def fused_vmem_ok(max_stream_bytes: int, seg: int) -> bool:
     64MB scoped-VMEM budget (e.g. fp8's single-plane 128KB chunks give
     seg=32768 and ~70MB blocks — those take the XLA fallback decoder)."""
     SW = 128 * row_tiles_for(max_stream_bytes)
-    return 2 * (SW + seg // 4) * 4096 <= 56 * 1024 * 1024
+    return 2 * (SW + seg // 4) * SUBS * 512 <= 80 * 1024 * 1024
 
 
 @lru_cache(maxsize=None)
@@ -284,7 +287,7 @@ def _prep_call(SW: int, n_rows: int):
             jnp.concatenate([jnp.zeros(512 * RT, jnp.uint8), region])
         )
         rows = pallas_gather.gather_rows(tiles, tile_starts, RT)  # [n, SW]
-        return rows.reshape(n_rows // BLOCK, 8, 128, SW).transpose(0, 3, 1, 2)
+        return rows.reshape(n_rows // BLOCK, SUBS, 128, SW).transpose(0, 3, 1, 2)
 
     return jax.jit(prep)
 
@@ -336,7 +339,7 @@ def decode_shared_table(
     p0[:S] = (8 * (end_in_row - 1) + msb).astype(np.int32)
 
     blocks = _prep_call(SW, S_pad)(jnp.asarray(region), jnp.asarray(ts))
-    p0_dev = jnp.asarray(p0.reshape(n_blocks, 8, 128))
+    p0_dev = jnp.asarray(p0.reshape(n_blocks, SUBS, 128))
 
     out, pend = _decode_call(SW, seg, n_blocks)(blocks, p0_dev, jnp.asarray(tbl8))
 
