@@ -261,7 +261,14 @@ def _make_fast_args(
     return run, dev_args, SW, end_in_row
 
 
+# Set True to take the Pallas fast paths regardless of platform — used with
+# the kernels' INTERPRET flags so CPU CI drives the fused pipelines.
+FORCE_DEVICE_PATH = False
+
+
 def _platform_is_tpu() -> bool:
+    if FORCE_DEVICE_PATH:
+        return True
     try:
         import jax  # noqa: PLC0415
 
@@ -635,7 +642,7 @@ def compress_payload(
     n = data.size
     n_chunks = (n + chunk_size - 1) // chunk_size
     if n_chunks == 0:
-        return codec_empty(num_buf)
+        return codec_empty()
 
     full = n_chunks if n == n_chunks * chunk_size else n_chunks - 1
     plane_bytes = chunk_size // num_buf
@@ -837,7 +844,7 @@ def compress_payload(
     return b"".join(parts)
 
 
-def codec_empty(num_buf: int) -> bytes:
+def codec_empty() -> bytes:
     return b""
 
 

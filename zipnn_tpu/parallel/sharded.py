@@ -75,12 +75,6 @@ def _pad_rows(arr, mult: int, fill=0):
     return jnp.pad(arr, widths, constant_values=fill), n
 
 
-def _shard_specs(mesh):
-    from jax.sharding import PartitionSpec as P  # noqa: PLC0415
-
-    return P(mesh.axis_names), P(*([None]))
-
-
 # ---------------------------------------------------------------------------
 # entropy stages: shard the stream axis
 # ---------------------------------------------------------------------------
@@ -95,7 +89,7 @@ def sharded_decode_streams(
     nothing because pthreads share memory).
     """
     import jax.numpy as jnp  # noqa: PLC0415
-    from jax.experimental.shard_map import shard_map  # noqa: PLC0415
+    from jax import shard_map  # noqa: PLC0415
     from jax.sharding import PartitionSpec as P  # noqa: PLC0415
 
     from ..ops import jax_entropy  # noqa: PLC0415
@@ -126,7 +120,7 @@ def sharded_encode_streams(
     mesh, syms, nb_tbl, val_tbl, cell_tbl_off, seg_len: int, words_per_row: int
 ):
     import jax.numpy as jnp  # noqa: PLC0415
-    from jax.experimental.shard_map import shard_map  # noqa: PLC0415
+    from jax import shard_map  # noqa: PLC0415
     from jax.sharding import PartitionSpec as P  # noqa: PLC0415
 
     from ..ops import jax_entropy  # noqa: PLC0415
@@ -152,7 +146,7 @@ def sharded_encode_streams(
 
 def sharded_histogram(mesh, data):
     """Per-cell histograms with cells sharded over the mesh."""
-    from jax.experimental.shard_map import shard_map  # noqa: PLC0415
+    from jax import shard_map  # noqa: PLC0415
     from jax.sharding import PartitionSpec as P  # noqa: PLC0415
 
     from ..ops import jax_entropy  # noqa: PLC0415
@@ -174,7 +168,7 @@ def sharded_histogram(mesh, data):
 # ---------------------------------------------------------------------------
 
 def sharded_split(mesh, words, num_buf: int, byte_reorder: int, bit_reorder: int):
-    from jax.experimental.shard_map import shard_map  # noqa: PLC0415
+    from jax import shard_map  # noqa: PLC0415
     from jax.sharding import PartitionSpec as P  # noqa: PLC0415
 
     from ..ops import jax_transforms  # noqa: PLC0415
@@ -197,7 +191,7 @@ def sharded_split(mesh, words, num_buf: int, byte_reorder: int, bit_reorder: int
 
 
 def sharded_combine(mesh, planes, num_buf: int, byte_reorder: int, bit_reorder: int):
-    from jax.experimental.shard_map import shard_map  # noqa: PLC0415
+    from jax import shard_map  # noqa: PLC0415
     from jax.sharding import PartitionSpec as P  # noqa: PLC0415
 
     from ..ops import jax_transforms  # noqa: PLC0415

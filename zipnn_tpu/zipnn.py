@@ -62,6 +62,14 @@ class ZipNN:
         """
         self.method = EnumMethod(method).value
         self.input_format = EnumFormat(input_format).value
+        if self.input_format == EnumFormat.FILE.value:
+            # the reference declares FILE in its enum but has no compress/
+            # decompress branch for it (reference zipnn.py:852 raises);
+            # fail fast here instead of deep inside the pipeline
+            raise ValueError(
+                'input_format="file" is not supported; pass bytes, torch, '
+                "numpy or jax data (use the CLI tools for file workflows)"
+            )
         self.bytearray_dtype = bytearray_dtype
         self.is_monotonic = is_monotonic
         # thread scaling plateaus; the reference caps at 16 (zipnn.py:177)
