@@ -25,8 +25,16 @@ ROWS_PER_BLOCK = 256
 SEM_RING = 16
 
 
-@lru_cache(maxsize=None)
+# Set True to run the kernels via the Pallas interpreter (CPU tests).
+INTERPRET = False
+
+
 def _gather_call(n_blocks: int, row_tiles: int):
+    return _gather_call_cached(n_blocks, row_tiles, INTERPRET)
+
+
+@lru_cache(maxsize=None)
+def _gather_call_cached(n_blocks: int, row_tiles: int, interpret: bool):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -72,6 +80,7 @@ def _gather_call(n_blocks: int, row_tiles: int):
             # rows (fp32/fp8 stored planes); callers gate at <= 96KB rows
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
+        interpret=interpret,
     )
     return jax.jit(call)
 
@@ -97,8 +106,12 @@ def gather_rows(src_tiles, tile_starts, row_tiles: int):
 ALIGN_ROWS_PER_BLOCK = 128
 
 
-@lru_cache(maxsize=None)
 def _align_call(n_blocks: int, row_tiles: int, bitshift: bool):
+    return _align_call_cached(n_blocks, row_tiles, bitshift, INTERPRET)
+
+
+@lru_cache(maxsize=None)
+def _align_call_cached(n_blocks: int, row_tiles: int, bitshift: bool, interpret: bool):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -149,6 +162,7 @@ def _align_call(n_blocks: int, row_tiles: int, bitshift: bool):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
         ),
+        interpret=interpret,
     )
     return jax.jit(call)
 

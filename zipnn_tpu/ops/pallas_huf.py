@@ -219,8 +219,17 @@ def _build_kernel(SW: int, SEG: int):
     return kernel
 
 
-@lru_cache(maxsize=None)
+# Set True to run the kernel via the Pallas interpreter (CPU tests exercise
+# the exact kernel logic; compiled Mosaic still requires a real TPU).
+INTERPRET = False
+
+
 def _decode_call(SW: int, SEG: int, n_blocks: int):
+    return _decode_call_cached(SW, SEG, n_blocks, INTERPRET)
+
+
+@lru_cache(maxsize=None)
+def _decode_call_cached(SW: int, SEG: int, n_blocks: int, interpret: bool):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -249,6 +258,7 @@ def _decode_call(SW: int, SEG: int, n_blocks: int):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024
         ),
+        interpret=interpret,
     )
     return jax.jit(call)
 

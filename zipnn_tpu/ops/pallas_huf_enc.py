@@ -196,8 +196,16 @@ def _build_kernel(SW: int, SEG: int):
     return kernel
 
 
-@lru_cache(maxsize=None)
+# Set True to run the kernel via the Pallas interpreter (CPU tests).
+INTERPRET = False
+
+
 def _encode_call(SW: int, SEG: int, n_blocks: int):
+    return _encode_call_cached(SW, SEG, n_blocks, INTERPRET)
+
+
+@lru_cache(maxsize=None)
+def _encode_call_cached(SW: int, SEG: int, n_blocks: int, interpret: bool):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -225,6 +233,7 @@ def _encode_call(SW: int, SEG: int, n_blocks: int):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
         ),
+        interpret=interpret,
     )
     return jax.jit(call)
 
