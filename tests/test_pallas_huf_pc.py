@@ -1,0 +1,288 @@
+"""Per-cell-table Pallas decoder: schedule simulator + host-prep tests.
+
+The numpy simulator mirrors ops/pallas_huf_pc.py's lockstep schedule —
+boundary compare-chain decode, w8/W3/W4 window hierarchy with the W4
+static part-cadence slide, part-carried state — and asserts every window
+invariant, so the design is validated on CPU; the compiled kernel is
+exercised by interpret-mode tests and the @tpu hardware suite.
+"""
+import numpy as np
+import pytest
+
+from zipnn_tpu.ops import pallas_huf_pc as pc
+from zipnn_tpu.ops.entropy import fse, huf
+
+RNG = np.random.default_rng(31)
+
+
+# ---------------------------------------------------------------------------
+# golden inputs: C cells, each a 4-stream HUF block with its OWN table
+# ---------------------------------------------------------------------------
+
+def make_cells(n_cells, seg, gens=None, max_log=11):
+    """Returns (datas [4C, seg], headers per cell, region, starts, lens,
+    cell_of_stream)."""
+    datas = np.zeros((4 * n_cells, seg), np.uint8)
+    headers = []
+    blobs = []
+    for c in range(n_cells):
+        gen = gens[c % len(gens)] if gens else None
+        if gen is None:
+            loc = 60 + 40 * (c % 4)
+            scale = [3, 8, 20, 45][c % 4]
+            plane = np.clip(RNG.normal(loc, scale, 4 * seg), 0, 255).astype(np.uint8)
+        else:
+            plane = gen(4 * seg)
+        blk = huf.compress(plane)
+        assert blk is not None and len(blk) > 1, "test data must be compressible"
+        datas[4 * c : 4 * c + 4] = plane.reshape(4, seg)
+        weights, rank_stats, tlog, _, consumed = huf.read_stats(blk)
+        assert tlog <= max_log
+        headers.append(bytes(blk[:consumed]))
+        rest = blk[consumed:]
+        l1 = int.from_bytes(rest[0:2], "little")
+        l2 = int.from_bytes(rest[2:4], "little")
+        l3 = int.from_bytes(rest[4:6], "little")
+        l4 = len(rest) - 6 - l1 - l2 - l3
+        off = 6
+        for ln in (l1, l2, l3, l4):
+            blobs.append(rest[off : off + ln])
+            off += ln
+    region = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+    lens = np.asarray([len(b) for b in blobs], dtype=np.int64)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    cell_of_stream = np.repeat(np.arange(n_cells), 4)
+    return datas, headers, region, starts, lens, cell_of_stream
+
+
+# ---------------------------------------------------------------------------
+# numpy simulator of the kernel schedule
+# ---------------------------------------------------------------------------
+
+def sim_decode_pc(region, starts, lens, bounds, tlog_k, seg):
+    """Vectorized over streams; returns (d_indices [S, seg], final p)."""
+    from zipnn_tpu.ops import pallas_huf
+
+    S = starts.size
+    SW = pc.sw_for(int(lens.max()))
+    use_w4 = SW >= pc.W4_MIN_SW
+    RT = SW // 128
+    ends = (starts + lens).astype(np.int64)
+    reg = np.concatenate(
+        [np.zeros(512 * RT, np.uint8), region, np.zeros(512 * RT, np.uint8)]
+    )
+    tile_start, end_in_row = pallas_huf.stream_row_geometry(ends, SW)
+    words = np.zeros((S, SW), "<u4")
+    for i in range(S):
+        rs = 512 * int(tile_start[i])
+        words[i] = reg[rs : rs + 4 * SW].view("<u4")
+
+    last = region[ends - 1]
+    p0 = 8 * (end_in_row - 1) + np.floor(np.log2(last)).astype(np.int64)
+
+    U = np.uint32
+    idx = np.arange(S)
+    wtop = (p0 - 1) >> 5
+    base2 = ((wtop >> 2) << 2) - 4
+    base3 = ((base2 - 36) >> 5) << 5
+    if use_w4:
+        base4 = ((base3 - pc.W4_MARGIN) >> 8) << 8
+        w4 = np.zeros((pc.W4_ROWS, S), U)
+        for m in range(pc.W4_ROWS):
+            w4[m] = words[idx, np.minimum(np.maximum(base4, 0) * 0 + np.minimum(
+                np.maximum(base4, 0) + m, SW - 1), SW - 1)]
+        w3 = np.zeros((96, S), U)
+        for m in range(96):
+            q = base3 - base4 + m
+            assert np.all((q >= pc.W4_MARGIN) & (q < pc.W4_ROWS)), "w3-from-w4 init"
+            w3[m] = w4[np.minimum(q, pc.W4_ROWS - 1), idx]
+    else:
+        base4 = base3
+        w3 = np.zeros((96, S), U)
+        for m in range(96):
+            w3[m] = words[idx, np.minimum(np.maximum(base3, 0) + m, SW - 1)]
+    w8 = [w3[base2 - base3 + k, idx].copy() for k in range(8)]
+    w_a = words[idx, wtop]
+    w_b = words[idx, wtop - 1]
+    s0 = (32 * (wtop + 1) - p0).astype(U)
+    hi = ((w_a << s0) | np.where(s0 == 0, U(0), w_b >> (U(32) - s0))).astype(U)
+    lo = (w_b << s0).astype(U)
+    navail = 64 - s0.astype(np.int64)
+    p = p0.copy()
+    wpos = wtop - 2
+
+    shift = U(32 - tlog_k)
+    out_d = np.zeros((S, seg), np.int64)
+    part = min(pc.PART, seg)
+    n_parts = seg // part
+    step = 0
+    for t in range(n_parts):
+        if use_w4 and t > 0:
+            slide4 = (base3 - base4) < pc.W4_MARGIN
+            nbase4 = np.where(slide4, base4 - pc.W4_STEP, base4)
+            for m in range(pc.W4_ROWS - 1, pc.W4_STEP - 1, -1):
+                w4[m] = np.where(slide4, w4[m - pc.W4_STEP], w4[m])
+            for m in range(pc.W4_STEP - 1, -1, -1):
+                src = np.minimum(np.maximum(nbase4, 0) + m, SW - 1)
+                w4[m] = np.where(slide4, words[idx, src], w4[m])
+            base4 = nbase4
+            assert np.all(base3 - base4 >= 32), "w4 lower margin"
+            assert np.all(base3 - base4 < pc.W4_ROWS), "w4 upper margin"
+
+        for outer in range(part // 128):
+            slide3 = (base2 - base3) < 36
+            nbase3 = np.where(slide3, base3 - 32, base3)
+            for m in range(95, 31, -1):
+                w3[m] = np.where(slide3, w3[m - 32], w3[m])
+            if use_w4:
+                q3 = nbase3 - base4
+                assert np.all((q3 >= 0) | ~slide3), "w3 fetch below w4"
+                assert np.all((q3 + 32 <= pc.W4_ROWS) | ~slide3), "w3 fetch above w4"
+                for m in range(31, -1, -1):
+                    fetched = w4[np.minimum(np.maximum(q3, 0) + m, pc.W4_ROWS - 1), idx]
+                    w3[m] = np.where(slide3, fetched, w3[m])
+            else:
+                c3 = np.maximum(nbase3, 0) >> 5
+                for m in range(31, -1, -1):
+                    src = np.minimum(c3 * 32 + m, SW - 1)
+                    w3[m] = np.where(slide3, words[idx, src], w3[m])
+            base3 = nbase3
+
+            for sub in range(16):
+                slide2 = (wpos - base2) < 4
+                nbase2 = np.where(slide2, base2 - 4, base2)
+                q2 = np.maximum(nbase2 - base3, 0) >> 2
+                assert np.all((q2 < 16) | ~slide2), "w3 window invariant"
+                for k in range(7, 3, -1):
+                    w8[k] = np.where(slide2, w8[k - 4], w8[k])
+                for k in range(3, -1, -1):
+                    fetched = w3[np.minimum(4 * q2 + k, 95), idx]
+                    w8[k] = np.where(slide2, fetched, w8[k])
+                base2 = nbase2
+
+                for local in range(8):
+                    d = (hi >> shift).astype(np.int64)
+                    nb = np.ones(S, np.int64)
+                    for m in range(tlog_k - 1):
+                        nb += (d < bounds[:, m]).astype(np.int64)
+                    assert np.all((nb >= 1) & (nb <= tlog_k))
+                    hi = ((hi << nb.astype(U)) | (lo >> (32 - nb).astype(U))).astype(U)
+                    lo = (lo << nb.astype(U)).astype(U)
+                    navail = navail - nb
+                    p = p - nb
+                    assert np.all(navail >= 9), "container underflow"
+
+                    if local % 2 == 1:
+                        need = navail <= 32
+                        kk = wpos - base2
+                        assert np.all(((kk >= 0) & (kk < 8)) | ~need), "w8 invariant"
+                        w = w8[0].copy()
+                        for k in range(1, 8):
+                            w = np.where(kk == k, w8[k], w)
+                        w_hi = np.where(
+                            navail < 32, w >> np.minimum(navail, 31).astype(U), U(0)
+                        )
+                        w_lo = (w << (32 - navail).astype(U)).astype(U)
+                        hi = np.where(need, hi | w_hi, hi).astype(U)
+                        lo = np.where(need, lo | w_lo, lo).astype(U)
+                        navail = np.where(need, navail + 32, navail)
+                        wpos = np.where(need, wpos - 1, wpos)
+
+                    out_d[:, step] = d
+                    step += 1
+    return out_d, p
+
+
+def postmap(out_d, pages, cell_of_stream, tlog_k):
+    sym12 = np.zeros((pages.shape[0], 1 << tlog_k), np.uint8)
+    pg = pages.astype(np.uint32)
+    for j in range(4):
+        sym12[:, j::4] = ((pg >> (8 * j)) & 0xFF).astype(np.uint8)
+    return sym12[cell_of_stream[:, None], out_d]
+
+
+# ---------------------------------------------------------------------------
+# tests
+# ---------------------------------------------------------------------------
+
+def _roundtrip(n_cells, seg, gens=None, tlog_k=None):
+    datas, headers, region, starts, lens, cells = make_cells(n_cells, seg, gens)
+    if tlog_k is None:
+        tlog_k = 11
+    bounds, pages, tlogs = pc.cell_decode_tables(headers, tlog_k)
+    out_d, pend = sim_decode_pc(region, starts, lens, bounds[cells], tlog_k, seg)
+    syms = postmap(out_d, pages, cells, tlog_k)
+    assert np.array_equal(syms, datas)
+    from zipnn_tpu.ops import pallas_huf
+
+    SW = pc.sw_for(int(lens.max()))
+    _, end_in_row = pallas_huf.stream_row_geometry(
+        (starts + lens).astype(np.int64), SW
+    )
+    assert np.array_equal(pend, 8 * (end_in_row - lens))
+
+
+def test_sim_small_cells():
+    _roundtrip(6, 512)
+
+
+def test_sim_mixed_tlogs():
+    gens = [
+        lambda n: np.clip(RNG.normal(128, 4, n), 0, 255).astype(np.uint8),
+        lambda n: RNG.integers(0, 3, n).astype(np.uint8),  # tiny tlog
+        lambda n: np.clip(RNG.normal(100, 35, n), 0, 255).astype(np.uint8),
+        lambda n: np.clip(RNG.normal(128, 60, n), 0, 255).astype(np.uint8),  # wide
+    ]
+    _roundtrip(8, 1024, gens=gens)
+
+
+def test_sim_large_seg_w4_path():
+    # 256 KB chunk geometry: seg = 32768, streams ~8-24 KB, W4 enabled
+    gens = [
+        lambda n: np.clip(RNG.normal(190, 3, n), 0, 255).astype(np.uint8),
+        lambda n: np.clip(RNG.normal(80, 40, n), 0, 255).astype(np.uint8),
+    ]
+    datas, headers, region, starts, lens, cells = make_cells(2, 32768, gens)
+    assert pc.sw_for(int(lens.max())) >= pc.W4_MIN_SW, "must exercise W4"
+    bounds, pages, _ = pc.cell_decode_tables(headers, 11)
+    out_d, _ = sim_decode_pc(region, starts, lens, bounds[cells], 11, 32768)
+    syms = postmap(out_d, pages, cells, 11)
+    assert np.array_equal(syms, datas)
+
+
+def test_bounds_reproduce_dtable_nb():
+    """nb = 1 + sum[d < C_m] must equal the dtable's nb for every index,
+    across random tables and every tableLog scaling."""
+    for trial in range(12):
+        n_syms = int(RNG.integers(2, 200))
+        plane = RNG.choice(
+            RNG.integers(0, 256, n_syms), size=4096, replace=True
+        ).astype(np.uint8)
+        blk = huf.compress(plane)
+        if blk is None or len(blk) <= 1:
+            continue
+        weights, rank_stats, tlog, _, consumed = huf.read_stats(blk)
+        sym_t, nb_t = huf.build_dtable(weights, rank_stats, tlog)
+        assert np.all(np.diff(nb_t.astype(int)) <= 0), "nb monotone"
+        for tlog_k in (tlog, 11, 12):
+            if tlog_k < tlog:
+                continue
+            bounds, pages, _ = pc.cell_decode_tables([bytes(blk[:consumed])], tlog_k)
+            d = np.arange(1 << tlog_k)
+            nb = 1 + (d[:, None] < bounds[0][None, :]).sum(axis=1)
+            want = nb_t[d >> (tlog_k - tlog)].astype(np.int64)
+            assert np.array_equal(nb, want)
+            sym12 = np.zeros(1 << tlog_k, np.uint8)
+            pg = pages[0].astype(np.uint32)
+            for j in range(4):
+                sym12[j::4] = ((pg >> (8 * j)) & 0xFF).astype(np.uint8)
+            assert np.array_equal(sym12, sym_t[d >> (tlog_k - tlog)])
+
+
+def test_cell_tables_rejects_oversized_tlog():
+    plane = np.clip(RNG.normal(128, 30, 8192), 0, 255).astype(np.uint8)
+    blk = huf.compress(plane)
+    weights, rank_stats, tlog, _, consumed = huf.read_stats(blk)
+    if tlog > 8:
+        with pytest.raises(ValueError, match="tableLog"):
+            pc.cell_decode_tables([bytes(blk[:consumed])], tlog - 1)

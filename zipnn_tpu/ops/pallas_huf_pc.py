@@ -1,0 +1,515 @@
+"""Pallas TPU kernel: lockstep Huffman decode with PER-CELL tables.
+
+This is the fast path for containers the *reference library* produces: every
+(plane, chunk) cell carries its own Huffman table with tableLog up to 11/12
+(reference csrc/zipnn_core.c:366 ``HUF_compress`` per chunk, decoded at
+:807).  The shared-table kernel (ops/pallas_huf.py) resolves symbols with
+one in-row table gather, which cannot vary per lane — a TPU gather reads
+*one table row per sublane*, and 2048 lockstep streams span 512 different
+cells.  This kernel therefore splits symbol resolution in two:
+
+* **In-kernel: code LENGTH via a boundary compare-chain.**  The canonical
+  dtable fills weights in ascending order (ops/entropy/huf.py
+  ``build_dtable``), so nb_bits is non-increasing in the tableLog-bit peek
+  index ``d``.  That makes ``nb = 1 + sum_m [d < C_m]`` with at most
+  TLOG-1 per-lane boundary registers ``C_m`` — per-lane *data*, which TPUs
+  handle natively, unlike per-lane tables.  Cells with smaller tableLog are
+  pre-scaled into the common TLOG-bit domain on the host.  Only nb feeds
+  the serial bit-consumption chain; the compares are mutually independent,
+  so the added latency is one compare plus a log-depth add tree.
+* **Post-pass: SYMBOL via per-sublane table pages.**  The kernel emits the
+  16-bit ``d`` indices; a second, embarrassingly parallel kernel maps them
+  to bytes by laying one cell per *sublane row* — exactly the granularity
+  at which ``dynamic_gather`` supports distinct tables — with the 2^TLOG
+  u8 entries packed four-per-word into TLOG-dependent page rows.
+
+Scaling to the reference's default 256 KB chunks (streams up to ~64 KB)
+required two more structural changes over the shared kernel:
+
+* **Output streaming.**  The d-output for one grid block is up to ~130 MB;
+  the grid gains a parts dimension, the out block covers one part, and the
+  decode state (bit containers, window bases, w8) carries across parts in
+  VMEM scratch.
+* **A W4 window level on a static cadence.**  The per-lane select-scan
+  that slides W3 from the stream buffer costs O(SW/32) selects *per
+  period* regardless of how rarely a lane actually slides (lockstep code
+  is masked, not skipped).  W4 (544 rows) slides by 256 once per part —
+  a static schedule sized for the worst-case drain (<= 256 words per 1024
+  symbols) — so the expensive sbuf scan amortizes to ~SW/1024 selects per
+  symbol and W3 scans only W4's 17 aligned candidates.
+
+The stream buffer itself (up to ~70 MB per grid block) is DMA'd from HBM
+into VMEM scratch once per block (~90 us against ~30 ms of decode).
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from .entropy import huf
+
+TLOG_CAP = 12  # format maximum (HUF_TABLELOG_MAX)
+SUBS = 16
+BLOCK = SUBS * 128
+PART = 1024  # symbols per output part (and W4 slide cadence)
+W4_ROWS = 640  # covers base3-base4 in [32, 544) + 96 W3-init rows
+W4_STEP = 256
+W4_MARGIN = 32 + W4_STEP  # slide threshold AND init lower margin: a part
+# drains <= 256 rows and no slide happens before the first part boundary
+W4_MIN_SW = 1024  # enable W4 above this stream width (words)
+
+INTERPRET = False
+
+
+# ---------------------------------------------------------------------------
+# host: per-cell table preparation
+# ---------------------------------------------------------------------------
+
+def cell_decode_tables(
+    headers: Sequence[bytes], tlog_k: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Parse per-cell weight headers into kernel inputs.
+
+    Returns (bounds [n_cells, tlog_k-1] int32 in the tlog_k-bit d-domain,
+    sym_pages [n_cells, 2^tlog_k // 4] uint32 (4 symbols per word), tlogs
+    [n_cells]).  Identical headers share the parse via a cache.
+    """
+    n = len(headers)
+    bounds = np.empty((n, tlog_k - 1), dtype=np.int32)
+    pages = np.empty((n, (1 << tlog_k) // 4), dtype=np.uint32)
+    tlogs = np.empty(n, dtype=np.int32)
+    cache = {}
+    for i, hdr in enumerate(headers):
+        got = cache.get(hdr)
+        if got is None:
+            weights, rank_stats, tlog, _, _ = huf.read_stats(hdr)
+            if tlog > tlog_k:
+                raise ValueError(f"tableLog {tlog} > kernel domain {tlog_k}")
+            sym_t, nb_t = huf.build_dtable(weights, rank_stats, tlog)
+            got = _expand_cell(sym_t, nb_t, tlog, tlog_k)
+            cache[hdr] = got
+        bounds[i], pages[i], tlogs[i] = got
+    return bounds, pages, tlogs
+
+
+def _expand_cell(sym_t, nb_t, tlog: int, tlog_k: int):
+    scale = tlog_k - tlog
+    # nb_t is non-increasing in d (canonical fill, longest codes first);
+    # C_m = first d (scaled) with nb <= m, or 2^tlog_k when none exists —
+    # then nb = 1 + sum_m [d < C_m] for m in 1..tlog_k-1.
+    neg = -nb_t.astype(np.int32)
+    firsts = np.searchsorted(neg, -np.arange(1, tlog_k), side="left")
+    bounds = (firsts.astype(np.int64) << scale).astype(np.int32)
+    sym12 = np.repeat(sym_t, 1 << scale)  # [2^tlog_k] u8
+    p = sym12.reshape(-1, 4).astype(np.uint32)
+    pages = p[:, 0] | (p[:, 1] << 8) | (p[:, 2] << 16) | (p[:, 3] << 24)
+    return bounds, pages, np.int32(tlog)
+
+
+# ---------------------------------------------------------------------------
+# decode kernel (d-index output)
+# ---------------------------------------------------------------------------
+
+def _build_kernel(SW: int, SEG: int, TLOG: int, use_w4: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    assert SW >= 256 and SW % 256 == 0, SW
+    assert SEG % 128 == 0, SEG
+    U = jnp.uint32
+    I = jnp.int32
+    SW32 = SW // 32
+    SW256 = SW // 256
+    part = min(PART, SEG)
+    n_parts = SEG // part
+    periods_per_part = part // 128
+    SHIFT = U(32 - TLOG)
+
+    def kernel(p0_ref, cbnd_ref, sbuf_hbm, out_ref, pend_ref,
+               sbuf_ref, w3_ref, w4_ref, carry_u, carry_i, sem):
+        b = pl.program_id(0)
+        t = pl.program_id(1)
+        cbnd = [cbnd_ref[0, m, :, :] for m in range(TLOG - 1)]
+
+        def w4_row(m):
+            return w4_ref[m, :, :] if use_w4 else None
+
+        # ---- per-block init (part 0) --------------------------------------
+        @pl.when(t == 0)
+        def _init():
+            dma = pltpu.make_async_copy(sbuf_hbm.at[b], sbuf_ref, sem)
+            dma.start()
+            dma.wait()
+
+            p0 = p0_ref[0, :, :].astype(I)
+            wtop = (p0 - 1) >> 5
+            base2 = ((wtop >> 2) << 2) - 4   # w8 base, aligned 4
+            base3 = ((base2 - 36) >> 5) << 5  # W3 base, aligned 32
+            if use_w4:
+                base4 = ((base3 - W4_MARGIN) >> 8) << 8  # aligned 256
+                c4 = jnp.maximum(base4, 0) >> 8
+                for m in range(W4_ROWS):
+                    row = sbuf_ref[min(m, SW - 1), :, :]
+                    for cc in range(1, SW256):
+                        row = jnp.where(
+                            c4 == cc, sbuf_ref[min(cc * 256 + m, SW - 1), :, :], row
+                        )
+                    w4_ref[m, :, :] = row
+                q3 = jnp.maximum(base3 - base4, 0) >> 5  # in [9, 17)
+                for m in range(96):
+                    row = w4_ref[min(9 * 32 + m, W4_ROWS - 1), :, :]
+                    for qq in range(10, 17):
+                        row = jnp.where(
+                            q3 == qq, w4_ref[min(qq * 32 + m, W4_ROWS - 1), :, :], row
+                        )
+                    w3_ref[m, :, :] = row
+            else:
+                base4 = base3  # unused
+                c3 = jnp.maximum(base3, 0) >> 5
+                for m in range(96):
+                    row = sbuf_ref[min(m, SW - 1), :, :]
+                    for cc in range(1, SW32):
+                        row = jnp.where(
+                            c3 == cc, sbuf_ref[min(cc * 32 + m, SW - 1), :, :], row
+                        )
+                    w3_ref[m, :, :] = row
+
+            q0 = (base2 - base3) >> 2  # in [9, 17)
+            w8 = []
+            for k in range(8):
+                v = w3_ref[36 + k, :, :]
+                for q in range(10, 17):
+                    v = jnp.where(q0 == q, w3_ref[4 * q + k, :, :], v)
+                w8.append(v)
+
+            def w8sel(idx):
+                v = w8[0]
+                for k in range(1, 8):
+                    v = jnp.where(idx == k, w8[k], v)
+                return v
+
+            wtop_rel = wtop - base2
+            w_a = w8sel(wtop_rel)
+            w_b = w8sel(wtop_rel - 1)
+            s = (I(32) * (wtop + 1) - p0).astype(U)
+            hi = (w_a << s) | jnp.where(s == 0, (w_a >> U(16)) >> U(16), w_b >> (U(32) - s))
+            lo = w_b << s
+            carry_u[0, :, :] = hi
+            carry_u[1, :, :] = lo
+            for k in range(8):
+                carry_u[2 + k, :, :] = w8[k]
+            carry_i[0, :, :] = I(64) - s.astype(I)
+            carry_i[1, :, :] = p0
+            carry_i[2, :, :] = wtop - 2
+            carry_i[3, :, :] = base2
+            carry_i[4, :, :] = base3
+            carry_i[5, :, :] = base4
+
+        # ---- one part: W4 slide + periods_per_part decode periods ---------
+        hi = carry_u[0, :, :]
+        lo = carry_u[1, :, :]
+        w8 = [carry_u[2 + k, :, :] for k in range(8)]
+        navail = carry_i[0, :, :]
+        p = carry_i[1, :, :]
+        wpos = carry_i[2, :, :]
+        base2 = carry_i[3, :, :]
+        base3 = carry_i[4, :, :]
+        base4 = carry_i[5, :, :]
+
+        if use_w4:
+            # static-cadence W4 slide: at every part boundary after the
+            # first, each lane slides 0 or W4_STEP rows.  Margins: base3 -
+            # base4 stays in [32, 544) given <= 256 words drained per part.
+            @pl.when(t > 0)
+            def _slide4():
+                b4 = carry_i[5, :, :]
+                b3 = carry_i[4, :, :]
+                slide4 = (b3 - b4) < W4_MARGIN
+                nbase4 = jnp.where(slide4, b4 - W4_STEP, b4)
+                c4 = jnp.maximum(nbase4, 0) >> 8
+                for m in range(W4_ROWS - 1, W4_STEP - 1, -1):
+                    w4_ref[m, :, :] = jnp.where(
+                        slide4, w4_ref[m - W4_STEP, :, :], w4_ref[m, :, :]
+                    )
+                for m in range(W4_STEP - 1, -1, -1):
+                    fetched = sbuf_ref[min(m, SW - 1), :, :]
+                    for cc in range(1, SW256):
+                        fetched = jnp.where(
+                            c4 == cc, sbuf_ref[min(cc * 256 + m, SW - 1), :, :], fetched
+                        )
+                    w4_ref[m, :, :] = jnp.where(slide4, fetched, w4_ref[m, :, :])
+                carry_i[5, :, :] = nbase4
+
+            base4 = carry_i[5, :, :]
+
+        def period(outer, carry):
+            hi, lo, navail, p, wpos, base2, base3, *w8 = carry
+            w8 = list(w8)
+
+            # ---- W3 slide: every 128 symbols, per-lane 0 or 32 rows ------
+            slide3 = (base2 - base3) < 36
+            nbase3 = jnp.where(slide3, base3 - 32, base3)
+            for m in range(95, 31, -1):
+                w3_ref[m, :, :] = jnp.where(slide3, w3_ref[m - 32, :, :], w3_ref[m, :, :])
+            if use_w4:
+                q3 = jnp.maximum(nbase3 - base4, 0) >> 5  # in [0, 17)
+                for m in range(31, -1, -1):
+                    fetched = w4_ref[m, :, :]
+                    for qq in range(1, 17):
+                        fetched = jnp.where(
+                            q3 == qq, w4_ref[min(qq * 32 + m, W4_ROWS - 1), :, :], fetched
+                        )
+                    w3_ref[m, :, :] = jnp.where(slide3, fetched, w3_ref[m, :, :])
+            else:
+                c3 = jnp.maximum(nbase3, 0) >> 5
+                for m in range(31, -1, -1):
+                    fetched = sbuf_ref[m, :, :]
+                    for cc in range(1, SW32):
+                        fetched = jnp.where(
+                            c3 == cc, sbuf_ref[cc * 32 + m, :, :], fetched
+                        )
+                    w3_ref[m, :, :] = jnp.where(slide3, fetched, w3_ref[m, :, :])
+            base3 = nbase3
+
+            ob = jnp.zeros((SUBS, 128), U)
+            for sub in range(16):
+                # ---- w8 slide: every 8 symbols, per-lane 0 or 4 words ----
+                slide2 = (wpos - base2) < 4
+                nbase2 = jnp.where(slide2, base2 - 4, base2)
+                q2 = jnp.maximum(nbase2 - base3, 0) >> 2
+                for k in range(7, 3, -1):
+                    w8[k] = jnp.where(slide2, w8[k - 4], w8[k])
+                for k in range(3, -1, -1):
+                    fetched = w3_ref[k, :, :]
+                    for q in range(1, 16):
+                        fetched = jnp.where(q2 == q, w3_ref[4 * q + k, :, :], fetched)
+                    w8[k] = jnp.where(slide2, fetched, w8[k])
+                base2 = nbase2
+
+                for local in range(8):
+                    # ---- one symbol in every lane -------------------------
+                    d = (hi >> SHIFT).astype(I)
+                    nb = jnp.ones((SUBS, 128), I)
+                    for m in range(TLOG - 1):
+                        nb = nb + (d < cbnd[m]).astype(I)
+                    nbu = nb.astype(U)
+                    hi = (hi << nbu) | (lo >> (U(32) - nbu))
+                    lo = lo << nbu
+                    navail = navail - nb
+                    p = p - nb
+
+                    if local % 2 == 1:
+                        # masked refill every 2nd symbol: nb <= 12 so two
+                        # steps drain <= 24 bits; navail >= 21 at every peek
+                        need = navail <= 32
+                        kk = wpos - base2
+                        w = w8[0]
+                        for k in range(1, 8):
+                            w = jnp.where(kk == k, w8[k], w)
+                        nau = navail.astype(U)
+                        w_hi = jnp.where(navail < 32, w >> nau, U(0))
+                        w_lo = w << (U(32) - nau)  # navail >= 9, shift < 32
+                        hi = jnp.where(need, hi | w_hi, hi)
+                        lo = jnp.where(need, lo | w_lo, lo)
+                        navail = jnp.where(need, navail + 32, navail)
+                        wpos = jnp.where(need, wpos - 1, wpos)
+
+                    ob = (ob >> U(16)) | (d.astype(U) << U(16))
+                    if local % 2 == 1:
+                        row = outer * 64 + (sub * 8 + local) // 2
+                        out_ref[0, row, :, :] = ob
+
+            return (hi, lo, navail, p, wpos, base2, base3, *w8)
+
+        carry = (hi, lo, navail, p, wpos, base2, base3, *w8)
+        carry = jax.lax.fori_loop(0, periods_per_part, period, carry)
+        hi, lo, navail, p, wpos, base2, base3, *w8 = carry
+        carry_u[0, :, :] = hi
+        carry_u[1, :, :] = lo
+        for k in range(8):
+            carry_u[2 + k, :, :] = w8[k]
+        carry_i[0, :, :] = navail
+        carry_i[1, :, :] = p
+        carry_i[2, :, :] = wpos
+        carry_i[3, :, :] = base2
+        carry_i[4, :, :] = base3
+
+        @pl.when(t == n_parts - 1)
+        def _fin():
+            pend_ref[0, :, :] = carry_i[1, :, :]
+
+    return kernel, n_parts, part
+
+
+def _decode_call(SW: int, SEG: int, TLOG: int, n_blocks: int):
+    return _decode_call_cached(SW, SEG, TLOG, n_blocks, INTERPRET)
+
+
+@lru_cache(maxsize=None)
+def _decode_call_cached(SW: int, SEG: int, TLOG: int, n_blocks: int, interpret: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    use_w4 = SW >= W4_MIN_SW
+    kernel, n_parts, part = _build_kernel(SW, SEG, TLOG, use_w4)
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_blocks, n_parts),
+        in_specs=[
+            pl.BlockSpec((1, SUBS, 128), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, TLOG - 1, SUBS, 128), lambda b, t: (b, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # sbuf stays in HBM
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, part // 2, SUBS, 128), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, SUBS, 128), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks, SEG // 2, SUBS, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((n_blocks, SUBS, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((SW, SUBS, 128), jnp.uint32),   # stream buffer
+            pltpu.VMEM((96, SUBS, 128), jnp.uint32),    # W3
+            pltpu.VMEM((W4_ROWS if use_w4 else 8, SUBS, 128), jnp.uint32),
+            pltpu.VMEM((10, SUBS, 128), jnp.uint32),    # carry: hi, lo, w8
+            pltpu.VMEM((6, SUBS, 128), jnp.int32),      # carry: scalars
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )
+    return jax.jit(call)
+
+
+def vmem_ok(max_stream_bytes: int, seg: int) -> bool:
+    """Whether one grid block's buffers fit the 110MB scoped-VMEM budget."""
+    SW = sw_for(max_stream_bytes)
+    part = min(PART, seg)
+    sbuf = SW * SUBS * 512
+    out2 = 2 * (part // 2) * SUBS * 512
+    w4 = (W4_ROWS if SW >= W4_MIN_SW else 8) * SUBS * 512
+    return sbuf + out2 + w4 + (96 + 16) * SUBS * 512 <= 100 * 1024 * 1024
+
+
+def sw_for(max_bytes: int) -> int:
+    from . import pallas_huf
+
+    SW = 128 * pallas_huf.row_tiles_for(max_bytes)
+    return -(-SW // 256) * 256
+
+
+# ---------------------------------------------------------------------------
+# post-pass kernel: d-index -> symbol via per-sublane cell tables
+# ---------------------------------------------------------------------------
+
+CELLS_PER_GROUP = SUBS  # one cell per sublane row
+
+
+def _build_post_kernel(W: int, PAGES: int):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    U = jnp.uint32
+    I = jnp.int32
+    assert W % 256 == 0, W
+
+    def kernel(dw_ref, tbl_ref, out_ref):
+        lane = jax.lax.broadcasted_iota(I, (SUBS, 128), 1)
+        gidx = (2 * lane) & 127
+        tpages = [tbl_ref[0, :, pg * 128 : (pg + 1) * 128] for pg in range(PAGES)]
+
+        def sym(d):
+            q = d >> 2
+            li = q & 127
+            page = q >> 7
+            g = jnp.take_along_axis(tpages[0], li, axis=1)
+            for pg in range(1, PAGES):
+                g = jnp.where(
+                    page == pg, jnp.take_along_axis(tpages[pg], li, axis=1), g
+                )
+            return (g.astype(U) >> ((d.astype(U) & U(3)) << U(3))) & U(0xFF)
+
+        for c in range(W // 256):
+            w0 = dw_ref[0, :, c * 256 : c * 256 + 128]
+            w1 = dw_ref[0, :, c * 256 + 128 : c * 256 + 256]
+            h0 = sym((w0 & U(0xFFFF)).astype(I)) | (sym((w0 >> U(16)).astype(I)) << U(8))
+            h1 = sym((w1 & U(0xFFFF)).astype(I)) | (sym((w1 >> U(16)).astype(I)) << U(8))
+            e0 = jnp.take_along_axis(h0, gidx, axis=1)
+            o0 = jnp.take_along_axis(h0, gidx + 1, axis=1)
+            e1 = jnp.take_along_axis(h1, gidx, axis=1)
+            o1 = jnp.take_along_axis(h1, gidx + 1, axis=1)
+            sel = lane < 64
+            lo16 = jnp.where(sel, e0, e1)
+            hi16 = jnp.where(sel, o0, o1)
+            out_ref[0, :, c * 128 : (c + 1) * 128] = lo16 | (hi16 << U(16))
+
+    return kernel
+
+
+def _post_call(W: int, PAGES: int, n_groups: int):
+    return _post_call_cached(W, PAGES, n_groups, INTERPRET)
+
+
+@lru_cache(maxsize=None)
+def _post_call_cached(W: int, PAGES: int, n_groups: int, interpret: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    kernel = _build_post_kernel(W, PAGES)
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_groups,),
+        in_specs=[
+            pl.BlockSpec((1, SUBS, W), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, SUBS, PAGES * 128), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, SUBS, W // 2), lambda g: (g, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_groups, SUBS, W // 2), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )
+    return jax.jit(call)
+
+
+def post_map_symbols(dwords, pages_dev, seg: int, tlog_k: int):
+    """Map the decode kernel's packed d-indices to symbol words.
+
+    ``dwords``: [S_pad, seg//2] uint32 (2 d's per word, stream-major, cells
+    = consecutive groups of 4 streams).  ``pages_dev``: [G_pad, 2^tlog_k//4]
+    uint32 with G_pad = S_pad//4.  Returns [S_pad, seg//4] uint32 plane
+    words (4 symbols per word, LE).
+    """
+    import jax.numpy as jnp
+
+    S_pad = dwords.shape[0]
+    G_pad = S_pad // 4
+    assert G_pad % CELLS_PER_GROUP == 0
+    n_groups = G_pad // CELLS_PER_GROUP
+    W = 4 * (seg // 2)
+    PAGES = (1 << tlog_k) // 512
+    dw = dwords.reshape(n_groups, CELLS_PER_GROUP, W)
+    tb = pages_dev.reshape(n_groups, CELLS_PER_GROUP, PAGES * 128)
+    out = _post_call(W, PAGES, n_groups)(dw, tb)
+    return out.reshape(S_pad, seg // 4)
