@@ -12,16 +12,25 @@ from .compress_path import resolve_hf_cache_path, rewrite_index_json
 
 def _one(args):
     path, kwargs = args
-    try:
-        if path.endswith(".znn.safetensors"):
-            from .decompress_safetensors import decompress_safetensors_file  # noqa: PLC0415
+    kwargs = dict(kwargs)
+    retries = kwargs.pop("retries", 1)
+    last = None
+    for attempt in range(retries + 1):
+        try:
+            if path.endswith(".znn.safetensors"):
+                from .decompress_safetensors import decompress_safetensors_file  # noqa: PLC0415
 
-            return decompress_safetensors_file(path, force=True, **kwargs)
-        from .decompress_file import decompress_file  # noqa: PLC0415
+                return decompress_safetensors_file(path, force=True, **kwargs)
+            from .decompress_file import decompress_file  # noqa: PLC0415
 
-        return decompress_file(path, force=True, **kwargs)
-    except Exception as exc:
-        return f"ERROR {path}: {exc}"
+            return decompress_file(path, force=True, **kwargs)
+        except Exception as exc:
+            # CorruptChunkError carries (plane, chunk, stream) — a
+            # deterministic failure; retries cover transient IO faults
+            last = exc
+            if attempt < retries:
+                continue
+    return f"ERROR {path}: {type(last).__name__}: {last}"
 
 
 def decompress_znn_files(
@@ -34,6 +43,7 @@ def decompress_znn_files(
     model: str = None,
     model_branch: str = "main",
     threads=None,
+    retries: int = 1,
 ) -> None:
     if model:
         path = resolve_hf_cache_path(model, model_branch)
@@ -57,7 +67,7 @@ def decompress_znn_files(
             print(" ", f)
         if input("Proceed (y/n)? ").strip().lower() not in ("y", "yes"):
             return
-    kwargs = dict(delete=delete, hf_cache=hf_cache, threads=threads)
+    kwargs = dict(delete=delete, hf_cache=hf_cache, threads=threads, retries=retries)
     jobs = [(f, kwargs) for f in files]
     if max_processes <= 1 or len(files) == 1:
         for j in jobs:
@@ -84,11 +94,15 @@ def main(argv=None) -> None:
     p.add_argument("--model", type=str, default=None)
     p.add_argument("--model_branch", type=str, default="main")
     p.add_argument("--threads", type=int, default=None)
+    p.add_argument(
+        "--retries", type=int, default=1,
+        help="re-attempts per file before reporting it failed (default 1)",
+    )
     a = p.parse_args(argv)
     decompress_znn_files(
         path=a.path, delete=a.delete, recursive=a.recursive, force=a.force,
         max_processes=a.max_processes, hf_cache=a.hf_cache, model=a.model,
-        model_branch=a.model_branch, threads=a.threads,
+        model_branch=a.model_branch, threads=a.threads, retries=a.retries,
     )
 
 

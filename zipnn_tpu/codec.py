@@ -28,6 +28,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
+from .errors import CorruptChunkError
 from .ops import byte_group
 from .ops.entropy import huf
 
@@ -212,14 +213,19 @@ def decompress_payload_numpy(
             want = int(decomp_lens[b, c])
             if types[b, c] == 0:
                 if hi - lo != want:
-                    raise ValueError(
-                        f"raw chunk size mismatch: plane {b} chunk {c}: {hi - lo} != {want}"
+                    raise CorruptChunkError(
+                        f"raw size mismatch: {hi - lo} != {want}", plane=b, chunk=c
                     )
                 planes.append(np.frombuffer(blob, dtype=np.uint8))
             elif types[b, c] == 1:
-                planes.append(huf.decompress(blob, want))
+                try:
+                    planes.append(huf.decompress(blob, want))
+                except ValueError as exc:
+                    raise CorruptChunkError(str(exc), plane=b, chunk=c) from exc
             else:
-                raise ValueError(f"unknown chunk type {types[b, c]}")
+                raise CorruptChunkError(
+                    f"unknown chunk type {types[b, c]}", plane=b, chunk=c
+                )
         byte_group.combine(
             planes,
             chunk_len,
@@ -308,9 +314,18 @@ def decompress_payload(
             payload, num_buf, bit_reorder, byte_reorder, chunk_size, orig_size
         )
     if engine == "native":
-        return _native().decompress_payload(
-            payload, num_buf, bit_reorder, byte_reorder, chunk_size, orig_size, threads
-        )
+        try:
+            return _native().decompress_payload(
+                payload, num_buf, bit_reorder, byte_reorder, chunk_size,
+                orig_size, threads
+            )
+        except RuntimeError as exc:
+            # re-run the golden decoder: it raises a located
+            # CorruptChunkError naming the exact (plane, chunk)
+            decompress_payload_numpy(
+                payload, num_buf, bit_reorder, byte_reorder, chunk_size, orig_size
+            )
+            raise  # inconsistent engines: surface the native error as-is
     if engine == "tpu":
         from .ops import jax_codec  # noqa: PLC0415
 
