@@ -1,6 +1,6 @@
 """Pallas TPU kernel: lockstep multi-stream Huffman ENCODE (shared tables).
 
-The mirror image of ops/pallas_huf.py: 1024 streams per grid step, one per
+The mirror image of ops/pallas_huf.py: 2048 streams per grid step, one per
 vector lane, each running a forward bit writer.  Per symbol: one within-row
 ``dynamic_gather`` for the (code value, length) pair from the shared <=8-bit
 table, an LSB-first 64-bit accumulator append, and a masked word flush.
@@ -25,16 +25,19 @@ from functools import lru_cache
 import numpy as np
 
 TMAX = 8
-BLOCK = 1024
+SUBS = 16  # sublane rows per block: 2 vregs/op = 2-way ILP on the
+# append/flush dependency chain (same change that took decode 8.0->9.6
+# GB/s; the kernels are latency-bound, not issue-bound)
+BLOCK = SUBS * 128
 
 
 def pack_etable8(vals: np.ndarray, lengths: np.ndarray) -> np.ndarray:
-    """[8,128] int32: per symbol s, 16-bit entry ``val | nb << 8``."""
+    """[SUBS,128] int32: per symbol s, 16-bit entry ``val | nb << 8``."""
     if int(lengths.max()) > TMAX:
         raise ValueError("shared encode table must have <=8-bit codes")
     ent = vals.astype(np.uint32)[:256] | (lengths.astype(np.uint32)[:256] << 8)
     packed = (ent[0::2] | (ent[1::2] << 16)).astype(np.uint32)
-    return np.broadcast_to(packed, (8, 128)).astype(np.int32)
+    return np.broadcast_to(packed, (SUBS, 128)).astype(np.int32)
 
 
 def _build_kernel(SW: int, SEG: int):
@@ -216,18 +219,18 @@ def _encode_call_cached(SW: int, SEG: int, n_blocks: int, interpret: bool):
         kernel,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((1, SEG // 4, 8, 128), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 128), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SEG // 4, SUBS, 128), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((SUBS, 128), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, SW, 8, 128), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SW, SUBS, 128), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SUBS, 128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_blocks, SW, 8, 128), jnp.uint32),
-            jax.ShapeDtypeStruct((n_blocks, 8, 128), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks, SW, SUBS, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((n_blocks, SUBS, 128), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((64, 8, 128), jnp.uint32)],
+        scratch_shapes=[pltpu.VMEM((64, SUBS, 128), jnp.uint32)],
         # double-buffered in+out blocks at seg=4096 are ~17MB, past the
         # 16MB default scoped-vmem limit (v5e has 128MB physical)
         compiler_params=pltpu.CompilerParams(
@@ -271,7 +274,7 @@ def _call_blocks(words_rev, seg: int, tbl8e, sw=None):
         x = jnp.concatenate(
             [x, jnp.zeros((S_pad - S, seg // 4), jnp.uint32)]
         )
-    blocks = x.reshape(n_blocks, 8, 128, seg // 4).transpose(0, 3, 1, 2)
+    blocks = x.reshape(n_blocks, SUBS, 128, seg // 4).transpose(0, 3, 1, 2)
     out, bits = _encode_call(SW, seg, n_blocks)(blocks, jnp.asarray(tbl8e))
     rows = out.transpose(0, 2, 3, 1).reshape(S_pad, SW)
     return rows[:S], bits.reshape(-1)[:S]
