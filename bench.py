@@ -131,6 +131,87 @@ def bench_tpu_fused(data: bytes, comp: bytes, t_c: float, results: dict) -> floa
         return 0.0
 
 
+def _tile_pc_container(data: bytes, n_tiles: int):
+    """Per-chunk-profile payload for ``data`` repeated ``n_tiles`` times.
+
+    The host encoder at this profile runs ~0.35 GB/s on this rig's single
+    vCPU, so compressing 768 MB directly would dominate the bench run; a
+    16 MB prefix is compressed for real and its cells tiled — every cell
+    still decodes independently with its own table, so device decode work
+    is identical to a fully distinct container.
+    """
+    from zipnn_tpu import codec
+    from zipnn_tpu.core.header import HEADER_LEN
+
+    comp = ZipNN(compression_chunk=PC_CHUNK).compress(data)
+    payload = np.frombuffer(comp, np.uint8)[HEADER_LEN:]
+    num_buf = 2
+    n_chunks = codec.num_chunks_for(len(data), PC_CHUNK)
+    types, starts, data_start = codec.parse_tables(payload, num_buf, n_chunks)
+    sizes = (starts[:, 1:] - starts[:, :-1]).astype(np.uint64)
+    plane_base = np.zeros(num_buf, dtype=np.int64)
+    plane_base[1] = starts[0, n_chunks]
+    g_types = np.tile(types, (1, n_tiles))
+    g_cum = np.cumsum(np.tile(sizes, (1, n_tiles)), axis=1, dtype=np.uint64)
+    parts = [g_types.tobytes(), g_cum.astype("<u8").tobytes()]
+    for b in range(num_buf):
+        lo = data_start + int(plane_base[b])
+        region = payload[lo : lo + int(starts[b, n_chunks])].tobytes()
+        parts.extend([region] * n_tiles)
+    ratio = (len(comp) - HEADER_LEN) / len(data)
+    return b"".join(parts), bytes(data) * n_tiles, ratio
+
+
+def bench_tpu_pc(results: dict) -> float:
+    """Per-chunk-table fused decode GB/s — the reference library's DEFAULT
+    encode profile (per-chunk HUF tables, 256 KB chunks): what decoding a
+    reference-compressed checkpoint on TPU actually costs.  Cells produced
+    by our own engine in the same profile (byte-compatible with reference
+    output; cross-validated against the canonical implementation in
+    tests/test_ref_compat.py)."""
+    try:
+        from zipnn_tpu.ops import jax_codec
+
+        unit = synth_bf16(min(SIZE, 16 * MB))
+        n_tiles = max(1, SIZE // len(unit))
+        payload_b, data, ratio = _tile_pc_container(unit, n_tiles)
+        payload = np.frombuffer(payload_b, np.uint8)
+        t0 = time.perf_counter()
+        plan = jax_codec.plan_pc_decode(payload, 2, 1, 10, PC_CHUNK, len(data))
+        t_plan = time.perf_counter() - t0
+        if plan is None:
+            results["tpu_pc"] = {"error": "pc fast path not eligible"}
+            return 0.0
+        run, dev_args, meta = plan
+        owords, pend = run(*dev_args)
+        _ = np.asarray(pend[:1])
+        host = np.ascontiguousarray(owords).astype("<u4", copy=False)
+        assert bytes(host.reshape(-1).view(np.uint8))[: len(data)] == data, (
+            "pc decode mismatch"
+        )
+        best = float("inf")
+        for _i in range(5):
+            t0 = time.perf_counter()
+            owords, pend = run(*dev_args)
+            _ = np.asarray(pend[:1])
+            best = min(best, time.perf_counter() - t0)
+        value = len(data) / 1e9 / best
+        results["tpu_pc"] = {
+            "ratio": ratio,
+            "decompress_GBps_hbm": value,
+            "plan_s": round(t_plan, 3),
+            "n_huf_cells": meta["n_huf"],
+            "tlog_k": meta["tlog_k"],
+        }
+        return value
+    except Exception as exc:
+        results["tpu_pc"] = {"error": str(exc)[:300]}
+        return 0.0
+
+
+PC_CHUNK = int(os.environ.get("BENCH_PC_CHUNK", str(256 * 1024)))
+
+
 def main():
     data = synth_bf16(SIZE)
     results = {}
@@ -143,6 +224,9 @@ def main():
     tpu_gbps = bench_tpu_fused(data, comp, t_c, results)
     print(f"[bench] tpu_fused: {results['tpu_fused']}", file=sys.stderr)
 
+    pc_gbps = bench_tpu_pc(results)
+    print(f"[bench] tpu_pc: {results['tpu_pc']}", file=sys.stderr)
+
     bench_tpu_fused_encode(data, comp, results)
     print(f"[bench] tpu_fused_encode: {results['tpu_fused_encode']}", file=sys.stderr)
 
@@ -150,8 +234,8 @@ def main():
     print(f"[bench] native: {results['native']}", file=sys.stderr)
 
     native_gbps = results.get("native", {}).get("decompress_GBps", 0.0)
-    value = max(tpu_gbps, native_gbps)
-    engine = "tpu_fused" if tpu_gbps >= native_gbps else "native"
+    value = max(tpu_gbps, pc_gbps, native_gbps)
+    engine = {tpu_gbps: "tpu_fused", pc_gbps: "tpu_pc", native_gbps: "native"}[value]
     print(f"[bench] headline engine: {engine}", file=sys.stderr)
     print(
         json.dumps(

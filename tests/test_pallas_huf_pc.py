@@ -286,3 +286,34 @@ def test_cell_tables_rejects_oversized_tlog():
     if tlog > 8:
         with pytest.raises(ValueError, match="tableLog"):
             pc.cell_decode_tables([bytes(blk[:consumed])], tlog - 1)
+
+
+@pytest.mark.tpu
+def test_tpu_pc_kernel_small_cells():
+    import jax
+
+    if jax.devices()[0].platform not in ("tpu",):
+        pytest.skip("needs a real TPU")
+    seg = 512
+    datas, headers, region, starts, lens, cells = make_cells(520, seg)
+    out = pc.decode_cells(region, starts, lens, headers, cells, seg)
+    assert np.array_equal(np.asarray(out), datas)
+
+
+@pytest.mark.tpu
+def test_tpu_pc_kernel_256k_geometry():
+    """The reference default profile geometry: seg=32768 (256 KB bf16
+    chunks), W4 + output-parts + HBM sbuf DMA paths all engaged."""
+    import jax
+
+    if jax.devices()[0].platform not in ("tpu",):
+        pytest.skip("needs a real TPU")
+    gens = [
+        lambda n: np.clip(RNG.normal(190, 3, n), 0, 255).astype(np.uint8),
+        lambda n: np.clip(RNG.normal(80, 40, n), 0, 255).astype(np.uint8),
+        lambda n: np.clip(RNG.normal(128, 10, n), 0, 255).astype(np.uint8),
+    ]
+    datas, headers, region, starts, lens, cells = make_cells(9, 32768, gens)
+    assert pc.sw_for(int(lens.max())) >= pc.W4_MIN_SW
+    out = pc.decode_cells(region, starts, lens, headers, cells, 32768)
+    assert np.array_equal(np.asarray(out), datas)

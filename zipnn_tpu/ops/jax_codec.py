@@ -25,6 +25,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from . import byte_group
+from ..errors import CorruptChunkError
 from .entropy import huf, fse
 from . import jax_entropy, jax_transforms, pallas_huf
 
@@ -266,6 +267,205 @@ def _make_fast_args(
 FORCE_DEVICE_PATH = False
 
 
+@lru_cache(maxsize=None)
+def _fused_pc_decode(
+    SW: int,
+    seg: int,
+    full: int,
+    num_buf: int,
+    plane_bytes: int,
+    byte_reorder: int,
+    bit_reorder: int,
+    n_stored: int,
+    n_rle: int,
+    n_huf: int,
+    tlog_k: int,
+):
+    """One-call device pipeline for PER-CELL-table containers.
+
+    The per-cell sibling of :func:`_fused_fast_decode` — the path taken by
+    containers the reference library produces (per-chunk ``HUF_compress``
+    tables, zipnn_core.c:366/807).  Same structure with two extra stages:
+    the boundary compare-chain kernel emits 16-bit dtable indices and the
+    per-sublane post-pass maps them to symbol words
+    (ops/pallas_huf_pc.py).
+    """
+    import jax  # noqa: PLC0415
+    import jax.numpy as jnp  # noqa: PLC0415
+
+    from . import pallas_huf_pc as pc  # noqa: PLC0415
+
+    S = n_huf * 4
+    S_pad = -(-max(S, 1) // pc.BLOCK) * pc.BLOCK
+    n_blocks = S_pad // pc.BLOCK
+    kernel = pc._decode_call(SW, seg, tlog_k, n_blocks)
+    plane_words = plane_bytes // 4
+
+    def run(tiles, row_starts, p0, cbnd, pages, stored_starts, rle_vals, perm):
+        from . import pallas_gather  # noqa: PLC0415
+
+        RT = SW // 128
+        rows = []
+        if n_stored:
+            bs = stored_starts.astype(jnp.int32) + 512 * RT
+            rtp = plane_words // 128 + 2
+            srows = pallas_gather.gather_rows(tiles, bs >> 9, rtp)
+            srows = pallas_gather.align_rows(
+                srows, (bs >> 2) & 127, (bs & 3) << 3
+            )
+            rows.append(srows[:, :plane_words])
+        if n_rle:
+            v = rle_vals.astype(jnp.uint32)
+            v = v | (v << 8) | (v << 16) | (v << 24)
+            rows.append(jnp.broadcast_to(v[:, None], (n_rle, plane_words)))
+        if n_huf:
+            words = pallas_gather.gather_rows(tiles, row_starts, RT)
+            blocks = words.reshape(n_blocks, pc.SUBS, 128, SW).transpose(0, 3, 1, 2)
+            dw, pend = kernel(p0, cbnd, blocks)
+            dwS = dw.transpose(0, 2, 3, 1).reshape(S_pad, seg // 2)
+            ow = pc.post_map_symbols(dwS, pages, seg, tlog_k)
+            rows.append(ow[:S].reshape(n_huf, plane_words))
+            pend_flat = pend.reshape(-1)[:S]
+        else:
+            pend_flat = jnp.zeros((0,), jnp.int32)
+
+        all_rows = rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=0)
+        planes_words = all_rows[perm].reshape(full, num_buf, plane_words)
+        owords = jax_transforms.combine_device(
+            planes_words, num_buf, byte_reorder, bit_reorder
+        )
+        return owords, pend_flat
+
+    return jax.jit(run)
+
+
+def plan_pc_decode(
+    payload,
+    num_buf: int,
+    bit_reorder: int,
+    byte_reorder: int,
+    chunk_size: int,
+    orig_size: int,
+):
+    """Build the fused per-cell-table device decode (reference containers).
+
+    Returns (run, dev_args, meta) like :func:`plan_fast_decode`, or None
+    when not eligible (needs a TPU, tableLog <= 12, stream geometry within
+    the kernel's VMEM budget).
+    """
+    from .. import codec  # noqa: PLC0415
+    from . import pallas_huf_pc as pc  # noqa: PLC0415
+
+    jnp = _jnp()
+    n_chunks = (orig_size + chunk_size - 1) // chunk_size
+    full = n_chunks if orig_size == n_chunks * chunk_size else n_chunks - 1
+    if full == 0 or not _platform_is_tpu():
+        return None
+    types, starts, data_start = codec.parse_tables(payload, num_buf, n_chunks)
+    payload_np = np.frombuffer(memoryview(payload), dtype=np.uint8)
+    plane_bytes = chunk_size // num_buf
+    seg = plane_bytes // 4
+    if seg % 128:
+        return None
+    plane_base = np.zeros(num_buf, dtype=np.int64)
+    for b in range(1, num_buf):
+        plane_base[b] = plane_base[b - 1] + starts[b - 1, n_chunks]
+    cs = (data_start + plane_base[:, None] + starts[:, :-1])[:, :full]
+    sz = (starts[:, 1:] - starts[:, :-1])[:, :full]
+    t = types[:, :full]
+    if np.any(t > 1):
+        return None
+    raw_mask = t == 0
+    rle_mask = (t == 1) & (sz == 1)
+    stored_mask = raw_mask | ((t == 1) & (sz == plane_bytes))
+    huf_mask = (t == 1) & ~rle_mask & ~stored_mask
+    huf_b, huf_c = np.nonzero(huf_mask)
+    n_huf = huf_b.size
+    sstarts = slens = None
+    cbnd = pages_pad = None
+    tlog_k = 9
+    SW = 256
+    end_in_row = None
+    if n_huf:
+        hcs = cs[huf_b, huf_c].astype(np.int64)
+        hsz = sz[huf_b, huf_c].astype(np.int64)
+        # header length is determined by its first byte (raw 4-bit weights
+        # vs FSE-compressed), so slicing all headers is vectorizable
+        b0 = payload_np[hcs].astype(np.int64)
+        consumed = np.where(b0 >= 128, 1 + (b0 - 127 + 1) // 2, 1 + b0)
+        if not np.all(hsz > consumed + 6):
+            return None
+        jt = hcs + consumed
+        l1 = payload_np[jt].astype(np.int64) | (payload_np[jt + 1].astype(np.int64) << 8)
+        l2 = payload_np[jt + 2].astype(np.int64) | (payload_np[jt + 3].astype(np.int64) << 8)
+        l3 = payload_np[jt + 4].astype(np.int64) | (payload_np[jt + 5].astype(np.int64) << 8)
+        l4 = hsz - consumed - 6 - l1 - l2 - l3
+        if not np.all((l1 > 0) & (l2 > 0) & (l3 > 0) & (l4 > 0)):
+            return None
+        slens = np.stack([l1, l2, l3, l4], axis=1).reshape(-1)
+        SW = pc.sw_for(int(slens.max()))
+        if not pc.vmem_ok(int(slens.max()), seg):
+            return None
+        s0 = jt + 6
+        sstarts = np.stack(
+            [s0, s0 + l1, s0 + l1 + l2, s0 + l1 + l2 + l3], axis=1
+        ).reshape(-1)
+        headers = [
+            bytes(payload_np[int(o) : int(o + c)])
+            for o, c in zip(hcs, consumed)
+        ]
+        try:
+            probe = {}
+            for h in headers:
+                if h not in probe:
+                    probe[h] = huf.read_stats(h)[2]
+            tlog_k = max(9, max(probe.values()))
+            bounds, pages, _ = pc.cell_decode_tables(headers, tlog_k)
+        except ValueError:
+            return None
+        cell_of_stream = np.repeat(np.arange(n_huf), 4)
+        row_starts, p0, cbnd, pages_pad, end_in_row = pc.build_lane_inputs(
+            sstarts, slens, payload_np, bounds, pages, cell_of_stream, SW, tlog_k
+        )
+    else:
+        return None  # all-stored containers take the shared fast path
+
+    run = _fused_pc_decode(
+        SW, seg, full, num_buf, plane_bytes, byte_reorder, bit_reorder,
+        int(np.count_nonzero(stored_mask)), int(np.count_nonzero(rle_mask)),
+        n_huf, tlog_k,
+    )
+    st_b, st_c = np.nonzero(stored_mask)
+    rl_b, rl_c = np.nonzero(rle_mask)
+    nb_, full_ = stored_mask.shape
+    perm = np.zeros((full_, nb_), dtype=np.int32)
+    perm[st_c, st_b] = np.arange(st_b.size, dtype=np.int32)
+    perm[rl_c, rl_b] = st_b.size + np.arange(rl_b.size, dtype=np.int32)
+    perm[huf_c, huf_b] = st_b.size + rl_b.size + np.arange(n_huf, dtype=np.int32)
+    pad_front = 512 * (SW // 128)
+    total = pad_front + payload_np.size
+    pad_end = (-total) % 512 + 512
+    region8 = np.zeros(total + pad_end, dtype=np.uint8)
+    region8[pad_front : pad_front + payload_np.size] = payload_np
+    tiles_np = region8.view("<u4").reshape(-1, 128)
+    dev_args = (
+        jnp.asarray(tiles_np),
+        jnp.asarray(row_starts),
+        jnp.asarray(p0),
+        jnp.asarray(cbnd),
+        jnp.asarray(pages_pad),
+        jnp.asarray(cs[st_b, st_c].astype(np.int32))
+        if st_b.size else jnp.zeros((0,), jnp.int32),
+        jnp.asarray(payload_np[cs[rl_b, rl_c].astype(np.int64)])
+        if rl_b.size else jnp.zeros((0,), jnp.uint8),
+        jnp.asarray(perm.reshape(-1)),
+    )
+    meta = {"SW": SW, "slens": slens, "full": full, "n_huf": n_huf,
+            "end_in_row": end_in_row, "tlog_k": tlog_k,
+            "cells": (huf_b, huf_c)}
+    return run, dev_args, meta
+
+
 def _platform_is_tpu() -> bool:
     if FORCE_DEVICE_PATH:
         return True
@@ -372,10 +572,7 @@ def decompress_payload(
                             tbl8 = pallas_huf.expand_dtable8(sym_t, nb_t, tlog)
                             fast = True
 
-        # stored planes ride the gather+align kernels, whose blocks scale
-        # with plane width: gate at 96KB (rtp <= 194, ~50MB double-buffered)
-        stored_ok = not np.any(stored_mask) or plane_bytes <= 96 * 1024
-        if (fast or (full and n_huf == 0 and _platform_is_tpu())) and stored_ok:
+        if fast or (full and n_huf == 0 and _platform_is_tpu()):
             # ---- one-dispatch fused device pipeline -----------------------
             if not n_huf:
                 sstarts = slens = None
@@ -386,35 +583,29 @@ def decompress_payload(
                 byte_reorder, bit_reorder,
             )
             owords, pend = run(*dev_args)
-            host = None
-            if not to_device:
-                host = np.asarray(owords).astype("<u4", copy=False)
-            if n_huf:
-                pend_np = np.asarray(pend).astype(np.int64)
-                want_end = 8 * (end_in_row - slens)
-                if not np.array_equal(pend_np, want_end):
-                    bad = int(np.nonzero(pend_np != want_end)[0][0])
-                    raise ValueError(
-                        f"corrupt HUF stream {bad} (not fully consumed: "
-                        f"pos {int(pend_np[bad])} != {int(want_end[bad])})"
-                    )
-            if to_device:
-                flat = jax_transforms.u32_flat_to_u8(owords.reshape(-1))
-                if full < n_chunks:
-                    tail = np.empty(orig_size - full * chunk_size, np.uint8)
-                    _finish_tail(
-                        tail, mv, types, cell_start - 0, cell_size, full,
-                        n_chunks, chunk_size, orig_size, num_buf,
-                        byte_reorder, bit_reorder, tail_base=full * chunk_size,
-                    )
-                    flat = jnp.concatenate([flat, jnp.asarray(tail)])
-                return flat
-            out[: full * chunk_size] = host.reshape(-1).view(np.uint8)
-            # fall through to the tail-chunk handler below
-            return _finish_tail(
-                out, mv, types, cell_start, cell_size, full, n_chunks,
-                chunk_size, orig_size, num_buf, byte_reorder, bit_reorder,
+            return _complete_fused(
+                owords, pend, end_in_row, slens, n_huf, out, mv, types,
+                cell_start, cell_size, full, n_chunks, chunk_size, orig_size,
+                num_buf, byte_reorder, bit_reorder, to_device,
+                cells=(huf_b, huf_c),
             )
+
+        if n_huf and _platform_is_tpu():
+            # per-cell tables (reference-produced containers): the boundary
+            # compare-chain kernel + symbol post-pass
+            planpc = plan_pc_decode(
+                payload, num_buf, bit_reorder, byte_reorder, chunk_size,
+                orig_size,
+            )
+            if planpc is not None:
+                run, dev_args, meta = planpc
+                owords, pend = run(*dev_args)
+                return _complete_fused(
+                    owords, pend, meta["end_in_row"], meta["slens"], n_huf,
+                    out, mv, types, cell_start, cell_size, full, n_chunks,
+                    chunk_size, orig_size, num_buf, byte_reorder,
+                    bit_reorder, to_device, cells=meta["cells"],
+                )
 
         raw_planes = np.empty((full, num_buf, plane_bytes), dtype=np.uint8)
         for b, c in zip(*np.nonzero(stored_mask)):
@@ -469,8 +660,14 @@ def decompress_payload(
                 seg,
                 wpr,
             )
-            if np.any(np.asarray(bits_left) != 0):
-                raise ValueError("corrupt HUF stream (not fully consumed)")
+            bl = np.asarray(bits_left)
+            if np.any(bl != 0):
+                bad = int(np.nonzero(bl != 0)[0][0])
+                raise CorruptChunkError(
+                    f"HUF stream not fully consumed ({int(bl[bad])} bits left)",
+                    plane=int(huf_b[bad // 4]), chunk=int(huf_c[bad // 4]),
+                    stream=bad % 4,
+                )
             huf_planes = syms.reshape(n_huf, plane_bytes)
 
         # ---- scatter decoded planes, combine, one device->host copy ------
@@ -495,6 +692,50 @@ def decompress_payload(
     return out
 
 
+def _complete_fused(
+    owords, pend, end_in_row, slens, n_huf, out, mv, types, cell_start,
+    cell_size, full, n_chunks, chunk_size, orig_size, num_buf,
+    byte_reorder, bit_reorder, to_device, cells=None,
+):
+    """Validate stream-end positions and marshal a fused decode's output
+    (host bytes or device array + ragged tail), shared by the shared-table
+    and per-cell fast paths."""
+    jnp = _jnp()
+    host = None
+    if not to_device:
+        host = np.asarray(owords).astype("<u4", copy=False)
+    if n_huf:
+        pend_np = np.asarray(pend).astype(np.int64)
+        want_end = 8 * (end_in_row - slens)
+        if not np.array_equal(pend_np, want_end):
+            bad = int(np.nonzero(pend_np != want_end)[0][0])
+            plane = chunk = None
+            if cells is not None:
+                plane = int(cells[0][bad // 4])
+                chunk = int(cells[1][bad // 4])
+            raise CorruptChunkError(
+                f"HUF stream not fully consumed: pos {int(pend_np[bad])} "
+                f"!= {int(want_end[bad])}",
+                plane=plane, chunk=chunk, stream=bad % 4,
+            )
+    if to_device:
+        flat = jax_transforms.u32_flat_to_u8(owords.reshape(-1))
+        if full < n_chunks:
+            tail = np.empty(orig_size - full * chunk_size, np.uint8)
+            _finish_tail(
+                tail, mv, types, cell_start, cell_size, full,
+                n_chunks, chunk_size, orig_size, num_buf,
+                byte_reorder, bit_reorder, tail_base=full * chunk_size,
+            )
+            flat = jnp.concatenate([flat, jnp.asarray(tail)])
+        return flat
+    out[: full * chunk_size] = host.reshape(-1).view(np.uint8)
+    return _finish_tail(
+        out, mv, types, cell_start, cell_size, full, n_chunks,
+        chunk_size, orig_size, num_buf, byte_reorder, bit_reorder,
+    )
+
+
 def _finish_tail(
     out, mv, types, cell_start, cell_size, full, n_chunks,
     chunk_size, orig_size, num_buf, byte_reorder, bit_reorder,
@@ -517,12 +758,15 @@ def _finish_tail(
             want = int(lens[b])
             if types[b, c] == 0:
                 if hi - lo != want:
-                    raise ValueError(
-                        f"raw chunk size mismatch: plane {b} chunk {c}: {hi - lo} != {want}"
+                    raise CorruptChunkError(
+                        f"raw size mismatch: {hi - lo} != {want}", plane=b, chunk=c
                     )
                 planes.append(np.frombuffer(blob, dtype=np.uint8))
             else:
-                planes.append(huf.decompress(blob, want))
+                try:
+                    planes.append(huf.decompress(blob, want))
+                except ValueError as exc:
+                    raise CorruptChunkError(str(exc), plane=b, chunk=c) from exc
         o0 = c * chunk_size - tail_base
         byte_group.combine(
             planes, chunk_len, num_buf, byte_reorder, bit_reorder,
@@ -883,7 +1127,7 @@ def _fused_encode_call(full, num_buf, seg, sws):
 
     jnp = _jnp()
 
-    def run(planes, tbls):  # planes [full, nb, plane_words]; tbls [nb, 8, 128]
+    def run(planes, tbls):  # planes [full, nb, plane_words]; tbls [nb, SUBS, 128]
         outs = []
         for b in range(num_buf):
             w = planes[:, b].reshape(full * 4, seg // 4)
@@ -938,7 +1182,7 @@ def plan_fast_encode(
         planes, phist, cmax, carg = sh(words)
         ph = np.asarray(phist)  # 2x256 ints: the only host sync mid-pipeline
         shared = [None] * num_buf
-        tbls = np.zeros((num_buf, 8, 128), np.int32)
+        tbls = np.zeros((num_buf, pallas_huf_enc.SUBS, 128), np.int32)
         sws = []
         for b in range(num_buf):
             cnt = ph[b].astype(np.int64)
@@ -1074,8 +1318,6 @@ def plan_fast_decode(
     stored_mask = raw_mask | ((t == 1) & (sz == plane_bytes))
     huf_mask = (t == 1) & ~rle_mask & ~stored_mask
     huf_b, huf_c = np.nonzero(huf_mask)
-    if np.any(stored_mask) and plane_bytes > 96 * 1024:
-        return None  # stored-plane gather blocks would exceed VMEM
     sstarts = slens = tbl8 = None
     if huf_b.size:
         hcs = cs[huf_b, huf_c].astype(np.int64)

@@ -25,22 +25,33 @@ ROWS_PER_BLOCK = 256
 SEM_RING = 16
 
 
+def _rows_per_block(row_tiles: int, max_rows: int, budget: int = 40 * 1024 * 1024) -> int:
+    """Rows per grid block, shrunk for wide rows so the double-buffered
+    out block stays within ``budget`` bytes (wide stored planes: a 256 KB
+    bf16 chunk's plane is 258 tiles per row)."""
+    per_row = row_tiles * LANE * 4
+    r = max(8, min(max_rows, budget // (2 * per_row)))
+    return (r // 8) * 8
+
+
 # Set True to run the kernels via the Pallas interpreter (CPU tests).
 INTERPRET = False
 
 
-def _gather_call(n_blocks: int, row_tiles: int):
-    return _gather_call_cached(n_blocks, row_tiles, INTERPRET)
+def _gather_call(n_blocks: int, row_tiles: int, rows_per_block: int):
+    return _gather_call_cached(n_blocks, row_tiles, rows_per_block, INTERPRET)
 
 
 @lru_cache(maxsize=None)
-def _gather_call_cached(n_blocks: int, row_tiles: int, interpret: bool):
+def _gather_call_cached(
+    n_blocks: int, row_tiles: int, rows_per_block: int, interpret: bool
+):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    R = ROWS_PER_BLOCK
+    R = rows_per_block
 
     def kernel(starts_ref, src_ref, out_ref, sems):
         b = pl.program_id(0)
@@ -95,29 +106,32 @@ def gather_rows(src_tiles, tile_starts, row_tiles: int):
     import jax.numpy as jnp
 
     n = tile_starts.shape[0]
-    n_pad = -(-max(n, 1) // ROWS_PER_BLOCK) * ROWS_PER_BLOCK
+    R = _rows_per_block(row_tiles, ROWS_PER_BLOCK)
+    n_pad = -(-max(n, 1) // R) * R
     st = jnp.asarray(tile_starts, jnp.int32)
     if n_pad != n:
         st = jnp.concatenate([st, jnp.zeros(n_pad - n, jnp.int32)])
-    out = _gather_call(n_pad // ROWS_PER_BLOCK, row_tiles)(st, src_tiles)
+    out = _gather_call(n_pad // R, row_tiles, R)(st, src_tiles)
     return out.reshape(n_pad, row_tiles * LANE)[:n]
 
 
 ALIGN_ROWS_PER_BLOCK = 128
 
 
-def _align_call(n_blocks: int, row_tiles: int, bitshift: bool):
-    return _align_call_cached(n_blocks, row_tiles, bitshift, INTERPRET)
+def _align_call(n_blocks: int, row_tiles: int, bitshift: bool, rows_per_block: int):
+    return _align_call_cached(n_blocks, row_tiles, bitshift, rows_per_block, INTERPRET)
 
 
 @lru_cache(maxsize=None)
-def _align_call_cached(n_blocks: int, row_tiles: int, bitshift: bool, interpret: bool):
+def _align_call_cached(
+    n_blocks: int, row_tiles: int, bitshift: bool, rows_per_block: int, interpret: bool
+):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    R = ALIGN_ROWS_PER_BLOCK
+    R = rows_per_block
     RT = row_tiles - 1  # one tile of each input row is alignment slack
 
     def kernel(shifts_ref, in_ref, out_ref):
@@ -185,7 +199,7 @@ def align_rows(rows, word_shifts, bit_shifts=None):
 
     n, w = rows.shape
     row_tiles = w // LANE
-    R = ALIGN_ROWS_PER_BLOCK
+    R = _rows_per_block(row_tiles, ALIGN_ROWS_PER_BLOCK, 20 * 1024 * 1024)
     n_pad = -(-max(n, 1) // R) * R
     x = rows.reshape(n, row_tiles, LANE)
     sh = jnp.asarray(word_shifts, jnp.int32)
@@ -196,7 +210,7 @@ def align_rows(rows, word_shifts, bit_shifts=None):
             [x, jnp.zeros((n_pad - n, row_tiles, LANE), jnp.uint32)]
         )
         sh = jnp.concatenate([sh, jnp.zeros(n_pad - n, jnp.int32)])
-    out = _align_call(n_pad // R, row_tiles, bit_shifts is not None)(
+    out = _align_call(n_pad // R, row_tiles, bit_shifts is not None, R)(
         sh, x.reshape(n_pad // R, R, row_tiles, LANE)
     )
     return out.reshape(n_pad, (row_tiles - 1) * LANE)[:n]

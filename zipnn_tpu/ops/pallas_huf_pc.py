@@ -127,10 +127,10 @@ def _build_kernel(SW: int, SEG: int, TLOG: int, use_w4: bool):
     part = min(PART, SEG)
     n_parts = SEG // part
     periods_per_part = part // 128
-    SHIFT = U(32 - TLOG)
 
     def kernel(p0_ref, cbnd_ref, sbuf_hbm, out_ref, pend_ref,
                sbuf_ref, w3_ref, w4_ref, carry_u, carry_i, sem):
+        SHIFT = U(32 - TLOG)
         b = pl.program_id(0)
         t = pl.program_id(1)
         cbnd = [cbnd_ref[0, m, :, :] for m in range(TLOG - 1)]
@@ -513,3 +513,108 @@ def post_map_symbols(dwords, pages_dev, seg: int, tlog_k: int):
     tb = pages_dev.reshape(n_groups, CELLS_PER_GROUP, PAGES * 128)
     out = _post_call(W, PAGES, n_groups)(dw, tb)
     return out.reshape(S_pad, seg // 4)
+
+
+# ---------------------------------------------------------------------------
+# host + device glue
+# ---------------------------------------------------------------------------
+
+def build_lane_inputs(
+    starts: np.ndarray, lens: np.ndarray, region: np.ndarray,
+    bounds: np.ndarray, pages: np.ndarray, cell_of_stream: np.ndarray,
+    SW: int, tlog_k: int,
+):
+    """Per-lane kernel inputs from per-stream geometry.
+
+    Returns (row_starts [S_pad], p0 [n_blocks,SUBS,128], cbnd
+    [n_blocks,tlog_k-1,SUBS,128], pages_pad [G_pad, 2^tlog_k//4],
+    end_in_row [S]).  Padding lanes get all-zero boundaries (nb=1 per
+    symbol) and in-bounds geometry so they decode garbage harmlessly.
+    """
+    from . import pallas_huf
+
+    S = int(starts.size)
+    S_pad = -(-S // BLOCK) * BLOCK
+    n_blocks = S_pad // BLOCK
+    ends = (starts + lens).astype(np.int64)
+    last = region[ends - 1]
+    if np.any(last == 0):
+        raise ValueError("corrupt bitstream: missing sentinel bit")
+    tile_start, end_in_row = pallas_huf.stream_row_geometry(ends, SW)
+    row_starts = np.zeros(S_pad, dtype=np.int32)
+    row_starts[:S] = tile_start
+    msb = np.floor(np.log2(last.astype(np.int64))).astype(np.int64)
+    p0 = np.full(S_pad, 8 * (4 * SW - 1), dtype=np.int32)
+    p0[:S] = (8 * (end_in_row - 1) + msb).astype(np.int32)
+    cbnd = np.zeros((S_pad, tlog_k - 1), dtype=np.int32)
+    cbnd[:S] = bounds[cell_of_stream]
+    G_pad = S_pad // 4
+    pages_pad = np.zeros((G_pad, (1 << tlog_k) // 4), dtype=np.uint32)
+    pages_pad[: pages.shape[0]] = pages
+    return (
+        row_starts,
+        p0.reshape(n_blocks, SUBS, 128),
+        np.ascontiguousarray(
+            cbnd.reshape(n_blocks, SUBS, 128, tlog_k - 1).transpose(0, 3, 1, 2)
+        ),
+        pages_pad,
+        end_in_row,
+    )
+
+
+def decode_cells(
+    region: np.ndarray,
+    stream_starts: np.ndarray,
+    stream_lens: np.ndarray,
+    headers,
+    cell_of_stream: np.ndarray,
+    seg: int,
+):
+    """Decode S equal-output streams with per-cell tables (tableLog <= 12).
+
+    ``region`` is the flat payload (host uint8); stream i covers
+    ``[start, start+len)`` and uses cell ``cell_of_stream[i]``'s table from
+    ``headers``.  Returns a device array [S, seg] uint8; raises if any
+    stream does not consume its bits exactly.
+    """
+    import jax.numpy as jnp
+
+    from . import pallas_gather
+
+    S = int(stream_starts.size)
+    if S == 0:
+        return jnp.zeros((0, seg), jnp.uint8)
+    tlogs_probe = [huf.read_stats(h)[2] for h in {bytes(h) for h in headers}]
+    tlog_k = max(9, max(tlogs_probe))
+    bounds, pages, _ = cell_decode_tables(headers, tlog_k)
+    SW = sw_for(int(stream_lens.max()))
+    row_starts, p0, cbnd, pages_pad, end_in_row = build_lane_inputs(
+        stream_starts, stream_lens, region, bounds, pages,
+        np.asarray(cell_of_stream), SW, tlog_k,
+    )
+    S_pad = row_starts.size
+    n_blocks = S_pad // BLOCK
+    RT = SW // 128
+
+    tiles = pallas_gather.to_tiles(
+        jnp.concatenate([jnp.zeros(512 * RT, jnp.uint8), jnp.asarray(region)])
+    )
+    words = pallas_gather.gather_rows(tiles, jnp.asarray(row_starts), RT)
+    blocks = words.reshape(n_blocks, SUBS, 128, SW).transpose(0, 3, 1, 2)
+    dw, pend = _decode_call(SW, seg, tlog_k, n_blocks)(
+        jnp.asarray(p0), jnp.asarray(cbnd), blocks
+    )
+    pend_np = np.asarray(pend).reshape(-1)[:S]
+    want_end = (8 * (end_in_row - stream_lens)).astype(np.int64)
+    if not np.array_equal(pend_np.astype(np.int64), want_end):
+        bad = int(np.nonzero(pend_np.astype(np.int64) != want_end)[0][0])
+        raise ValueError(
+            f"corrupt HUF stream {bad} (not fully consumed: "
+            f"pos {int(pend_np[bad])} != {int(want_end[bad])})"
+        )
+    dwS = dw.transpose(0, 2, 3, 1).reshape(S_pad, seg // 2)
+    ow = post_map_symbols(dwS, jnp.asarray(pages_pad), seg, tlog_k)
+    from . import jax_transforms
+
+    b = jax_transforms.u32_flat_to_u8(ow.reshape(-1))
+    return b.reshape(S_pad, seg)[:S]
