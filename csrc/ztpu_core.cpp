@@ -665,39 +665,104 @@ static bool huffman_lengths(const uint32_t* count, uint8_t* lengths /*256*/,
   return true;
 }
 
-// package-merge, boundary form; same ordering as python model
+// package-merge, boundary form; same ordering as the python model
+// (sort key = (freq, symbol sequence) with sequences compared
+// lexicographically).  Items are nodes in a pool — a leaf or a pair of
+// prior-level nodes — so levels sort ids instead of copying symbol
+// vectors; sequence comparison walks the two leaf fringes lazily and
+// almost always resolves within a couple of leaves.
+struct PMLeafIter {
+  // in-order leaf walker over a package tree (depth <= max_len + 1)
+  int stack[40];
+  int top;
+  void init(int node) {
+    top = 0;
+    stack[top++] = node;
+  }
+  // returns next leaf's symbol, or -1 when exhausted
+  inline int next(const int* left, const int* right, const int* sym) {
+    while (top) {
+      int nd = stack[--top];
+      if (left[nd] < 0) return sym[nd];
+      stack[top++] = right[nd];
+      stack[top++] = left[nd];
+    }
+    return -1;
+  }
+};
+
 static bool package_merge_lengths(const uint32_t* count, int max_len,
                                   uint8_t* lengths /*256*/) {
-  struct Item {
-    uint64_t freq;
-    std::vector<uint8_t> syms;
-    bool operator<(const Item& o) const {
-      if (freq != o.freq) return freq < o.freq;
-      return syms < o.syms;
+  // node pool: leaves + up to n/2 packages per level * max_len levels
+  static thread_local std::vector<uint64_t> freq;
+  static thread_local std::vector<uint64_t> key;
+  static thread_local std::vector<int> left, right, sym;
+  freq.clear();
+  key.clear();
+  left.clear();
+  right.clear();
+  sym.clear();
+
+  auto add_node = [&](uint64_t f, int l, int r, int s) {
+    freq.push_back(f);
+    left.push_back(l);
+    right.push_back(r);
+    sym.push_back(s);
+    // fast sort key: (freq, first leaf symbol, is_package).  This resolves
+    // every ordering except two packages sharing a first symbol (one built
+    // over the fresh leaf, one over a prior package carrying it) — those
+    // rare ties fall back to the full lazy sequence walk.
+    int fs = s;
+    int node = l;
+    while (fs < 0) {
+      fs = sym[node];
+      if (fs < 0) node = left[node];
     }
+    key.push_back((f << 10) | ((uint64_t)fs << 2) | (s < 0 ? 1 : 0));
+    return (int)freq.size() - 1;
   };
-  std::vector<Item> leaves;
+
+  std::vector<int> leaves;
   for (int s = 0; s < 256; s++)
-    if (count[s]) leaves.push_back({count[s], {(uint8_t)s}});
+    if (count[s]) leaves.push_back(add_node(count[s], -1, -1, s));
   size_t n = leaves.size();
   if (n < 2 || ((size_t)1 << max_len) < n) return false;
-  std::sort(leaves.begin(), leaves.end());
-  std::vector<Item> prev;
-  for (int level = 0; level < max_len; level++) {
-    std::vector<Item> cur = leaves;
-    for (size_t i = 0; i + 1 < prev.size(); i += 2) {
-      Item merged;
-      merged.freq = prev[i].freq + prev[i + 1].freq;
-      merged.syms = prev[i].syms;
-      merged.syms.insert(merged.syms.end(), prev[i + 1].syms.begin(), prev[i + 1].syms.end());
-      cur.push_back(std::move(merged));
+
+  auto less = [&](int a, int b) {
+    if (key[a] != key[b]) return key[a] < key[b];
+    PMLeafIter ia, ib;
+    ia.init(a);
+    ib.init(b);
+    const int *L = left.data(), *R = right.data(), *S = sym.data();
+    for (;;) {
+      int sa = ia.next(L, R, S);
+      int sb = ib.next(L, R, S);
+      if (sa != sb) {
+        if (sa < 0) return true;   // a is a strict prefix -> shorter first
+        if (sb < 0) return false;
+        return sa < sb;
+      }
+      if (sa < 0) return false;  // identical sequences (unreachable)
     }
-    std::sort(cur.begin(), cur.end());
+  };
+
+  std::sort(leaves.begin(), leaves.end(), less);
+  std::vector<int> prev, cur;
+  for (int level = 0; level < max_len; level++) {
+    cur = leaves;
+    for (size_t i = 0; i + 1 < prev.size(); i += 2)
+      cur.push_back(add_node(freq[prev[i]] + freq[prev[i + 1]], prev[i],
+                             prev[i + 1], -1));
+    std::sort(cur.begin(), cur.end(), less);
     prev = std::move(cur);
   }
   std::memset(lengths, 0, 256);
-  for (size_t i = 0; i < 2 * (n - 1) && i < prev.size(); i++)
-    for (uint8_t s : prev[i].syms) lengths[s]++;
+  const int *L = left.data(), *R = right.data(), *S = sym.data();
+  for (size_t i = 0; i < 2 * (n - 1) && i < prev.size(); i++) {
+    PMLeafIter it;
+    it.init(prev[i]);
+    for (int s; (s = it.next(L, R, S)) >= 0;) lengths[s]++;
+  }
   return true;
 }
 
@@ -821,16 +886,107 @@ static int huf_read_dtable(const uint8_t* data, size_t len, HufDTable& dt) {
   return consumed;
 }
 
-// encode one stream: symbols in descending index order + sentinel
+// encode one stream: symbols in descending index order + sentinel.
+// Raw-pointer bump writer, one flush per two symbols: canonical values are
+// < 2^length so no masking is needed, and two appends fit the 64-bit
+// accumulator (nbits < 32 after a flush, + 2x12 = 55 max).  Byte output is
+// identical to the BitWriter path (LSB-first continuous bitstream).
 static void huf_encode_stream(const uint8_t* part, size_t n, const HufCTable& ct,
                               std::vector<uint8_t>& out) {
-  BitWriter w;
-  w.out.reserve(n);
-  for (size_t i = n; i > 0; i--) {
-    uint8_t s = part[i - 1];
-    w.add(ct.vals[s], ct.lengths[s]);
+  out.resize(n + (n >> 1) + 16);  // 12 bits/symbol worst case + store slack
+  uint8_t* op = out.data();
+  uint64_t acc = 0;
+  unsigned nbits = 0;
+  size_t i = n;
+  while (i >= 2) {
+    uint8_t s1 = part[--i];
+    acc |= (uint64_t)ct.vals[s1] << nbits;
+    nbits += ct.lengths[s1];
+    uint8_t s2 = part[--i];
+    acc |= (uint64_t)ct.vals[s2] << nbits;
+    nbits += ct.lengths[s2];
+    if (nbits >= 32) {
+      write_u64_unaligned(op, acc);
+      op += 4;
+      acc >>= 32;
+      nbits -= 32;
+    }
   }
-  out = w.close();
+  if (i) {
+    uint8_t s = part[0];
+    acc |= (uint64_t)ct.vals[s] << nbits;
+    nbits += ct.lengths[s];
+  }
+  acc |= (uint64_t)1 << nbits;  // sentinel
+  nbits += 1;
+  write_u64_unaligned(op, acc);
+  op += (nbits + 7) >> 3;
+  out.resize((size_t)(op - out.data()));
+}
+
+// encode all four segments in lockstep: four independent accumulator
+// chains give ~4x ILP over the serial single-stream writer (mirrors the
+// interleaved 4-stream decode loop below).  Output bytes are identical to
+// four huf_encode_stream calls.
+static void huf_encode_4streams(const uint8_t* data, const size_t sizes[4],
+                                const HufCTable& ct,
+                                std::vector<uint8_t> streams[4]) {
+  const uint16_t* vals = ct.vals;
+  const uint8_t* lens = ct.lengths;
+  uint64_t acc[4] = {0, 0, 0, 0};
+  unsigned nb[4] = {0, 0, 0, 0};
+  uint8_t* op[4];
+  uint8_t* ob[4];
+  const uint8_t* sp[4];
+  size_t rem[4];
+  {
+    const uint8_t* p = data;
+    for (int k = 0; k < 4; k++) {
+      streams[k].resize(sizes[k] + (sizes[k] >> 1) + 16);
+      ob[k] = op[k] = streams[k].data();
+      sp[k] = p + sizes[k];  // backward writer: encode from the segment end
+      rem[k] = sizes[k];
+      p += sizes[k];
+    }
+  }
+  size_t rounds = (sizes[3] < sizes[0] ? sizes[3] : sizes[0]) / 2;
+  for (size_t r = 0; r < rounds; r++) {
+    for (int k = 0; k < 4; k++) {
+      uint8_t s1 = *--sp[k];
+      acc[k] |= (uint64_t)vals[s1] << nb[k];
+      nb[k] += lens[s1];
+      uint8_t s2 = *--sp[k];
+      acc[k] |= (uint64_t)vals[s2] << nb[k];
+      nb[k] += lens[s2];
+    }
+    for (int k = 0; k < 4; k++) {
+      write_u64_unaligned(op[k], acc[k]);
+      unsigned adv = nb[k] >> 3;
+      op[k] += adv;
+      acc[k] >>= adv * 8;
+      nb[k] &= 7;
+    }
+  }
+  for (int k = 0; k < 4; k++) rem[k] -= 2 * rounds;
+  for (int k = 0; k < 4; k++) {
+    while (rem[k]) {  // tails: at most 3 symbols (segment size skew)
+      uint8_t s = *--sp[k];
+      acc[k] |= (uint64_t)vals[s] << nb[k];
+      nb[k] += lens[s];
+      rem[k]--;
+      if (nb[k] >= 32) {
+        write_u64_unaligned(op[k], acc[k]);
+        op[k] += 4;
+        acc[k] >>= 32;
+        nb[k] -= 32;
+      }
+    }
+    acc[k] |= (uint64_t)1 << nb[k];  // sentinel
+    nb[k] += 1;
+    write_u64_unaligned(op[k], acc[k]);
+    op[k] += (nb[k] + 7) >> 3;
+    streams[k].resize((size_t)(op[k] - ob[k]));
+  }
 }
 
 // decode one stream of exactly out_len symbols; returns false on corruption
@@ -864,11 +1020,22 @@ static bool huf_decode_stream(const uint8_t* stream, size_t stream_len,
 static long long huf_compress_block(const uint8_t* data, size_t n,
                                     std::vector<uint8_t>& out) {
   if (n == 0 || n > HUF_BLOCKSIZE_MAX) return 0;
-  uint32_t count[256] = {0};
-  for (size_t i = 0; i < n; i++) count[data[i]]++;
+  // 4 sub-histograms: consecutive equal symbols would otherwise serialize
+  // on store-to-load forwarding of the same counter slot
+  uint32_t cnt4[4][256] = {{0}};
+  size_t i4 = 0;
+  for (; i4 + 4 <= n; i4 += 4) {
+    cnt4[0][data[i4]]++;
+    cnt4[1][data[i4 + 1]]++;
+    cnt4[2][data[i4 + 2]]++;
+    cnt4[3][data[i4 + 3]]++;
+  }
+  for (; i4 < n; i4++) cnt4[0][data[i4]]++;
+  uint32_t count[256];
   unsigned max_sv = 0;
   uint32_t largest = 0;
   for (int s = 0; s < 256; s++) {
+    count[s] = cnt4[0][s] + cnt4[1][s] + cnt4[2][s] + cnt4[3][s];
     if (count[s]) max_sv = s;
     if (count[s] > largest) largest = count[s];
   }
@@ -899,11 +1066,9 @@ static long long huf_compress_block(const uint8_t* data, size_t n,
   size_t seg = (n + 3) / 4;
   size_t sizes[4] = {seg, seg, seg, n - 3 * seg};
   std::vector<uint8_t> streams[4];
-  const uint8_t* p = data;
+  huf_encode_4streams(data, sizes, ct, streams);
   for (int k = 0; k < 4; k++) {
-    huf_encode_stream(p, sizes[k], ct, streams[k]);
     if (streams[k].empty() || streams[k].size() > 65535) return 0;
-    p += sizes[k];
   }
   out.clear();
   out.reserve(header.size() + 6 + streams[0].size() + streams[1].size() +
@@ -963,16 +1128,28 @@ static bool huf_decompress_block(const uint8_t* data, size_t c_size, uint8_t* ou
     }
   }
   const int tlog = dt.table_log;
+  const unsigned shift_base = 64 - (unsigned)tlog;
   const uint16_t* ent = dt.ent;
   size_t n4 = sizes[3];  // the shortest segment
   size_t i = 0;
+  // burst state lives in locals so the 4 independent ~6-cycle dependency
+  // chains register-allocate (the rd[] struct members defeated that: the
+  // compiler kept spilling per symbol)
+  uint64_t c[4];
+  unsigned bc[4];
+  const uint8_t* pp[4];
+  for (int k = 0; k < 4; k++) {
+    c[k] = rd[k].container;
+    bc[k] = rd[k].bits_consumed;
+    pp[k] = rd[k].ptr;
+  }
   for (;;) {
     // hoist the bounds: each 4-symbol round moves a stream pointer back by
     // at most 6 bytes; run the largest burst that stays safely inside every
     // stream without re-checking pointers per round
     size_t hdroom = (size_t)-1;
     for (int k = 0; k < 4; k++) {
-      size_t a = (size_t)(rd[k].ptr - rd[k].start);
+      size_t a = (size_t)(pp[k] - rd[k].start);
       if (a < hdroom) hdroom = a;
     }
     size_t rounds = hdroom / 6;
@@ -982,16 +1159,23 @@ static bool huf_decompress_block(const uint8_t* data, size_t c_size, uint8_t* ou
     for (; i < lim; i += 4) {
       for (int rep = 0; rep < 4; rep++) {
         for (int k = 0; k < 4; k++) {
-          uint16_t e = ent[rd[k].peek(tlog)];
+          uint16_t e = ent[(uint32_t)((c[k] << bc[k]) >> shift_base)];
           op[k][i + rep] = (uint8_t)e;
-          rd[k].skip(e >> 8);
+          bc[k] += e >> 8;
         }
       }
-      rd[0].reload();
-      rd[1].reload();
-      rd[2].reload();
-      rd[3].reload();
+      for (int k = 0; k < 4; k++) {
+        unsigned nb = bc[k] >> 3;
+        pp[k] -= nb;
+        bc[k] &= 7;
+        c[k] = read_u64_unaligned(pp[k]);
+      }
     }
+  }
+  for (int k = 0; k < 4; k++) {
+    rd[k].container = c[k];
+    rd[k].bits_consumed = bc[k];
+    rd[k].ptr = pp[k];
   }
   // tails, one stream at a time
   for (int k = 0; k < 4; k++) {
