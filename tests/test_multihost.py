@@ -1,0 +1,121 @@
+"""Multi-process (multi-host) orchestration tests.
+
+Spawns REAL separate processes wired with ``jax.distributed`` on CPU
+(2 processes x 4 virtual devices each — the harness SURVEY.md §4 says the
+reference lacks) and asserts the cooperative container is byte-identical
+to the single-host engine's.
+"""
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from zipnn_tpu import ZipNN
+
+WORKER = r"""
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+from zipnn_tpu.parallel import multihost
+
+port, pid, nproc, in_path, out_path, dec_path, chunk = sys.argv[1:8]
+multihost.initialize(f"localhost:{port}", int(nproc), int(pid))
+assert jax.process_count() == int(nproc)
+assert len(jax.devices()) == 4 * int(nproc), jax.devices()
+multihost.compress_file_multihost(
+    in_path, out_path, bytearray_dtype="bfloat16",
+    compression_chunk=int(chunk), engine="numpy",
+)
+multihost.decompress_file_multihost(out_path, dec_path)
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _bf16(n_bytes, seed=3):
+    rng = np.random.default_rng(seed)
+    vals = (rng.standard_normal(n_bytes // 2) * 0.05).astype(np.float32)
+    return ((vals.view(np.uint32) >> 16).astype("<u2")).tobytes()[:n_bytes]
+
+
+@pytest.mark.parametrize("size", [700_000, 256 * 1024 * 3])
+def test_two_process_compress_matches_single_host(tmp_path, size):
+    chunk = 128 * 1024
+    data = _bf16(size)
+    in_path = tmp_path / "weights.bin"
+    in_path.write_bytes(data)
+    golden = ZipNN(
+        engine="numpy", bytearray_dtype="bfloat16", compression_chunk=chunk
+    ).compress(data)
+
+    port = _free_port()
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    procs = []
+    for pid in range(2):
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=4",
+            PYTHONPATH=str(Path(__file__).resolve().parent.parent),
+        )
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable, str(script), str(port), str(pid), "2",
+                    str(in_path), str(tmp_path / "out.znn"),
+                    str(tmp_path / "dec.bin"), str(chunk),
+                ],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            )
+        )
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err.decode()[-2000:]
+
+    got = (tmp_path / "out.znn").read_bytes()
+    assert got == golden, "multi-process container differs from single-host"
+    assert (tmp_path / "dec.bin").read_bytes() == data
+
+
+def test_single_process_degenerates(tmp_path):
+    """n_processes=1 path (no collectives) still produces the exact
+    single-host container through the same code."""
+    from zipnn_tpu.parallel import multihost
+
+    chunk = 64 * 1024
+    data = _bf16(300_000, seed=11)
+    in_path = tmp_path / "w.bin"
+    in_path.write_bytes(data)
+    multihost.compress_file_multihost(
+        str(in_path), str(tmp_path / "o.znn"), bytearray_dtype="bfloat16",
+        compression_chunk=chunk, engine="numpy",
+    )
+    golden = ZipNN(
+        engine="numpy", bytearray_dtype="bfloat16", compression_chunk=chunk
+    ).compress(data)
+    assert (tmp_path / "o.znn").read_bytes() == golden
+    multihost.decompress_file_multihost(
+        str(tmp_path / "o.znn"), str(tmp_path / "d.bin")
+    )
+    assert (tmp_path / "d.bin").read_bytes() == data
+
+
+def test_chunk_range_partition():
+    from zipnn_tpu.parallel.multihost import chunk_range
+
+    for n_chunks in (0, 1, 5, 17, 64):
+        for n_proc in (1, 2, 3, 8):
+            ranges = [chunk_range(p, n_proc, n_chunks) for p in range(n_proc)]
+            flat = [c for lo, hi in ranges for c in range(lo, hi)]
+            assert flat == list(range(n_chunks))

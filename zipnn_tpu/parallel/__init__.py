@@ -13,6 +13,7 @@ Usage::
     with parallel.use_mesh(mesh):
         ZipNN(engine="tpu").compress(...)  # device stages run shard_mapped
 """
+from . import multihost  # noqa: F401
 from .sharded import (  # noqa: F401
     get_default_mesh,
     make_mesh,

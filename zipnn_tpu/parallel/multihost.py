@@ -1,0 +1,246 @@
+"""Multi-host (multi-process) compress/decompress orchestration.
+
+The ``.znn`` format is chunk-parallel by construction, so multi-host scaling
+needs no data exchange at all — only *metadata* agreement:
+
+1. every process takes a contiguous, deterministic chunk range of the input
+   (:func:`chunk_range`) and reads ONLY its byte range;
+2. each compresses its range locally with any single-host engine — the
+   local payload's chunk-type/cumulative tables describe its cells;
+3. the per-cell types and sizes are all-gathered (the only collective —
+   a few bytes per chunk over DCN, the analog of the reference's shared
+   -memory cumulative-size table at csrc/zipnn_core.c:105-153);
+4. every process then computes the identical global tables and the exact
+   byte offset of each of its plane-blob regions, and pwrites them into
+   the output file — the container is assembled bit-for-bit *in place*
+   with no host ever holding more than its own shard.
+
+Works with any number of processes (including 1, where it degenerates to
+the single-host path).  Bootstrap :func:`initialize` wraps
+``jax.distributed.initialize`` with env-derived defaults; the 2-process
+CPU test (tests/test_multihost.py) drives the whole flow without TPUs.
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .. import codec
+from ..core import dtypes
+from ..core.header import HEADER_LEN, Header
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Idempotent ``jax.distributed.initialize`` with env-var defaults
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID)."""
+    import jax
+
+    # NB: nothing here may touch the XLA backend (jax.devices,
+    # jax.process_count, ...) before distributed.initialize runs
+    if getattr(initialize, "_done", False):
+        return
+    kw = {}
+    addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr:
+        kw["coordinator_address"] = addr
+        kw["num_processes"] = int(
+            num_processes or os.environ.get("JAX_NUM_PROCESSES", "1")
+        )
+        kw["process_id"] = int(
+            process_id or os.environ.get("JAX_PROCESS_ID", "0")
+        )
+    jax.distributed.initialize(**kw)
+    initialize._done = True
+
+
+def chunk_range(process_id: int, n_processes: int, n_chunks: int) -> Tuple[int, int]:
+    """Contiguous chunk range [lo, hi) for a process; deterministic and
+    balanced (first ``n_chunks % n`` processes take one extra chunk)."""
+    base, extra = divmod(n_chunks, n_processes)
+    lo = process_id * base + min(process_id, extra)
+    hi = lo + base + (1 if process_id < extra else 0)
+    return lo, hi
+
+
+def _allgather_i64(local: np.ndarray) -> np.ndarray:
+    """All-gather an int64 array across processes -> [n_processes, ...]."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    if jax.process_count() == 1:
+        return local[None]
+    return np.asarray(
+        multihost_utils.process_allgather(local.astype(np.int64), tiled=False)
+    )
+
+
+def _barrier(name: str) -> None:
+    import jax
+    from jax.experimental import multihost_utils
+
+    if jax.process_count() > 1:
+        multihost_utils.sync_global_devices(name)
+
+
+def compress_file_multihost(
+    in_path: str,
+    out_path: str,
+    *,
+    bytearray_dtype: str = "bfloat16",
+    compression_chunk: int = 256 * 1024,
+    threshold: float = codec.DEFAULT_THRESHOLD,
+    engine: str = "auto",
+    threads: int = 0,
+) -> None:
+    """Compress ``in_path`` into a single ``.znn`` container cooperatively.
+
+    Every process reads and compresses only its chunk range; process 0
+    additionally writes the header + global tables.  The output is
+    byte-identical to a single-host ``ZipNN(...).compress`` of the whole
+    file (asserted by tests/test_multihost.py).
+    """
+    import jax
+
+    pid, n_proc = jax.process_index(), jax.process_count()
+    info = dtypes.from_any(bytearray_dtype)
+    grp = dtypes.grouping_for_code(info.code)
+    num_buf, byte_reorder, bit_reorder = (
+        grp.num_buf, grp.byte_reorder, grp.bit_reorder
+    )
+    chunk = codec.effective_chunk(compression_chunk, num_buf)
+    total = os.path.getsize(in_path)
+    n_chunks = codec.num_chunks_for(total, chunk)
+    lo, hi = chunk_range(pid, n_proc, n_chunks)
+    max_local = -(-n_chunks // n_proc) if n_proc else n_chunks
+
+    # ---- local compress (contiguous chunk range -> local payload) --------
+    local_n = hi - lo
+    if local_n:
+        with open(in_path, "rb") as f:
+            f.seek(lo * chunk)
+            data = np.frombuffer(
+                f.read(min(hi * chunk, total) - lo * chunk), dtype=np.uint8
+            )
+        payload = codec.compress_payload(
+            data, num_buf, bit_reorder, byte_reorder, chunk,
+            threshold=threshold, threads=threads, engine=engine,
+        )
+        ltypes, lstarts, ldata_start = codec.parse_tables(
+            payload, num_buf, local_n
+        )
+        lsizes = (lstarts[:, 1:] - lstarts[:, :-1]).astype(np.int64)
+    else:
+        payload = b""
+        ltypes = np.zeros((num_buf, 0), np.uint8)
+        lstarts = np.zeros((num_buf, 1), np.int64)
+        lsizes = np.zeros((num_buf, 0), np.int64)
+        ldata_start = 0
+
+    # ---- the only collective: types+sizes, padded to a common width ------
+    packed = np.full((2, num_buf, max_local), -1, dtype=np.int64)
+    packed[0, :, :local_n] = ltypes
+    packed[1, :, :local_n] = lsizes
+    world = _allgather_i64(packed)  # [n_proc, 2, num_buf, max_local]
+
+    types = np.zeros((num_buf, n_chunks), dtype=np.uint8)
+    sizes = np.zeros((num_buf, n_chunks), dtype=np.uint64)
+    for p in range(n_proc):
+        plo, phi = chunk_range(p, n_proc, n_chunks)
+        types[:, plo:phi] = world[p, 0, :, : phi - plo]
+        sizes[:, plo:phi] = world[p, 1, :, : phi - plo]
+
+    cumulative = np.cumsum(sizes, axis=1, dtype=np.uint64)
+    plane_totals = cumulative[:, -1].astype(np.int64) if n_chunks else np.zeros(num_buf, np.int64)
+    plane_base = np.zeros(num_buf, dtype=np.int64)
+    for b in range(1, num_buf):
+        plane_base[b] = plane_base[b - 1] + plane_totals[b - 1]
+    tables = types.tobytes() + cumulative.astype("<u8").tobytes()
+    data_start = HEADER_LEN + len(tables)
+    total_len = data_start + int(plane_totals.sum())
+
+    # ---- in-place assembly: each process pwrites its plane regions -------
+    if pid == 0:
+        hdr = Header(
+            byte_reorder=byte_reorder, bit_reorder=bit_reorder, method=0,
+            input_format=1, compression_chunk=compression_chunk,
+            dtype_code=info.code, original_len=total, total_len=total_len,
+        )  # method 0 = AUTO, matching ZipNN's default header byte
+        with open(out_path, "wb") as f:
+            f.truncate(total_len)
+            f.write(hdr.to_bytes() + tables)
+    _barrier("znn-mh-header")
+
+    if local_n:
+        starts_g = np.zeros((num_buf, n_chunks + 1), dtype=np.int64)
+        starts_g[:, 1:] = cumulative
+        mv = memoryview(payload)
+        with open(out_path, "r+b") as f:
+            for b in range(num_buf):
+                src_lo = ldata_start + int(
+                    sum(lstarts[bb, local_n] for bb in range(b))
+                )
+                blob = mv[src_lo : src_lo + int(lstarts[b, local_n])]
+                f.seek(data_start + int(plane_base[b]) + int(starts_g[b, lo]))
+                f.write(blob)
+    _barrier("znn-mh-data")
+
+
+def decompress_file_multihost(in_path: str, out_path: str) -> None:
+    """Decompress a ``.znn`` container cooperatively: every process handles
+    its chunk range's cells and pwrites the plaintext range."""
+    import jax
+
+    pid, n_proc = jax.process_index(), jax.process_count()
+    with open(in_path, "rb") as f:
+        head = f.read(HEADER_LEN)
+        hdr, _ = Header.from_bytes(head, formats_with_shape=())
+        num_buf = dtypes.groups_for_decompress(hdr.dtype_code)
+        chunk = codec.effective_chunk(hdr.compression_chunk, num_buf)
+        n_chunks = codec.num_chunks_for(hdr.original_len, chunk)
+        t_len = num_buf * n_chunks
+        tables = f.read(t_len + t_len * 8)
+        types = np.frombuffer(tables[:t_len], np.uint8).reshape(num_buf, n_chunks)
+        cumulative = (
+            np.frombuffer(tables[t_len:], "<u8")
+            .reshape(num_buf, n_chunks)
+            .astype(np.int64)
+        )
+        starts = np.zeros((num_buf, n_chunks + 1), dtype=np.int64)
+        starts[:, 1:] = cumulative
+        plane_base = np.zeros(num_buf, dtype=np.int64)
+        for b in range(1, num_buf):
+            plane_base[b] = plane_base[b - 1] + starts[b - 1, n_chunks]
+        data_start = HEADER_LEN + t_len + t_len * 8
+
+        lo, hi = chunk_range(pid, n_proc, n_chunks)
+        local_n = hi - lo
+        if pid == 0:
+            with open(out_path, "wb") as fo:
+                fo.truncate(hdr.original_len)
+        _barrier("znn-mh-dheader")
+        if local_n:
+            # rebuild a LOCAL payload (tables for [lo, hi) + its blobs) and
+            # reuse the single-host engine on it
+            ltypes = types[:, lo:hi]
+            lsizes = (starts[:, lo + 1 : hi + 1] - starts[:, lo:hi]).astype(np.uint64)
+            lcum = np.cumsum(lsizes, axis=1, dtype=np.uint64)
+            parts = [ltypes.tobytes(), lcum.astype("<u8").tobytes()]
+            for b in range(num_buf):
+                f.seek(data_start + int(plane_base[b]) + int(starts[b, lo]))
+                parts.append(f.read(int(starts[b, hi] - starts[b, lo])))
+            local_payload = b"".join(parts)
+            local_len = min(hi * chunk, hdr.original_len) - lo * chunk
+            out = codec.decompress_payload(
+                local_payload, num_buf, hdr.bit_reorder, hdr.byte_reorder,
+                chunk, local_len,
+            )
+            with open(out_path, "r+b") as fo:
+                fo.seek(lo * chunk)
+                fo.write(np.ascontiguousarray(out).tobytes())
+    _barrier("znn-mh-ddata")
