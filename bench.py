@@ -75,17 +75,24 @@ def bench_tpu_fused_encode(data: bytes, comp: bytes, results: dict) -> None:
             return
         run, words_dev, assemble = plan
         outs = run(words_dev)
+        t0 = time.perf_counter()
         payload = assemble(*outs)
+        t_asm = time.perf_counter() - t0
         assert payload == bytes(comp[HEADER_LEN:]), "fused encode payload mismatch"
         best = float("inf")
         for _i in range(3):
             t0 = time.perf_counter()
             outs = run(words_dev)
-            # sync on plane 0's bit counts (outs[2] = per-plane (rows, bits))
-            _ = np.asarray(outs[2][0][1].reshape(-1)[:1])
+            # run() host-syncs the exact bit counts; also sync the encoded
+            # rows of the first plane that ran the kernel
+            for b in range(len(outs[2])):
+                if outs[2][b] is not None:
+                    _ = np.asarray(outs[2][b].reshape(-1)[:1])
+                    break
             best = min(best, time.perf_counter() - t0)
         results["tpu_fused_encode"] = {
             "compress_GBps_hbm": len(data) / 1e9 / best,
+            "assemble_s_host": round(t_asm, 2),
         }
     except Exception as exc:
         results["tpu_fused_encode"] = {"error": str(exc)[:300]}

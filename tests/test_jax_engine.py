@@ -305,14 +305,15 @@ def test_jax_device_output_fp32_ragged():
 
 
 def test_fused_encode_assembly_with_mocked_kernel(monkeypatch):
-    """The fused-encode host logic — optimistic row sizing, the overflow
-    re-encode path, RLE/raw/threshold decisions, container assembly — with
-    the Pallas kernel replaced by a contract-faithful numpy fake (fixed-
-    width rows, exact bit counts, truncation on overflow).  Output must be
-    byte-identical to the numpy golden engine's shared profile.  This is
-    the default-suite CPU coverage for jax_codec.plan_fast_encode's
-    data-dependent paths (the compiled kernel itself is covered by the
-    @tpu suite and `pytest -m interpret`).
+    """The fused-encode host logic — exact histogram-derived bit counts,
+    the RLE/raw/threshold decisions they drive, the skip-raw-plane rule,
+    and container assembly — with only the Pallas kernel replaced by a
+    contract-faithful numpy fake (the split/histogram/bits dispatches run
+    for real as XLA-on-CPU).  Output must be byte-identical to the numpy
+    golden engine's shared profile.  This is the default-suite CPU
+    coverage for jax_codec.plan_fast_encode's data-dependent paths (the
+    compiled kernel itself is covered by the @tpu suite and
+    `pytest -m interpret`).
     """
     from zipnn_tpu import ZipNN
     from zipnn_tpu.ops import jax_codec
@@ -320,45 +321,37 @@ def test_fused_encode_assembly_with_mocked_kernel(monkeypatch):
 
     monkeypatch.setattr(jax_codec, "FORCE_DEVICE_PATH", True)
 
-    def fake_encode_call(full, num_buf, seg, sws):
-        def run(planes, tbls):
-            ph = np.ascontiguousarray(planes).astype("<u4").view(np.uint8)
-            ph = ph.reshape(full, num_buf, seg * 4)
-            outs = []
-            for b in range(num_buf):
-                tb = np.asarray(tbls)[b].astype(np.uint32)
-                ent = np.zeros(256, np.uint32)
-                ent[0::2] = tb[0, :128] & 0xFFFF
-                ent[1::2] = tb[0, :128] >> 16
-                vals = (ent & 0xFF).astype(np.uint16)
-                lens = ((ent >> 8) & 0xFF).astype(np.uint8)
-                sw = sws[b]
-                rows = np.zeros((full * 4, sw), "<u4")
-                bits = np.zeros(full * 4, np.int64)
-                for c in range(full):
-                    for k in range(4):
-                        syms = ph[c, b].reshape(4, seg)[k]
-                        blob = _huf.encode_stream(syms, vals, lens)
-                        bits[4 * c + k] = _exact_bits(syms, lens)
-                        bv = np.frombuffer(blob, np.uint8)
-                        row8 = rows[4 * c + k].view(np.uint8)
-                        n = min(bv.size, row8.size)  # truncate on overflow
-                        row8[:n] = bv[:n]
-                outs.append((jnp.asarray(rows.view("<u4")), jnp.asarray(bits)))
-            return tuple(outs)
+    def fake_plane_call(seg, sw):
+        def run(w, t):
+            wh = np.ascontiguousarray(w).astype("<u4", copy=False)
+            tb = np.asarray(t).astype(np.uint32)
+            ent = np.zeros(256, np.uint32)
+            ent[0::2] = tb[0, :128] & 0xFFFF
+            ent[1::2] = tb[0, :128] >> 16
+            vals = (ent & 0xFF).astype(np.uint16)
+            lens = ((ent >> 8) & 0xFF).astype(np.uint8)
+            S = wh.shape[0]
+            rows = np.zeros((S, sw), "<u4")
+            bits = np.zeros(S, np.int64)
+            for s in range(S):
+                syms = wh[s].view(np.uint8)
+                blob = _huf.encode_stream(syms, vals, lens)
+                bits[s] = int(lens[syms].astype(np.int64).sum()) + 1
+                bv = np.frombuffer(blob, np.uint8)
+                r8 = rows[s].view(np.uint8)
+                n = min(bv.size, r8.size)
+                r8[:n] = bv[:n]
+            return jnp.asarray(rows.view("<u4")), jnp.asarray(bits)
 
         return run
 
-    def _exact_bits(syms, lens):
-        return int(lens[syms].astype(np.int64).sum()) + 1
-
-    monkeypatch.setattr(jax_codec, "_fused_encode_call", fake_encode_call)
+    monkeypatch.setattr(jax_codec, "_fused_encode_plane_call", fake_plane_call)
 
     chunk = 1024
     n_chunks = 24
     exp = np.full((n_chunks, chunk // 2), 190, np.uint8)
     exp += RNG.integers(0, 2, size=exp.shape).astype(np.uint8)
-    exp[5] = RNG.integers(0, 256, size=chunk // 2, dtype=np.uint8)  # overflow
+    exp[5] = RNG.integers(0, 256, size=chunk // 2, dtype=np.uint8)  # -> raw cell
     exp[7] = 33  # constant plane chunk -> RLE cell
     man = RNG.integers(0, 256, size=(n_chunks, chunk // 2), dtype=np.uint8)  # raw
     data = np.stack([man, exp], axis=-1).reshape(-1).tobytes()

@@ -1098,44 +1098,91 @@ def codec_empty() -> bytes:
 
 @lru_cache(maxsize=None)
 def _fused_split_hist_call(full, chunk_words, num_buf, byte_reorder, bit_reorder):
+    """Dispatch 1: split + histograms at STREAM granularity.
+
+    Per-stream histograms make every stream's exact encoded bit count a
+    histogram-weighted sum, so the raw/RLE/huffman decision, the exact
+    blob byte lengths, and the output-row width are all known *before*
+    the encode kernel runs (see plan_fast_encode).
+    """
     import jax  # noqa: PLC0415
 
     jnp = _jnp()
     plane_bytes = chunk_words * 4 // num_buf
+    seg = plane_bytes // 4
 
     def run(words):  # uint32 [full * chunk_words]
         planes = jax_transforms.split_device(
             words.reshape(full, chunk_words), num_buf, byte_reorder, bit_reorder
         )  # [full, num_buf, plane_words]
-        pb = jax_transforms.u32_flat_to_u8(planes.reshape(-1)).reshape(
-            full * num_buf, plane_bytes
-        )
-        hist = jax_entropy.histogram_cells(pb)  # [cells, 256] int32
+        # stream word-rows are contiguous plane slices: histogram straight
+        # from the uint32 words (no u8 restride pass)
+        shist = jax_entropy.histogram_rows_words(
+            planes.reshape(full * num_buf * 4, seg // 4)
+        )  # [cells*4, 256] int32
+        hist = shist.reshape(full * num_buf, 4, 256).sum(axis=1)
         phist = hist.reshape(full, num_buf, 256).sum(axis=0)
         cmax = hist.max(axis=1)
         carg = hist.argmax(axis=1).astype(jnp.int32)
-        return planes, phist, cmax, carg
+        return planes, shist, phist, cmax, carg
 
     return jax.jit(run)
 
 
 @lru_cache(maxsize=None)
-def _fused_encode_call(full, num_buf, seg, sws):
+def _screen_call(full, num_buf, plane_bytes, th_bound):
+    """Dispatch 2: exact per-stream bit counts + every cell's coding
+    decision, all ON DEVICE — the host receives only per-plane scalars
+    (run any kernel at all? widest passing stream?), so the screening
+    round-trip moves a few dozen bytes.
+
+    fp32 is exact for the bit sums: counts <= 2^17, lengths <= 12,
+    sums < 2^24.  ``th_bound`` is the pre-rounded integer threshold
+    (host-computed from plane_bytes * compression_threshold) so the
+    comparison is integer-exact, matching the numpy model bit for bit.
+    """
+    import jax  # noqa: PLC0415
+
+    jnp = _jnp()
+
+    def run(shist, cmax, lens, hlen, has_tbl):
+        h = shist.reshape(full, num_buf, 4, 256).astype(jnp.float32)
+        bits = (
+            jnp.einsum("fnks,ns->fnk", h, lens.astype(jnp.float32)).astype(
+                jnp.int32
+            )
+            + 1
+        )  # sentinel
+        sbytes = (bits + 7) // 8
+        comp_len = hlen[None, :] + 6 + sbytes.sum(axis=2)
+        rle = cmax.reshape(full, num_buf) == plane_bytes
+        huf_ok = (
+            ~rle
+            & has_tbl[None, :]
+            & jnp.all((sbytes >= 1) & (sbytes <= 65535), axis=2)
+            & (comp_len < plane_bytes - 1)
+            & (comp_len < th_bound)
+        )
+        any_pass = huf_ok.any(axis=0)
+        maxbits = jnp.max(
+            jnp.where(huf_ok[:, :, None], bits, 0), axis=(0, 2)
+        )
+        return bits, huf_ok, rle, any_pass, maxbits
+
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=None)
+def _fused_encode_plane_call(seg, sw):
+    """Dispatch 3: one plane's lockstep encode (reverse + byteswap +
+    kernel), fully jitted so the whole plane is one device dispatch."""
     import jax  # noqa: PLC0415
 
     from . import pallas_huf_enc  # noqa: PLC0415
 
-    jnp = _jnp()
-
-    def run(planes, tbls):  # planes [full, nb, plane_words]; tbls [nb, SUBS, 128]
-        outs = []
-        for b in range(num_buf):
-            w = planes[:, b].reshape(full * 4, seg // 4)
-            rows, bits = pallas_huf_enc.encode_words(w, tbls[b], seg, sws[b])
-            outs.append((rows, bits))
-        return tuple(outs)
-
-    return jax.jit(run)
+    return jax.jit(
+        lambda w, t: pallas_huf_enc.encode_words(w, t, seg, sw)
+    )
 
 
 def plan_fast_encode(
@@ -1178,41 +1225,63 @@ def plan_fast_encode(
     sh = _fused_split_hist_call(full, chunk_words, num_buf, byte_reorder, bit_reorder)
     words_dev = jnp.asarray(data.view("<u4"))
 
+    import math  # noqa: PLC0415
+
+    t = plane_bytes * threshold
+    th_bound = int(t) if float(t).is_integer() else math.ceil(t)
+
     def run(words):
-        planes, phist, cmax, carg = sh(words)
-        ph = np.asarray(phist)  # 2x256 ints: the only host sync mid-pipeline
+        planes, shist, phist, cmax, carg = sh(words)
+        ph = np.asarray(phist)  # 2x256 ints: first host sync
         shared = [None] * num_buf
-        tbls = np.zeros((num_buf, pallas_huf_enc.SUBS, 128), np.int32)
-        sws = []
+        lens_tbl = np.zeros((num_buf, 256), np.int32)
+        hlen = np.zeros(num_buf, np.int32)
         for b in range(num_buf):
             cnt = ph[b].astype(np.int64)
             if cnt.sum():
                 shared[b] = _huf.build_shared_table(cnt)
             if shared[b] is not None:
-                lengths, vals, _header, _tl = shared[b]
-                tbls[b] = pallas_huf_enc.pack_etable8(vals, lengths)
-                sws.append(pallas_huf_enc.sw_for_expected(
-                    seg, _expected_bits(cnt, lengths)
-                ))
-            else:  # plane is all-RLE/raw; encode output is unused
-                tbls[b] = pallas_huf_enc.pack_etable8(
-                    np.zeros(256, np.uint8), np.ones(256, np.uint8)
-                )
-                sws.append(128)
-        enc = _fused_encode_call(full, num_buf, seg, tuple(sws))
-        outs = enc(planes, jnp.asarray(tbls))
-        return planes, shared, outs, tuple(sws), cmax, carg
+                lens_tbl[b] = shared[b][0].astype(np.int32)
+                hlen[b] = len(shared[b][2])
+        has_tbl = np.asarray(
+            [shared[b] is not None for b in range(num_buf)]
+        )
+        # dispatch 2: every coding decision on device; only per-plane
+        # scalars (any pass? widest passing stream?) reach the host
+        scr = _screen_call(full, num_buf, plane_bytes, th_bound)
+        bits_d, huf_ok_d, rle_d, any_pass, maxbits = scr(
+            shist, cmax, jnp.asarray(lens_tbl), jnp.asarray(hlen),
+            jnp.asarray(has_tbl),
+        )
+        ap = np.asarray(any_pass)
+        mb = np.asarray(maxbits)
+        # dispatch 3 (per plane WITH huffman cells — a raw-only plane,
+        # e.g. a bf16 mantissa plane, skips its kernel entirely): output
+        # rows sized exactly for the widest passing stream; failing
+        # cells' rows may clamp, but their output is never read
+        outs = [None] * num_buf
+        sws = [0] * num_buf
+        for b in range(num_buf):
+            if not bool(ap[b]):
+                continue
+            lengths, vals, _header, _tl = shared[b]
+            tbl = jnp.asarray(pallas_huf_enc.pack_etable8(vals, lengths))
+            sw = max(96, -(-((int(mb[b]) + 31) // 32 + 8) // 32) * 32)
+            enc = _fused_encode_plane_call(seg, sw)
+            rows, _kb = enc(planes[:, b].reshape(full * 4, seg // 4), tbl)
+            outs[b] = rows
+            sws[b] = sw
+        return planes, shared, outs, tuple(sws), bits_d, huf_ok_d, rle_d, carg
 
-    def assemble(planes, shared, outs, sws, cmax, carg):
-        bits_h = [
-            np.asarray(outs[b][1]).reshape(full, 4).astype(np.int64)
-            for b in range(num_buf)
-        ]
-        slen = [(x + 7) // 8 for x in bits_h]  # per plane [full, 4]
-        cmax_h = np.asarray(cmax).reshape(full, num_buf)
-        carg_h = np.asarray(carg).reshape(full, num_buf)
+    def assemble(planes, shared, outs, sws, bits_d, huf_ok_d, rle_d, carg_d):
+        bits = np.asarray(bits_d).astype(np.int64)
+        huf_ok = np.asarray(huf_ok_d)
+        rle = np.asarray(rle_d)
+        carg_h = np.asarray(carg_d).reshape(full, num_buf)
+        sbytes = (bits + 7) // 8  # [full, nb, 4]
         rview = [
-            np.ascontiguousarray(outs[b][0])
+            None if outs[b] is None else
+            np.ascontiguousarray(outs[b])
             .astype("<u4", copy=False)
             .view(np.uint8)
             .reshape(full * 4, -1)
@@ -1224,42 +1293,22 @@ def plan_fast_encode(
         blobs: List[List[Optional[bytes]]] = [
             [None] * full for _ in range(num_buf)
         ]
-        def stream_bytes(b, c, k):
-            # rare: a stream that overflowed its optimistic row gets an
-            # exact host re-encode from the device plane words
-            if (int(bits_h[b][c, k]) + 31) // 32 + 8 > sws[b]:
-                nonlocal planes_h
-                if planes_h is None:
-                    pw = np.ascontiguousarray(planes)
-                    planes_h = pw.astype("<u4", copy=False).view(
-                        np.uint8
-                    ).reshape(full, num_buf, plane_bytes)
-                lengths, vals, _header, _tl = shared[b]
-                syms = planes_h[c, b].reshape(4, seg)[k]
-                return huf.encode_stream(syms, vals, lengths)
-            return rview[b][4 * c + k, : slen[b][c, k]].tobytes()
-
         for b in range(num_buf):
             header = shared[b][2] if shared[b] is not None else None
             for c in range(full):
-                comp = None
-                if int(cmax_h[c, b]) == plane_bytes:
+                if rle[c, b]:
                     comp = bytes([int(carg_h[c, b])])
-                elif header is not None:
-                    parts4 = [stream_bytes(b, c, k) for k in range(4)]
-                    ls = np.asarray([len(x) for x in parts4], dtype=np.int64)
-                    if np.all((ls > 0) & (ls <= 65535)):
-                        jump = b"".join(
-                            int(x).to_bytes(2, "little") for x in ls[:3]
-                        )
-                        streams = b"".join(parts4)
-                        comp = header + jump + streams
-                        if (
-                            len(comp) >= plane_bytes - 1
-                            or len(comp) >= plane_bytes * threshold
-                        ):
-                            comp = None
-                if comp is not None and len(comp) < plane_bytes * threshold:
+                    chunk_types[b, c] = 1
+                    chunk_sizes[b, c] = len(comp)
+                    blobs[b][c] = comp
+                elif huf_ok[c, b]:
+                    ls = sbytes[c, b]
+                    jump = b"".join(int(x).to_bytes(2, "little") for x in ls[:3])
+                    streams = b"".join(
+                        rview[b][4 * c + k, : int(ls[k])].tobytes()
+                        for k in range(4)
+                    )
+                    comp = header + jump + streams
                     chunk_types[b, c] = 1
                     chunk_sizes[b, c] = len(comp)
                     blobs[b][c] = comp

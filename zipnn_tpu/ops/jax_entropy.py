@@ -141,11 +141,11 @@ def histogram_cells(data: jax.Array) -> jax.Array:
 
     The TPU equivalent of the reference's per-chunk ``hist`` pass feeding
     HUF_compress — but as MXU work, not a scatter: one-hot the two nibbles
-    of every byte (int8) and batch-matmul them, so
+    of every byte (bf16: 0/1 are exact, f32 accumulation is exact below
+    2^24) and batch-matmul them, so
     ``hist[c, 16*i + j] = #{n : hi(data[c,n])==i and lo(data[c,n])==j}``.
     A segment_sum scatter lowers to serial updates on TPU (~0.1 GB/s); this
-    runs at HBM-bound speed (~5 GB/s, 47x faster), chunked over cells to
-    bound the one-hot slabs to ~64 MB.
+    runs 47x faster, chunked over cells to bound the one-hot slabs.
     """
     C, N = data.shape
     grp = max(1, min(C, (4 << 20) // max(N, 1)))
@@ -157,15 +157,58 @@ def histogram_cells(data: jax.Array) -> jax.Array:
     iota = jnp.arange(16, dtype=jnp.uint8)
 
     def step(_, rows):
-        hi = ((rows >> 4)[..., None] == iota).astype(jnp.int8)
-        lo = ((rows & 15)[..., None] == iota).astype(jnp.int8)
+        hi = ((rows >> 4)[..., None] == iota).astype(jnp.bfloat16)
+        lo = ((rows & 15)[..., None] == iota).astype(jnp.bfloat16)
         h = jnp.einsum(
-            "cni,cnj->cij", hi, lo, preferred_element_type=_I
+            "cni,cnj->cij", hi, lo, preferred_element_type=jnp.float32
         )
-        return None, h
+        return None, h.astype(_I)
 
     _, hs = jax.lax.scan(step, None, x)
     return hs.reshape(Cp, 256)[:C]
+
+
+def histogram_rows_words(words: jax.Array) -> jax.Array:
+    """Per-row byte histogram from uint32 words: [R, W] -> int32 [R, 256].
+
+    Byte-POSITION-packed variant of :func:`histogram_cells`: the MXU's
+    floor for these histograms is the tiny-matmul shape (a 16x16 output
+    uses 1.5% of the array), so the four byte positions of each word are
+    packed into the M/N dims — one [64, W] x [W, 64] dot per row, 25%
+    utilization, with the wanted per-position 16x16 blocks on the diagonal
+    (off-diagonal cross terms ride along free).  ~2x faster than the
+    per-byte nibble formulation at 768 MB.
+    """
+    R, W = words.shape
+    grp = max(1, min(R, (1 << 20) // max(W, 1)))
+    Rp = -(-R // grp) * grp
+    x = words
+    if Rp != R:
+        x = jnp.concatenate([words, jnp.zeros((Rp - R, W), jnp.uint32)])
+    x = x.reshape(Rp // grp, grp, W)
+    iota = jnp.arange(16, dtype=jnp.uint8)
+
+    def step(_, rows):  # [G, W] uint32
+        his = []
+        los = []
+        for p in range(4):
+            b = ((rows >> jnp.uint32(8 * p)) & jnp.uint32(0xFF)).astype(jnp.uint8)
+            his.append(((b >> 4)[..., None] == iota).astype(jnp.bfloat16))
+            los.append(((b & 15)[..., None] == iota).astype(jnp.bfloat16))
+        A = jnp.concatenate(his, axis=2)  # [G, W, 64] (16p + hi)
+        B = jnp.concatenate(los, axis=2)  # [G, W, 64] (16p + lo)
+        out = jnp.einsum(
+            "cwi,cwj->cij", A, B, preferred_element_type=jnp.float32
+        )  # [G, 64, 64]
+        o = out.reshape(-1, 4, 16, 4, 16)
+        h = (
+            o[:, 0, :, 0, :] + o[:, 1, :, 1, :]
+            + o[:, 2, :, 2, :] + o[:, 3, :, 3, :]
+        )
+        return None, h.astype(_I).reshape(-1, 256)
+
+    _, hs = jax.lax.scan(step, None, x)
+    return hs.reshape(Rp, 256)[:R]
 
 
 # ---------------------------------------------------------------------------
