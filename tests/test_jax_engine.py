@@ -369,3 +369,19 @@ def test_fused_encode_assembly_with_mocked_kernel(monkeypatch):
 
     assert payload == bytes(golden[HEADER_LEN:])
     assert bytes(ZipNN().decompress(bytes(golden))) == data
+
+
+def test_histogram_rows_words_matches_cells():
+    """The position-packed word histogram must agree exactly with the
+    per-byte nibble formulation (both exact: bf16 one-hots, f32 sums)."""
+    from zipnn_tpu.ops import jax_entropy
+
+    rng = np.random.default_rng(5)
+    for R, W in ((3, 32), (17, 256), (64, 1024)):
+        data = rng.integers(0, 256, (R, W * 4), dtype=np.uint8)
+        words = jnp.asarray(np.ascontiguousarray(data).view("<u4"))
+        a = np.asarray(jax_entropy.histogram_rows_words(words))
+        b = np.asarray(jax_entropy.histogram_cells(jnp.asarray(data)))
+        assert np.array_equal(a, b)
+        want = np.stack([np.bincount(r, minlength=256) for r in data])
+        assert np.array_equal(a, want)

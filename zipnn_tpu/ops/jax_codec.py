@@ -1274,6 +1274,10 @@ def plan_fast_encode(
         return planes, shared, outs, tuple(sws), bits_d, huf_ok_d, rle_d, carg
 
     def assemble(planes, shared, outs, sws, bits_d, huf_ok_d, rle_d, carg_d):
+        # vectorized in-place splice: all sizes/offsets are known up front
+        # (exact histogram-derived bit counts), so the payload is built by
+        # slice-assignment into one preallocated buffer — no per-cell bytes
+        # objects and no 50k-piece join
         bits = np.asarray(bits_d).astype(np.int64)
         huf_ok = np.asarray(huf_ok_d)
         rle = np.asarray(rle_d)
@@ -1287,45 +1291,63 @@ def plan_fast_encode(
             .reshape(full * 4, -1)
             for b in range(num_buf)
         ]
-        planes_h = None
-        chunk_types = np.zeros((num_buf, full), dtype=np.uint8)
-        chunk_sizes = np.zeros((num_buf, full), dtype=np.uint64)
-        blobs: List[List[Optional[bytes]]] = [
-            [None] * full for _ in range(num_buf)
-        ]
-        for b in range(num_buf):
-            header = shared[b][2] if shared[b] is not None else None
-            for c in range(full):
-                if rle[c, b]:
-                    comp = bytes([int(carg_h[c, b])])
-                    chunk_types[b, c] = 1
-                    chunk_sizes[b, c] = len(comp)
-                    blobs[b][c] = comp
-                elif huf_ok[c, b]:
-                    ls = sbytes[c, b]
-                    jump = b"".join(int(x).to_bytes(2, "little") for x in ls[:3])
-                    streams = b"".join(
-                        rview[b][4 * c + k, : int(ls[k])].tobytes()
-                        for k in range(4)
-                    )
-                    comp = header + jump + streams
-                    chunk_types[b, c] = 1
-                    chunk_sizes[b, c] = len(comp)
-                    blobs[b][c] = comp
-                else:
-                    if planes_h is None:
-                        pw = np.ascontiguousarray(planes)
-                        planes_h = pw.astype("<u4", copy=False).view(
-                            np.uint8
-                        ).reshape(full, num_buf, plane_bytes)
-                    chunk_types[b, c] = 0
-                    chunk_sizes[b, c] = plane_bytes
-                    blobs[b][c] = planes_h[c, b].tobytes()
+        hlen = np.asarray(
+            [len(shared[b][2]) if shared[b] is not None else 0
+             for b in range(num_buf)],
+            dtype=np.int64,
+        )
+        comp_len = hlen[None, :] + 6 + sbytes.sum(axis=2)  # [full, nb]
+        chunk_types = (rle | huf_ok).T.astype(np.uint8)  # [nb, full]
+        chunk_sizes = np.where(
+            rle, 1, np.where(huf_ok, comp_len, plane_bytes)
+        ).T.astype(np.uint64)
         cumulative = np.cumsum(chunk_sizes, axis=1, dtype=np.uint64)
-        parts = [chunk_types.tobytes(), cumulative.astype("<u8").tobytes()]
+        starts = np.zeros((num_buf, full + 1), dtype=np.int64)
+        starts[:, 1:] = cumulative
+        tbl_len = chunk_types.nbytes + cumulative.astype("<u8").nbytes
+        plane_base = np.zeros(num_buf, dtype=np.int64)
+        for b in range(1, num_buf):
+            plane_base[b] = plane_base[b - 1] + starts[b - 1, full]
+        out = np.empty(tbl_len + int(plane_base[-1] + starts[-1, full]), np.uint8)
+        out[: chunk_types.nbytes] = np.ascontiguousarray(chunk_types).reshape(-1)
+        out[chunk_types.nbytes : tbl_len] = np.ascontiguousarray(
+            cumulative.astype("<u8")
+        ).view(np.uint8).reshape(-1)
+        planes_h = None
+        if not np.all(rle | huf_ok):
+            pw = np.ascontiguousarray(planes)
+            planes_h = pw.astype("<u4", copy=False).view(np.uint8).reshape(
+                full, num_buf, plane_bytes
+            )
         for b in range(num_buf):
-            parts.extend(blobs[b])
-        return b"".join(parts)
+            header = None
+            if shared[b] is not None:
+                header = np.frombuffer(shared[b][2], np.uint8)
+            base = tbl_len + int(plane_base[b])
+            rv = rview[b]
+            hl = int(hlen[b])
+            for c in range(full):
+                o = base + int(starts[b, c])
+                if rle[c, b]:
+                    out[o] = carg_h[c, b]
+                elif huf_ok[c, b]:
+                    out[o : o + hl] = header
+                    o += hl
+                    ls = sbytes[c, b]
+                    out[o] = ls[0] & 0xFF
+                    out[o + 1] = ls[0] >> 8
+                    out[o + 2] = ls[1] & 0xFF
+                    out[o + 3] = ls[1] >> 8
+                    out[o + 4] = ls[2] & 0xFF
+                    out[o + 5] = ls[2] >> 8
+                    o += 6
+                    for k in range(4):
+                        n = int(ls[k])
+                        out[o : o + n] = rv[4 * c + k, :n]
+                        o += n
+                else:
+                    out[o : o + plane_bytes] = planes_h[c, b]
+        return out.tobytes()
 
     return run, words_dev, assemble
 
