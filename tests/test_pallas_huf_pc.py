@@ -59,13 +59,22 @@ def make_cells(n_cells, seg, gens=None, max_log=11):
 # numpy simulator of the kernel schedule
 # ---------------------------------------------------------------------------
 
-def sim_decode_pc(region, starts, lens, bounds, tlog_k, seg):
-    """Vectorized over streams; returns (d_indices [S, seg], final p)."""
+def sim_decode_pc(region, starts, lens, bounds, tlog_k, seg, rate12=None):
+    """Vectorized over streams; returns (d_indices [S, seg], final p).
+
+    ``final p`` carries the kernel's starvation encoding (p + STARVED on
+    flagged lanes); pass rate12=True for the provisioned class.
+    """
     from zipnn_tpu.ops import pallas_huf
 
     S = starts.size
     SW = pc.sw_for(int(lens.max()))
     use_w4 = SW >= pc.W4_MIN_SW
+    if rate12 is None:
+        rate12 = 8.0 * float(lens.max()) / seg > pc.RATE12_BITS
+    W4R, W4S, W4M = pc.W4_GEOM[rate12]
+    w3_passes = 2 if rate12 else 1
+    w3t = 52 if rate12 else 36
     RT = SW // 128
     ends = (starts + lens).astype(np.int64)
     reg = np.concatenate(
@@ -86,16 +95,15 @@ def sim_decode_pc(region, starts, lens, bounds, tlog_k, seg):
     base2 = ((wtop >> 2) << 2) - 4
     base3 = ((base2 - 36) >> 5) << 5
     if use_w4:
-        base4 = ((base3 - pc.W4_MARGIN) >> 8) << 8
-        w4 = np.zeros((pc.W4_ROWS, S), U)
-        for m in range(pc.W4_ROWS):
-            w4[m] = words[idx, np.minimum(np.maximum(base4, 0) * 0 + np.minimum(
-                np.maximum(base4, 0) + m, SW - 1), SW - 1)]
+        base4 = ((base3 - W4M) >> 8) << 8
+        w4 = np.zeros((W4R, S), U)
+        for m in range(W4R):
+            w4[m] = words[idx, np.minimum(np.maximum(base4, 0) + m, SW - 1)]
         w3 = np.zeros((96, S), U)
         for m in range(96):
             q = base3 - base4 + m
-            assert np.all((q >= pc.W4_MARGIN) & (q < pc.W4_ROWS)), "w3-from-w4 init"
-            w3[m] = w4[np.minimum(q, pc.W4_ROWS - 1), idx]
+            assert np.all((q >= W4M) & (q < W4R)), "w3-from-w4 init"
+            w3[m] = w4[np.minimum(q, W4R - 1), idx]
     else:
         base4 = base3
         w3 = np.zeros((96, S), U)
@@ -113,46 +121,48 @@ def sim_decode_pc(region, starts, lens, bounds, tlog_k, seg):
 
     shift = U(32 - tlog_k)
     out_d = np.zeros((S, seg), np.int64)
+    starv = np.zeros(S, np.int64)
     part = min(pc.PART, seg)
     n_parts = seg // part
     step = 0
     for t in range(n_parts):
         if use_w4 and t > 0:
-            slide4 = (base3 - base4) < pc.W4_MARGIN
-            nbase4 = np.where(slide4, base4 - pc.W4_STEP, base4)
-            for m in range(pc.W4_ROWS - 1, pc.W4_STEP - 1, -1):
-                w4[m] = np.where(slide4, w4[m - pc.W4_STEP], w4[m])
-            for m in range(pc.W4_STEP - 1, -1, -1):
-                src = np.minimum(np.maximum(nbase4, 0) + m, SW - 1)
+            slide4 = (base3 - base4) < W4M
+            nbase4 = np.where(slide4, base4 - W4S, base4)
+            for m in range(W4R - 1, W4S - 1, -1):
+                w4[m] = np.where(slide4, w4[m - W4S], w4[m])
+            for m in range(W4S - 1, -1, -1):
+                src = np.minimum(np.maximum(nbase4 + m, 0), SW - 1)
                 w4[m] = np.where(slide4, words[idx, src], w4[m])
             base4 = nbase4
-            assert np.all(base3 - base4 >= 32), "w4 lower margin"
-            assert np.all(base3 - base4 < pc.W4_ROWS), "w4 upper margin"
 
         for outer in range(part // 128):
-            slide3 = (base2 - base3) < 36
-            nbase3 = np.where(slide3, base3 - 32, base3)
-            for m in range(95, 31, -1):
-                w3[m] = np.where(slide3, w3[m - 32], w3[m])
-            if use_w4:
-                q3 = nbase3 - base4
-                assert np.all((q3 >= 0) | ~slide3), "w3 fetch below w4"
-                assert np.all((q3 + 32 <= pc.W4_ROWS) | ~slide3), "w3 fetch above w4"
-                for m in range(31, -1, -1):
-                    fetched = w4[np.minimum(np.maximum(q3, 0) + m, pc.W4_ROWS - 1), idx]
-                    w3[m] = np.where(slide3, fetched, w3[m])
-            else:
-                c3 = np.maximum(nbase3, 0) >> 5
-                for m in range(31, -1, -1):
-                    src = np.minimum(c3 * 32 + m, SW - 1)
-                    w3[m] = np.where(slide3, words[idx, src], w3[m])
-            base3 = nbase3
+            for _pass in range(w3_passes):
+                slide3 = (base2 - base3) < w3t
+                nbase3 = np.where(slide3, base3 - 32, base3)
+                for m in range(95, 31, -1):
+                    w3[m] = np.where(slide3, w3[m - 32], w3[m])
+                if use_w4:
+                    q3 = nbase3 - base4
+                    starv |= (slide3 & (q3 < 0)).astype(np.int64)
+                    assert np.all((q3 + 32 <= W4R) | ~slide3), "w3 fetch above w4"
+                    for m in range(31, -1, -1):
+                        fetched = w4[np.minimum(np.maximum(q3, 0) + m, W4R - 1), idx]
+                        w3[m] = np.where(slide3, fetched, w3[m])
+                else:
+                    c3 = np.maximum(nbase3, 0) >> 5
+                    for m in range(31, -1, -1):
+                        src = np.minimum(c3 * 32 + m, SW - 1)
+                        w3[m] = np.where(slide3, words[idx, src], w3[m])
+                base3 = nbase3
 
             for sub in range(16):
                 slide2 = (wpos - base2) < 4
                 nbase2 = np.where(slide2, base2 - 4, base2)
-                q2 = np.maximum(nbase2 - base3, 0) >> 2
-                assert np.all((q2 < 16) | ~slide2), "w3 window invariant"
+                q2r = nbase2 - base3
+                q2max = ((w3t + 32 - 4) >> 2) + 1
+                starv |= (slide2 & ((q2r >= 4 * (q2max - 1) + 4) | (q2r < 0))).astype(np.int64)
+                q2 = np.maximum(q2r, 0) >> 2
                 for k in range(7, 3, -1):
                     w8[k] = np.where(slide2, w8[k - 4], w8[k])
                 for k in range(3, -1, -1):
@@ -190,7 +200,7 @@ def sim_decode_pc(region, starts, lens, bounds, tlog_k, seg):
 
                     out_d[:, step] = d
                     step += 1
-    return out_d, p
+    return out_d, np.where(starv > 0, p + pc.STARVED, p)
 
 
 def postmap(out_d, pages, cell_of_stream, tlog_k):
@@ -317,3 +327,84 @@ def test_tpu_pc_kernel_256k_geometry():
     assert pc.sw_for(int(lens.max())) >= pc.W4_MIN_SW
     out = pc.decode_cells(region, starts, lens, headers, cells, 32768)
     assert np.array_equal(np.asarray(out), datas)
+
+
+def test_sim_high_rate_streams_rate12():
+    """Streams averaging > 8 bits/symbol (near-raw cells that still pass
+    the 0.95 threshold, tableLog 9-10): the base-rate window cadences
+    starve on these — the rate12 class must decode them exactly, including
+    the signed W4 fetch at base4 == -256 (alignment mod 256, step 512)."""
+    gens = [
+        lambda n: RNG.integers(0, 200, n).astype(np.uint8) ** 1,  # ~7.6b
+        lambda n: np.clip(RNG.normal(128, 45, n), 0, 255).astype(np.uint8),
+    ]
+    # make compressible-but-barely data: bias towards a subset
+    def near_raw(n):
+        x = RNG.integers(0, 256, n).astype(np.uint8)
+        mask = RNG.random(n) < 0.35
+        x[mask] = RNG.integers(0, 16, int(mask.sum())).astype(np.uint8)
+        return x
+    datas, headers, region, starts, lens, cells = make_cells(
+        3, 8192, gens=[near_raw]
+    )
+    rate = 8.0 * float(lens.max()) / 8192
+    assert rate > pc.RATE12_BITS, f"test data must be high-rate, got {rate}"
+    tlog_k = max(9, max(huf.read_stats(h)[2] for h in set(headers)))
+    bounds, pages, _ = pc.cell_decode_tables(headers, tlog_k)
+    out_d, pend = sim_decode_pc(
+        region, starts, lens, bounds[cells], tlog_k, 8192, rate12=True
+    )
+    assert not np.any(pend < -(1 << 29)), "rate12 must not starve"
+    syms = postmap(out_d, pages, cells, tlog_k)
+    assert np.array_equal(syms, datas)
+
+
+def test_sim_fixture_fp16_mixed_rate12():
+    """Regression: the fp16_mixed canonical fixture's huffman cells (7-9
+    bits/symbol, tableLog 9/10) silently corrupted under the base-rate
+    windows; rate12 must decode them bit-exactly."""
+    import json
+    from pathlib import Path
+
+    from zipnn_tpu import codec
+    from zipnn_tpu.core.header import Header
+
+    fx = Path(__file__).resolve().parent / "fixtures"
+    comp = (fx / "fp16_mixed.znn").read_bytes()
+    hdr, consumed = Header.from_bytes(comp)
+    payload_np = np.frombuffer(memoryview(comp)[consumed:], np.uint8)
+    types, starts, ds = codec.parse_tables(payload_np, 2, 4)
+    plane_base = np.zeros(2, np.int64)
+    plane_base[1] = starts[0, 4]
+    cs = (ds + plane_base[:, None] + starts[:, :-1])[:, :3]
+    sz = (starts[:, 1:] - starts[:, :-1])[:, :3]
+    t = types[:, :3]
+    huf_mask = (t == 1) & (sz > 1) & (sz < 32768)
+    hb, hc = np.nonzero(huf_mask)
+    hcs = cs[hb, hc].astype(np.int64)
+    hsz = sz[hb, hc].astype(np.int64)
+    b0 = payload_np[hcs]
+    consumed_c = np.where(b0 >= 128, 1 + (b0 - 127 + 1) // 2, 1 + b0)
+    headers = [
+        bytes(payload_np[int(o) : int(o + c)]) for o, c in zip(hcs, consumed_c)
+    ]
+    jt = hcs + consumed_c
+    l1 = payload_np[jt].astype(np.int64) | (payload_np[jt + 1].astype(np.int64) << 8)
+    l2 = payload_np[jt + 2].astype(np.int64) | (payload_np[jt + 3].astype(np.int64) << 8)
+    l3 = payload_np[jt + 4].astype(np.int64) | (payload_np[jt + 5].astype(np.int64) << 8)
+    l4 = hsz - consumed_c - 6 - l1 - l2 - l3
+    slens = np.stack([l1, l2, l3, l4], 1).reshape(-1)
+    sstarts = np.stack([jt + 6, jt + 6 + l1, jt + 6 + l1 + l2, jt + 6 + l1 + l2 + l3], 1).reshape(-1)
+    tlog_k = max(9, max(huf.read_stats(h)[2] for h in set(headers)))
+    bounds, pages, _ = pc.cell_decode_tables(headers, tlog_k)
+    cells = np.repeat(np.arange(len(headers)), 4)
+    assert 8.0 * float(slens.max()) / 8192 > pc.RATE12_BITS
+    out_d, pend = sim_decode_pc(
+        payload_np, sstarts, slens, bounds[cells], tlog_k, 8192, rate12=True
+    )
+    assert not np.any(pend < -(1 << 29))
+    syms = postmap(out_d, pages, cells, tlog_k)
+    for i, (b, c) in enumerate(zip(hb, hc)):
+        blob = bytes(payload_np[int(cs[b, c]) : int(cs[b, c] + sz[b, c])])
+        want = np.asarray(huf.decompress(blob, 32768)).reshape(4, 8192)
+        assert np.array_equal(syms[4 * i : 4 * i + 4], want), (b, c)

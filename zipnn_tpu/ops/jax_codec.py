@@ -262,6 +262,11 @@ def _make_fast_args(
     return run, dev_args, SW, end_in_row
 
 
+class _PCStarved(Exception):
+    """Internal: base-rate window provisioning starved on a local bit-rate
+    spike; the caller retries with the rate12 kernel class."""
+
+
 # Set True to take the Pallas fast paths regardless of platform — used with
 # the kernels' INTERPRET flags so CPU CI drives the fused pipelines.
 FORCE_DEVICE_PATH = False
@@ -280,6 +285,7 @@ def _fused_pc_decode(
     n_rle: int,
     n_huf: int,
     tlog_k: int,
+    rate12: bool,
 ):
     """One-call device pipeline for PER-CELL-table containers.
 
@@ -298,7 +304,7 @@ def _fused_pc_decode(
     S = n_huf * 4
     S_pad = -(-max(S, 1) // pc.BLOCK) * pc.BLOCK
     n_blocks = S_pad // pc.BLOCK
-    kernel = pc._decode_call(SW, seg, tlog_k, n_blocks)
+    kernel = pc._decode_call(SW, seg, tlog_k, n_blocks, rate12)
     plane_words = plane_bytes // 4
 
     def run(tiles, row_starts, p0, cbnd, pages, stored_starts, rle_vals, perm):
@@ -346,6 +352,7 @@ def plan_pc_decode(
     byte_reorder: int,
     chunk_size: int,
     orig_size: int,
+    force_rate12: bool = False,
 ):
     """Build the fused per-cell-table device decode (reference containers).
 
@@ -404,7 +411,8 @@ def plan_pc_decode(
             return None
         slens = np.stack([l1, l2, l3, l4], axis=1).reshape(-1)
         SW = pc.sw_for(int(slens.max()))
-        if not pc.vmem_ok(int(slens.max()), seg):
+        rate12 = force_rate12 or (8.0 * float(slens.max()) / seg > pc.RATE12_BITS)
+        if not pc.vmem_ok(int(slens.max()), seg, rate12):
             return None
         s0 = jt + 6
         sstarts = np.stack(
@@ -433,7 +441,7 @@ def plan_pc_decode(
     run = _fused_pc_decode(
         SW, seg, full, num_buf, plane_bytes, byte_reorder, bit_reorder,
         int(np.count_nonzero(stored_mask)), int(np.count_nonzero(rle_mask)),
-        n_huf, tlog_k,
+        n_huf, tlog_k, rate12,
     )
     st_b, st_c = np.nonzero(stored_mask)
     rl_b, rl_c = np.nonzero(rle_mask)
@@ -461,7 +469,7 @@ def plan_pc_decode(
         jnp.asarray(perm.reshape(-1)),
     )
     meta = {"SW": SW, "slens": slens, "full": full, "n_huf": n_huf,
-            "end_in_row": end_in_row, "tlog_k": tlog_k,
+            "end_in_row": end_in_row, "tlog_k": tlog_k, "rate12": rate12,
             "cells": (huf_b, huf_c)}
     return run, dev_args, meta
 
@@ -598,14 +606,27 @@ def decompress_payload(
                 orig_size,
             )
             if planpc is not None:
-                run, dev_args, meta = planpc
-                owords, pend = run(*dev_args)
-                return _complete_fused(
-                    owords, pend, meta["end_in_row"], meta["slens"], n_huf,
-                    out, mv, types, cell_start, cell_size, full, n_chunks,
-                    chunk_size, orig_size, num_buf, byte_reorder,
-                    bit_reorder, to_device, cells=meta["cells"],
-                )
+                for force in dict.fromkeys((False, True)):
+                    if force:
+                        planpc = plan_pc_decode(
+                            payload, num_buf, bit_reorder, byte_reorder,
+                            chunk_size, orig_size, force_rate12=True,
+                        )
+                    run, dev_args, meta = planpc
+                    owords, pend = run(*dev_args)
+                    try:
+                        return _complete_fused(
+                            owords, pend, meta["end_in_row"], meta["slens"],
+                            n_huf, out, mv, types, cell_start, cell_size,
+                            full, n_chunks, chunk_size, orig_size, num_buf,
+                            byte_reorder, bit_reorder, to_device,
+                            cells=meta["cells"],
+                        )
+                    except _PCStarved:
+                        if meta["rate12"]:
+                            raise RuntimeError(
+                                "window starvation under rate12 provisioning"
+                            ) from None
 
         raw_planes = np.empty((full, num_buf, plane_bytes), dtype=np.uint8)
         for b, c in zip(*np.nonzero(stored_mask)):
@@ -706,6 +727,8 @@ def _complete_fused(
         host = np.asarray(owords).astype("<u4", copy=False)
     if n_huf:
         pend_np = np.asarray(pend).astype(np.int64)
+        if np.any(pend_np < -(1 << 29)):
+            raise _PCStarved()
         want_end = 8 * (end_in_row - slens)
         if not np.array_equal(pend_np, want_end):
             bad = int(np.nonzero(pend_np != want_end)[0][0])

@@ -54,11 +54,18 @@ TLOG_CAP = 12  # format maximum (HUF_TABLELOG_MAX)
 SUBS = 16
 BLOCK = SUBS * 128
 PART = 1024  # symbols per output part (and W4 slide cadence)
-W4_ROWS = 640  # covers base3-base4 in [32, 544) + 96 W3-init rows
-W4_STEP = 256
-W4_MARGIN = 32 + W4_STEP  # slide threshold AND init lower margin: a part
-# drains <= 256 rows and no slide happens before the first part boundary
+# W4 geometry per rate class.  The window-slide cadences must cover the
+# worst-case LOCAL drain between refresh points; the base class provisions
+# for 8 bits/symbol (one W3 slide per period, like the <=8-bit shared
+# kernel), the rate12 class for the format maximum of 12 bits/symbol
+# (two W3 slides per period, double-depth W4 steps).  The plan picks the
+# class from the exact stream lengths; an in-kernel starvation flag is the
+# correctness backstop for freak local spikes in the base class.
+W4_GEOM = {False: (640, 256, 288), True: (1056, 512, 544)}  # rows, step, margin
+W4_ROWS, W4_STEP, W4_MARGIN = W4_GEOM[False]  # base-class aliases (sim/tests)
+RATE12_BITS = 6.0  # streams averaging above this use the rate12 class
 W4_MIN_SW = 1024  # enable W4 above this stream width (words)
+STARVED = -(1 << 30)  # pend marker: window starvation, retry with rate12
 
 INTERPRET = False
 
@@ -112,7 +119,7 @@ def _expand_cell(sym_t, nb_t, tlog: int, tlog_k: int):
 # decode kernel (d-index output)
 # ---------------------------------------------------------------------------
 
-def _build_kernel(SW: int, SEG: int, TLOG: int, use_w4: bool):
+def _build_kernel(SW: int, SEG: int, TLOG: int, use_w4: bool, rate12: bool):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -124,6 +131,16 @@ def _build_kernel(SW: int, SEG: int, TLOG: int, use_w4: bool):
     I = jnp.int32
     SW32 = SW // 32
     SW256 = SW // 256
+    W4R, W4S, W4M = W4_GEOM[rate12]
+    Q3LO = W4M >> 5
+    Q3HI = (W4M + 256) >> 5           # init fill candidate range (exclusive)
+    Q3MAX = ((W4M + W4S - 32) >> 5) + 1  # W3-slide candidate range (exclusive)
+    W3_PASSES = 2 if rate12 else 1
+    # W3 slide threshold: the margin must cover a full period's drain
+    # (48 words at 12 bits/symbol) so the w8 fetch offset never goes
+    # negative mid-period; 36 suffices at 8 bits/symbol (32-word drain)
+    W3T = 52 if rate12 else 36
+    Q2MAX = ((W3T + 32 - 4) >> 2) + 1  # w8-fetch candidate range (exclusive)
     part = min(PART, SEG)
     n_parts = SEG // part
     periods_per_part = part // 128
@@ -150,21 +167,21 @@ def _build_kernel(SW: int, SEG: int, TLOG: int, use_w4: bool):
             base2 = ((wtop >> 2) << 2) - 4   # w8 base, aligned 4
             base3 = ((base2 - 36) >> 5) << 5  # W3 base, aligned 32
             if use_w4:
-                base4 = ((base3 - W4_MARGIN) >> 8) << 8  # aligned 256
+                base4 = ((base3 - W4M) >> 8) << 8  # aligned 256
                 c4 = jnp.maximum(base4, 0) >> 8
-                for m in range(W4_ROWS):
+                for m in range(W4R):
                     row = sbuf_ref[min(m, SW - 1), :, :]
                     for cc in range(1, SW256):
                         row = jnp.where(
                             c4 == cc, sbuf_ref[min(cc * 256 + m, SW - 1), :, :], row
                         )
                     w4_ref[m, :, :] = row
-                q3 = jnp.maximum(base3 - base4, 0) >> 5  # in [9, 17)
+                q3 = jnp.maximum(base3 - base4, 0) >> 5  # in [Q3LO, Q3HI)
                 for m in range(96):
-                    row = w4_ref[min(9 * 32 + m, W4_ROWS - 1), :, :]
-                    for qq in range(10, 17):
+                    row = w4_ref[min(Q3LO * 32 + m, W4R - 1), :, :]
+                    for qq in range(Q3LO + 1, Q3HI):
                         row = jnp.where(
-                            q3 == qq, w4_ref[min(qq * 32 + m, W4_ROWS - 1), :, :], row
+                            q3 == qq, w4_ref[min(qq * 32 + m, W4R - 1), :, :], row
                         )
                     w3_ref[m, :, :] = row
             else:
@@ -208,6 +225,7 @@ def _build_kernel(SW: int, SEG: int, TLOG: int, use_w4: bool):
             carry_i[3, :, :] = base2
             carry_i[4, :, :] = base3
             carry_i[5, :, :] = base4
+            carry_i[6, :, :] = jnp.zeros((SUBS, 128), I)  # starvation flag
 
         # ---- one part: W4 slide + periods_per_part decode periods ---------
         hi = carry_u[0, :, :]
@@ -219,6 +237,7 @@ def _build_kernel(SW: int, SEG: int, TLOG: int, use_w4: bool):
         base2 = carry_i[3, :, :]
         base3 = carry_i[4, :, :]
         base4 = carry_i[5, :, :]
+        starv = carry_i[6, :, :]
 
         if use_w4:
             # static-cadence W4 slide: at every part boundary after the
@@ -228,16 +247,22 @@ def _build_kernel(SW: int, SEG: int, TLOG: int, use_w4: bool):
             def _slide4():
                 b4 = carry_i[5, :, :]
                 b3 = carry_i[4, :, :]
-                slide4 = (b3 - b4) < W4_MARGIN
-                nbase4 = jnp.where(slide4, b4 - W4_STEP, b4)
-                c4 = jnp.maximum(nbase4, 0) >> 8
-                for m in range(W4_ROWS - 1, W4_STEP - 1, -1):
+                slide4 = (b3 - b4) < W4M
+                nbase4 = jnp.where(slide4, b4 - W4S, b4)
+                # SIGNED candidate: with W4S > 256, base4 can land at -256
+                # (alignment is mod 256) and rows m >= 256 then hold words
+                # m - 256 >= 0 that WILL be consumed — the max(.,0) clamp
+                # would silently fetch word m there instead.  cc <= -2
+                # rows are all below the buffer (junk, never consumed) and
+                # safely take the cc == -1 content.
+                c4 = nbase4 >> 8
+                for m in range(W4R - 1, W4S - 1, -1):
                     w4_ref[m, :, :] = jnp.where(
-                        slide4, w4_ref[m - W4_STEP, :, :], w4_ref[m, :, :]
+                        slide4, w4_ref[m - W4S, :, :], w4_ref[m, :, :]
                     )
-                for m in range(W4_STEP - 1, -1, -1):
-                    fetched = sbuf_ref[min(m, SW - 1), :, :]
-                    for cc in range(1, SW256):
+                for m in range(W4S - 1, -1, -1):
+                    fetched = sbuf_ref[min(max(m - 256, 0), SW - 1), :, :]
+                    for cc in range(0, SW256):
                         fetched = jnp.where(
                             c4 == cc, sbuf_ref[min(cc * 256 + m, SW - 1), :, :], fetched
                         )
@@ -247,45 +272,54 @@ def _build_kernel(SW: int, SEG: int, TLOG: int, use_w4: bool):
             base4 = carry_i[5, :, :]
 
         def period(outer, carry):
-            hi, lo, navail, p, wpos, base2, base3, *w8 = carry
+            hi, lo, navail, p, wpos, base2, base3, starv, *w8 = carry
             w8 = list(w8)
 
-            # ---- W3 slide: every 128 symbols, per-lane 0 or 32 rows ------
-            slide3 = (base2 - base3) < 36
-            nbase3 = jnp.where(slide3, base3 - 32, base3)
-            for m in range(95, 31, -1):
-                w3_ref[m, :, :] = jnp.where(slide3, w3_ref[m - 32, :, :], w3_ref[m, :, :])
-            if use_w4:
-                q3 = jnp.maximum(nbase3 - base4, 0) >> 5  # in [0, 17)
-                for m in range(31, -1, -1):
-                    fetched = w4_ref[m, :, :]
-                    for qq in range(1, 17):
-                        fetched = jnp.where(
-                            q3 == qq, w4_ref[min(qq * 32 + m, W4_ROWS - 1), :, :], fetched
-                        )
-                    w3_ref[m, :, :] = jnp.where(slide3, fetched, w3_ref[m, :, :])
-            else:
-                c3 = jnp.maximum(nbase3, 0) >> 5
-                for m in range(31, -1, -1):
-                    fetched = sbuf_ref[m, :, :]
-                    for cc in range(1, SW32):
-                        fetched = jnp.where(
-                            c3 == cc, sbuf_ref[cc * 32 + m, :, :], fetched
-                        )
-                    w3_ref[m, :, :] = jnp.where(slide3, fetched, w3_ref[m, :, :])
-            base3 = nbase3
+            # ---- W3 slide: per period, per-lane 0 or 32 rows per pass ----
+            # (two passes in the rate12 class: demand is up to 48 words per
+            # 128 symbols at 12 bits/symbol)
+            for _pass in range(W3_PASSES):
+                slide3 = (base2 - base3) < W3T
+                nbase3 = jnp.where(slide3, base3 - 32, base3)
+                for m in range(95, 31, -1):
+                    w3_ref[m, :, :] = jnp.where(slide3, w3_ref[m - 32, :, :], w3_ref[m, :, :])
+                if use_w4:
+                    q3r = nbase3 - base4
+                    starv = starv | (slide3 & (q3r < 0)).astype(I)
+                    q3 = jnp.maximum(q3r, 0) >> 5
+                    for m in range(31, -1, -1):
+                        fetched = w4_ref[m, :, :]
+                        for qq in range(1, Q3MAX):
+                            fetched = jnp.where(
+                                q3 == qq, w4_ref[min(qq * 32 + m, W4R - 1), :, :], fetched
+                            )
+                        w3_ref[m, :, :] = jnp.where(slide3, fetched, w3_ref[m, :, :])
+                else:
+                    c3 = jnp.maximum(nbase3, 0) >> 5
+                    for m in range(31, -1, -1):
+                        fetched = sbuf_ref[m, :, :]
+                        for cc in range(1, SW32):
+                            fetched = jnp.where(
+                                c3 == cc, sbuf_ref[cc * 32 + m, :, :], fetched
+                            )
+                        w3_ref[m, :, :] = jnp.where(slide3, fetched, w3_ref[m, :, :])
+                base3 = nbase3
 
             ob = jnp.zeros((SUBS, 128), U)
             for sub in range(16):
                 # ---- w8 slide: every 8 symbols, per-lane 0 or 4 words ----
                 slide2 = (wpos - base2) < 4
                 nbase2 = jnp.where(slide2, base2 - 4, base2)
-                q2 = jnp.maximum(nbase2 - base3, 0) >> 2
+                q2r = nbase2 - base3
+                starv = starv | (
+                    slide2 & ((q2r >= 4 * (Q2MAX - 1) + 4) | (q2r < 0))
+                ).astype(I)
+                q2 = jnp.maximum(q2r, 0) >> 2
                 for k in range(7, 3, -1):
                     w8[k] = jnp.where(slide2, w8[k - 4], w8[k])
                 for k in range(3, -1, -1):
                     fetched = w3_ref[k, :, :]
-                    for q in range(1, 16):
+                    for q in range(1, Q2MAX):
                         fetched = jnp.where(q2 == q, w3_ref[4 * q + k, :, :], fetched)
                     w8[k] = jnp.where(slide2, fetched, w8[k])
                 base2 = nbase2
@@ -323,11 +357,11 @@ def _build_kernel(SW: int, SEG: int, TLOG: int, use_w4: bool):
                         row = outer * 64 + (sub * 8 + local) // 2
                         out_ref[0, row, :, :] = ob
 
-            return (hi, lo, navail, p, wpos, base2, base3, *w8)
+            return (hi, lo, navail, p, wpos, base2, base3, starv, *w8)
 
-        carry = (hi, lo, navail, p, wpos, base2, base3, *w8)
+        carry = (hi, lo, navail, p, wpos, base2, base3, starv, *w8)
         carry = jax.lax.fori_loop(0, periods_per_part, period, carry)
-        hi, lo, navail, p, wpos, base2, base3, *w8 = carry
+        hi, lo, navail, p, wpos, base2, base3, starv, *w8 = carry
         carry_u[0, :, :] = hi
         carry_u[1, :, :] = lo
         for k in range(8):
@@ -337,27 +371,35 @@ def _build_kernel(SW: int, SEG: int, TLOG: int, use_w4: bool):
         carry_i[2, :, :] = wpos
         carry_i[3, :, :] = base2
         carry_i[4, :, :] = base3
+        carry_i[6, :, :] = starv
 
         @pl.when(t == n_parts - 1)
         def _fin():
-            pend_ref[0, :, :] = carry_i[1, :, :]
+            # a set starvation flag marks the lane's output invalid; the
+            # caller retries the container with the rate12 class
+            pend_ref[0, :, :] = jnp.where(
+                carry_i[6, :, :] > 0, carry_i[1, :, :] + I(STARVED),
+                carry_i[1, :, :],
+            )
 
     return kernel, n_parts, part
 
 
-def _decode_call(SW: int, SEG: int, TLOG: int, n_blocks: int):
-    return _decode_call_cached(SW, SEG, TLOG, n_blocks, INTERPRET)
+def _decode_call(SW: int, SEG: int, TLOG: int, n_blocks: int, rate12: bool = False):
+    return _decode_call_cached(SW, SEG, TLOG, n_blocks, rate12, INTERPRET)
 
 
 @lru_cache(maxsize=None)
-def _decode_call_cached(SW: int, SEG: int, TLOG: int, n_blocks: int, interpret: bool):
+def _decode_call_cached(
+    SW: int, SEG: int, TLOG: int, n_blocks: int, rate12: bool, interpret: bool
+):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     use_w4 = SW >= W4_MIN_SW
-    kernel, n_parts, part = _build_kernel(SW, SEG, TLOG, use_w4)
+    kernel, n_parts, part = _build_kernel(SW, SEG, TLOG, use_w4, rate12)
     call = pl.pallas_call(
         kernel,
         grid=(n_blocks, n_parts),
@@ -381,9 +423,9 @@ def _decode_call_cached(SW: int, SEG: int, TLOG: int, n_blocks: int, interpret: 
         scratch_shapes=[
             pltpu.VMEM((SW, SUBS, 128), jnp.uint32),   # stream buffer
             pltpu.VMEM((96, SUBS, 128), jnp.uint32),    # W3
-            pltpu.VMEM((W4_ROWS if use_w4 else 8, SUBS, 128), jnp.uint32),
+            pltpu.VMEM((W4_GEOM[rate12][0] if use_w4 else 8, SUBS, 128), jnp.uint32),
             pltpu.VMEM((10, SUBS, 128), jnp.uint32),    # carry: hi, lo, w8
-            pltpu.VMEM((6, SUBS, 128), jnp.int32),      # carry: scalars
+            pltpu.VMEM((7, SUBS, 128), jnp.int32),      # carry: scalars + starv
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
@@ -394,14 +436,15 @@ def _decode_call_cached(SW: int, SEG: int, TLOG: int, n_blocks: int, interpret: 
     return jax.jit(call)
 
 
-def vmem_ok(max_stream_bytes: int, seg: int) -> bool:
-    """Whether one grid block's buffers fit the 110MB scoped-VMEM budget."""
+def vmem_ok(max_stream_bytes: int, seg: int, rate12: bool = True) -> bool:
+    """Whether one grid block's buffers fit the 110MB scoped-VMEM budget
+    (checked for the given rate class; rate12 is the larger one)."""
     SW = sw_for(max_stream_bytes)
     part = min(PART, seg)
     sbuf = SW * SUBS * 512
     out2 = 2 * (part // 2) * SUBS * 512
-    w4 = (W4_ROWS if SW >= W4_MIN_SW else 8) * SUBS * 512
-    return sbuf + out2 + w4 + (96 + 16) * SUBS * 512 <= 100 * 1024 * 1024
+    w4 = (W4_GEOM[rate12][0] if SW >= W4_MIN_SW else 8) * SUBS * 512
+    return sbuf + out2 + w4 + (96 + 17) * SUBS * 512 <= 100 * 1024 * 1024
 
 
 def sw_for(max_bytes: int) -> int:
@@ -601,10 +644,18 @@ def decode_cells(
     )
     words = pallas_gather.gather_rows(tiles, jnp.asarray(row_starts), RT)
     blocks = words.reshape(n_blocks, SUBS, 128, SW).transpose(0, 3, 1, 2)
-    dw, pend = _decode_call(SW, seg, tlog_k, n_blocks)(
-        jnp.asarray(p0), jnp.asarray(cbnd), blocks
-    )
-    pend_np = np.asarray(pend).reshape(-1)[:S]
+    rate12 = 8.0 * float(stream_lens.max()) / seg > RATE12_BITS
+    for attempt in dict.fromkeys((rate12, True)):
+        dw, pend = _decode_call(SW, seg, tlog_k, n_blocks, attempt)(
+            jnp.asarray(p0), jnp.asarray(cbnd), blocks
+        )
+        pend_np = np.asarray(pend).reshape(-1)[:S]
+        if not np.any(pend_np < -(1 << 29)):
+            break
+        if attempt:
+            raise RuntimeError(
+                "window starvation under rate12 provisioning (kernel bug)"
+            )
     want_end = (8 * (end_in_row - stream_lens)).astype(np.int64)
     if not np.array_equal(pend_np.astype(np.int64), want_end):
         bad = int(np.nonzero(pend_np.astype(np.int64) != want_end)[0][0])
