@@ -1269,27 +1269,32 @@ def plan_fast_encode(
         has_tbl = np.asarray(
             [shared[b] is not None for b in range(num_buf)]
         )
-        # dispatch 2: every coding decision on device; only per-plane
-        # scalars (any pass? widest passing stream?) reach the host
+        # dispatch 2 is launched WITHOUT a host sync: its exact bit counts
+        # and per-cell decisions are consumed at assembly.  Kernel-launch
+        # choices below (which planes, row width) use plane-histogram
+        # heuristics instead — a heuristic miss (a passing cell on a
+        # skipped plane, a stream overflowing its row) is host-encoded
+        # exactly at assembly, so containers stay byte-identical while the
+        # timed pipeline pays no screening round-trip.
         scr = _screen_call(full, num_buf, plane_bytes, th_bound)
-        bits_d, huf_ok_d, rle_d, any_pass, maxbits = scr(
+        bits_d, huf_ok_d, rle_d, _any_pass, _maxbits = scr(
             shist, cmax, jnp.asarray(lens_tbl), jnp.asarray(hlen),
             jnp.asarray(has_tbl),
         )
-        ap = np.asarray(any_pass)
-        mb = np.asarray(maxbits)
-        # dispatch 3 (per plane WITH huffman cells — a raw-only plane,
-        # e.g. a bf16 mantissa plane, skips its kernel entirely): output
-        # rows sized exactly for the widest passing stream; failing
-        # cells' rows may clamp, but their output is never read
+        # dispatch 3 per heuristically-compressible plane (a bf16 mantissa
+        # plane at ~8 expected bits/symbol cannot beat the 0.95 threshold
+        # and skips its kernel entirely)
         outs = [None] * num_buf
         sws = [0] * num_buf
         for b in range(num_buf):
-            if not bool(ap[b]):
+            if shared[b] is None:
                 continue
             lengths, vals, _header, _tl = shared[b]
+            exp = _expected_bits(ph[b].astype(np.int64), lengths)
+            if exp >= 8.0 * threshold:
+                continue
             tbl = jnp.asarray(pallas_huf_enc.pack_etable8(vals, lengths))
-            sw = max(96, -(-((int(mb[b]) + 31) // 32 + 8) // 32) * 32)
+            sw = pallas_huf_enc.sw_for_expected(seg, exp)
             enc = _fused_encode_plane_call(seg, sw)
             rows, _kb = enc(planes[:, b].reshape(full * 4, seg // 4), tbl)
             outs[b] = rows
@@ -1337,7 +1342,20 @@ def plan_fast_encode(
             cumulative.astype("<u8")
         ).view(np.uint8).reshape(-1)
         planes_h = None
-        if not np.all(rle | huf_ok):
+        # kernel rows cover a stream only when its plane ran the kernel
+        # AND its exact bit count fits the heuristic row width (8 spill
+        # words of clamp margin, as in the kernel); anything else is
+        # host-encoded exactly below
+        need_host = not np.all(rle | huf_ok)
+        fits = np.zeros((full, num_buf, 4), dtype=bool)
+        for b in range(num_buf):
+            if rview[b] is not None:
+                fits[:, b, :] = (bits[:, b, :] + 31) // 32 + 8 <= sws[b]
+            if huf_ok[:, b].any() and (
+                rview[b] is None or not fits[huf_ok[:, b], b].all()
+            ):
+                need_host = True
+        if need_host:
             pw = np.ascontiguousarray(planes)
             planes_h = pw.astype("<u4", copy=False).view(np.uint8).reshape(
                 full, num_buf, plane_bytes
@@ -1366,7 +1384,14 @@ def plan_fast_encode(
                     o += 6
                     for k in range(4):
                         n = int(ls[k])
-                        out[o : o + n] = rv[4 * c + k, :n]
+                        if rv is not None and fits[c, b, k]:
+                            out[o : o + n] = rv[4 * c + k, :n]
+                        else:
+                            lengths, vals, _header, _tl = shared[b]
+                            syms = planes_h[c, b].reshape(4, seg)[k]
+                            blob = huf.encode_stream(syms, vals, lengths)
+                            assert len(blob) == n, "bit-count mismatch"
+                            out[o : o + n] = np.frombuffer(blob, np.uint8)
                         o += n
                 else:
                     out[o : o + plane_bytes] = planes_h[c, b]
