@@ -408,3 +408,42 @@ def test_sim_fixture_fp16_mixed_rate12():
         blob = bytes(payload_np[int(cs[b, c]) : int(cs[b, c] + sz[b, c])])
         want = np.asarray(huf.decompress(blob, 32768)).reshape(4, 8192)
         assert np.array_equal(syms[4 * i : 4 * i + 4], want), (b, c)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_sim_fuzz_mixed_cells(seed):
+    """Randomized pc-decoder fuzz: mixed distributions (hence mixed
+    tableLogs, stream lengths, and bit rates) through the schedule
+    simulator at the plan's own rate-class choice, with starvation-retry
+    semantics mirrored from decompress_payload."""
+    rng = np.random.default_rng(1000 + seed)
+    seg = int(rng.choice([512, 1024, 2048, 8192]))
+
+    def gen(n):
+        kind = rng.integers(0, 4)
+        if kind == 0:
+            return np.clip(rng.normal(rng.integers(40, 200), rng.integers(2, 8), n), 0, 255).astype(np.uint8)
+        if kind == 1:
+            return rng.integers(0, rng.integers(2, 9), n).astype(np.uint8)
+        if kind == 2:
+            return np.clip(rng.normal(128, rng.integers(25, 60), n), 0, 255).astype(np.uint8)
+        x = rng.integers(0, 256, n).astype(np.uint8)
+        mask = rng.random(n) < 0.4
+        x[mask] = rng.integers(0, 12, int(mask.sum())).astype(np.uint8)
+        return x
+
+    datas, headers, region, starts, lens, cells = make_cells(
+        int(rng.integers(2, 7)), seg, gens=[gen]
+    )
+    tlog_k = max(9, max(huf.read_stats(h)[2] for h in set(headers)))
+    bounds, pages, _ = pc.cell_decode_tables(headers, tlog_k)
+    rate12 = 8.0 * float(lens.max()) / seg > pc.RATE12_BITS
+    for attempt in dict.fromkeys((rate12, True)):
+        out_d, pend = sim_decode_pc(
+            region, starts, lens, bounds[cells], tlog_k, seg, rate12=attempt
+        )
+        if not np.any(pend < -(1 << 29)):
+            break
+        assert not attempt, "starved under rate12 provisioning"
+    syms = postmap(out_d, pages, cells, tlog_k)
+    assert np.array_equal(syms, datas)
