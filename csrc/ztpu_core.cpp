@@ -1357,6 +1357,37 @@ static void run_pool(unsigned threads, size_t n_items,
 
 extern "C" {
 
+// Batch-parse HUF weight headers into decode tables for the TPU per-cell
+// fast path's host prep (a Python-loop parse of a Llama-scale container's
+// ~65k distinct per-chunk tables costs tens of seconds; this is ~100 ms).
+// For cell i the header starts at payload+offsets[i] with at most sizes[i]
+// bytes.  Writes sym/nb (4096 entries per cell; entries beyond 1<<tlog are
+// zero) and the tableLog.  Returns 0, or -(i+1) for the first bad header.
+long long ztpu_parse_dtables(const uint8_t* payload, const long long* offsets,
+                             const long long* sizes, long long n,
+                             uint8_t* sym_out, uint8_t* nb_out,
+                             int* tlog_out, int threads) {
+  std::atomic<long long> bad{0};
+  run_pool((unsigned)threads, (size_t)n, [&](size_t i) {
+    if (bad.load(std::memory_order_relaxed)) return;
+    HufDTable dt;
+    int consumed =
+        huf_read_dtable(payload + offsets[i], (size_t)sizes[i], dt);
+    if (consumed < 0) {
+      long long want = 0;
+      bad.compare_exchange_strong(want, (long long)i + 1);
+      return;
+    }
+    size_t tsize = (size_t)1 << dt.table_log;
+    std::memcpy(sym_out + (size_t)i * 4096, dt.sym, tsize);
+    std::memset(sym_out + (size_t)i * 4096 + tsize, 0, 4096 - tsize);
+    std::memcpy(nb_out + (size_t)i * 4096, dt.nb, tsize);
+    std::memset(nb_out + (size_t)i * 4096 + tsize, 0, 4096 - tsize);
+    tlog_out[i] = dt.table_log;
+  });
+  return -bad.load();
+}
+
 // Compress `data` into the table+planes payload.  Returns payload size, or
 // -1 on error / insufficient capacity.
 long long ztpu_compress(const uint8_t* data, size_t len, unsigned num_buf,

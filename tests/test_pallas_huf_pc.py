@@ -447,3 +447,30 @@ def test_sim_fuzz_mixed_cells(seed):
         assert not attempt, "starved under rate12 provisioning"
     syms = postmap(out_d, pages, cells, tlog_k)
     assert np.array_equal(syms, datas)
+
+
+def test_cell_tables_payload_matches_python():
+    """The native batch table prep (C header parse + vectorized expand)
+    must agree entry-for-entry with the per-header Python path."""
+    rng = np.random.default_rng(9)
+    blobs, offs, szs = [], [], []
+    pos = 0
+    for _ in range(30):
+        d = np.clip(
+            rng.normal(rng.integers(40, 200), rng.integers(2, 50), 8192), 0, 255
+        ).astype(np.uint8)
+        blk = huf.compress(d)
+        if blk is None or len(blk) <= 1:
+            continue
+        cons = huf.read_stats(blk)[4]
+        blobs.append(bytes(blk[:cons]))
+        offs.append(pos)
+        szs.append(cons)
+        pos += cons
+    payload = np.frombuffer(b"".join(blobs), np.uint8)
+    b1, p1, tk1 = pc.cell_decode_tables_payload(payload, np.asarray(offs), np.asarray(szs))
+    tk2 = max(9, max(huf.read_stats(h)[2] for h in set(blobs)))
+    b2, p2, _ = pc.cell_decode_tables(blobs, tk2)
+    assert tk1 == tk2
+    assert np.array_equal(b1, b2)
+    assert np.array_equal(p1, p2)

@@ -92,6 +92,17 @@ def _load():
             ctypes.c_void_p,
             ctypes.c_size_t,
         ]
+        lib.ztpu_parse_dtables.restype = ctypes.c_longlong
+        lib.ztpu_parse_dtables.argtypes = [
+            ctypes.c_void_p,  # payload
+            ctypes.c_void_p,  # offsets i64[n]
+            ctypes.c_void_p,  # sizes i64[n]
+            ctypes.c_longlong,
+            ctypes.c_void_p,  # sym out u8[n*4096]
+            ctypes.c_void_p,  # nb out u8[n*4096]
+            ctypes.c_void_p,  # tlog out i32[n]
+            ctypes.c_int,
+        ]
         _LIB = lib
         return lib
 
@@ -182,3 +193,28 @@ def huf_decompress(data: bytes, dst_size: int) -> np.ndarray:
     if r < 0:
         raise RuntimeError("huf decompress error")
     return out
+
+
+def parse_dtables(payload, offsets, sizes, threads: int = 0):
+    """Batch-parse HUF weight headers into decode tables.
+
+    ``payload`` uint8 array; per-cell header at ``offsets[i]`` with at most
+    ``sizes[i]`` bytes.  Returns (sym [n, 4096] uint8, nb [n, 4096] uint8,
+    tlogs [n] int32); entries beyond ``1 << tlogs[i]`` are zero.
+    """
+    lib = _load()
+    buf = np.ascontiguousarray(payload, dtype=np.uint8)
+    off = np.ascontiguousarray(offsets, dtype=np.int64)
+    szs = np.ascontiguousarray(sizes, dtype=np.int64)
+    n = off.size
+    sym = np.empty((n, 4096), dtype=np.uint8)
+    nb = np.empty((n, 4096), dtype=np.uint8)
+    tlogs = np.empty(n, dtype=np.int32)
+    r = lib.ztpu_parse_dtables(
+        buf.ctypes.data, off.ctypes.data, szs.ctypes.data, n,
+        sym.ctypes.data, nb.ctypes.data, tlogs.ctypes.data,
+        threads or os.cpu_count() or 1,
+    )
+    if r != 0:
+        raise ValueError(f"corrupt HUF weight header (cell {int(-r) - 1})")
+    return sym, nb, tlogs

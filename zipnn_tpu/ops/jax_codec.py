@@ -418,17 +418,10 @@ def plan_pc_decode(
         sstarts = np.stack(
             [s0, s0 + l1, s0 + l1 + l2, s0 + l1 + l2 + l3], axis=1
         ).reshape(-1)
-        headers = [
-            bytes(payload_np[int(o) : int(o + c)])
-            for o, c in zip(hcs, consumed)
-        ]
         try:
-            probe = {}
-            for h in headers:
-                if h not in probe:
-                    probe[h] = huf.read_stats(h)[2]
-            tlog_k = max(9, max(probe.values()))
-            bounds, pages, _ = pc.cell_decode_tables(headers, tlog_k)
+            bounds, pages, tlog_k = pc.cell_decode_tables_payload(
+                payload_np, hcs, consumed
+            )
         except ValueError:
             return None
         cell_of_stream = np.repeat(np.arange(n_huf), 4)
