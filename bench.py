@@ -216,6 +216,76 @@ def bench_tpu_pc(results: dict) -> float:
         return 0.0
 
 
+def synth_fp16(nbytes: int) -> bytes:
+    # log-uniform magnitudes spread the fp16 exponent byte to ~7-8
+    # bits/symbol — barely-compressible high bytes, the rate12-class shape
+    rng = np.random.default_rng(11)
+    n = nbytes // 2
+    vals = (
+        rng.standard_normal(n) * 10.0 ** rng.uniform(-4, 2, n)
+    ).astype(np.float16)
+    return vals.tobytes()[:nbytes]
+
+
+def bench_tpu_pc_fp16(results: dict) -> float:
+    """fp16 per-chunk decode: the high byte runs at ~7-9 bits/symbol, so
+    this exercises the rate12 (worst-case-provisioned) kernel class at
+    768 MB — the cost of correctness on high-entropy-but-compressible
+    planes."""
+    try:
+        from zipnn_tpu.ops import jax_codec
+
+        unit8 = np.frombuffer(synth_fp16(min(SIZE, 16 * MB)), np.uint8)
+        n_tiles = max(1, SIZE // unit8.size)
+        comp = ZipNN(
+            compression_chunk=PC_CHUNK, bytearray_dtype="float16"
+        ).compress(unit8.tobytes())
+        from zipnn_tpu import codec
+        from zipnn_tpu.core.header import HEADER_LEN
+
+        payload = np.frombuffer(comp, np.uint8)[HEADER_LEN:]
+        n_chunks = codec.num_chunks_for(unit8.size, PC_CHUNK)
+        types, starts, data_start = codec.parse_tables(payload, 2, n_chunks)
+        sizes = (starts[:, 1:] - starts[:, :-1]).astype(np.uint64)
+        plane_base = np.zeros(2, dtype=np.int64)
+        plane_base[1] = starts[0, n_chunks]
+        g_types = np.tile(types, (1, n_tiles))
+        g_cum = np.cumsum(np.tile(sizes, (1, n_tiles)), axis=1, dtype=np.uint64)
+        parts = [g_types.tobytes(), g_cum.astype("<u8").tobytes()]
+        for b in range(2):
+            lo = data_start + int(plane_base[b])
+            region = payload[lo : lo + int(starts[b, n_chunks])].tobytes()
+            parts.extend([region] * n_tiles)
+        big = np.frombuffer(b"".join(parts), np.uint8)
+        data = unit8.tobytes() * n_tiles
+        plan = jax_codec.plan_pc_decode(big, 2, 0, 10, PC_CHUNK, len(data))
+        if plan is None:
+            results["tpu_pc_fp16"] = {"error": "not eligible"}
+            return 0.0
+        run, dev_args, meta = plan
+        owords, pend = run(*dev_args)
+        _ = np.asarray(pend[:1])
+        host = np.ascontiguousarray(owords).astype("<u4", copy=False)
+        assert bytes(host.reshape(-1).view(np.uint8))[: len(data)] == data
+        best = float("inf")
+        for _i in range(4):
+            t0 = time.perf_counter()
+            owords, pend = run(*dev_args)
+            _ = np.asarray(pend[:1])
+            best = min(best, time.perf_counter() - t0)
+        value = len(data) / 1e9 / best
+        results["tpu_pc_fp16"] = {
+            "ratio": (len(comp) - HEADER_LEN) / unit8.size,
+            "decompress_GBps_hbm": value,
+            "rate12": bool(meta["rate12"]),
+            "tlog_k": meta["tlog_k"],
+        }
+        return value
+    except Exception as exc:
+        results["tpu_pc_fp16"] = {"error": str(exc)[:300]}
+        return 0.0
+
+
 PC_CHUNK = int(os.environ.get("BENCH_PC_CHUNK", str(256 * 1024)))
 
 
@@ -233,6 +303,9 @@ def main():
 
     pc_gbps = bench_tpu_pc(results)
     print(f"[bench] tpu_pc: {results['tpu_pc']}", file=sys.stderr)
+
+    bench_tpu_pc_fp16(results)
+    print(f"[bench] tpu_pc_fp16: {results['tpu_pc_fp16']}", file=sys.stderr)
 
     bench_tpu_fused_encode(data, comp, results)
     print(f"[bench] tpu_fused_encode: {results['tpu_fused_encode']}", file=sys.stderr)
