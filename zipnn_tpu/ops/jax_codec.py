@@ -418,10 +418,13 @@ def plan_pc_decode(
         sstarts = np.stack(
             [s0, s0 + l1, s0 + l1 + l2, s0 + l1 + l2 + l3], axis=1
         ).reshape(-1)
+        from ..stats import phase  # noqa: PLC0415
+
         try:
-            bounds, pages, tlog_k = pc.cell_decode_tables_payload(
-                payload_np, hcs, consumed
-            )
+            with phase("decode:plan-tables"):
+                bounds, pages, tlog_k = pc.cell_decode_tables_payload(
+                    payload_np, hcs, consumed
+                )
         except ValueError:
             return None
         cell_of_stream = np.repeat(np.arange(n_huf), 4)
@@ -714,10 +717,13 @@ def _complete_fused(
     """Validate stream-end positions and marshal a fused decode's output
     (host bytes or device array + ragged tail), shared by the shared-table
     and per-cell fast paths."""
+    from ..stats import phase  # noqa: PLC0415
+
     jnp = _jnp()
     host = None
     if not to_device:
-        host = np.asarray(owords).astype("<u4", copy=False)
+        with phase("decode:marshal"):
+            host = np.asarray(owords).astype("<u4", copy=False)
     if n_huf:
         pend_np = np.asarray(pend).astype(np.int64)
         if np.any(pend_np < -(1 << 29)):
@@ -1246,9 +1252,12 @@ def plan_fast_encode(
     t = plane_bytes * threshold
     th_bound = int(t) if float(t).is_integer() else math.ceil(t)
 
+    from ..stats import phase  # noqa: PLC0415
+
     def run(words):
-        planes, shist, phist, cmax, carg = sh(words)
-        ph = np.asarray(phist)  # 2x256 ints: first host sync
+        with phase("encode:split+hist"):
+            planes, shist, phist, cmax, carg = sh(words)
+            ph = np.asarray(phist)  # 2x256 ints: first host sync
         shared = [None] * num_buf
         lens_tbl = np.zeros((num_buf, 256), np.int32)
         hlen = np.zeros(num_buf, np.int32)
@@ -1269,32 +1278,40 @@ def plan_fast_encode(
         # skipped plane, a stream overflowing its row) is host-encoded
         # exactly at assembly, so containers stay byte-identical while the
         # timed pipeline pays no screening round-trip.
-        scr = _screen_call(full, num_buf, plane_bytes, th_bound)
-        bits_d, huf_ok_d, rle_d, _any_pass, _maxbits = scr(
-            shist, cmax, jnp.asarray(lens_tbl), jnp.asarray(hlen),
-            jnp.asarray(has_tbl),
-        )
+        with phase("encode:screen"):
+            scr = _screen_call(full, num_buf, plane_bytes, th_bound)
+            bits_d, huf_ok_d, rle_d, _any_pass, _maxbits = scr(
+                shist, cmax, jnp.asarray(lens_tbl), jnp.asarray(hlen),
+                jnp.asarray(has_tbl),
+            )
         # dispatch 3 per heuristically-compressible plane (a bf16 mantissa
         # plane at ~8 expected bits/symbol cannot beat the 0.95 threshold
         # and skips its kernel entirely)
         outs = [None] * num_buf
         sws = [0] * num_buf
-        for b in range(num_buf):
-            if shared[b] is None:
-                continue
-            lengths, vals, _header, _tl = shared[b]
-            exp = _expected_bits(ph[b].astype(np.int64), lengths)
-            if exp >= 8.0 * threshold:
-                continue
-            tbl = jnp.asarray(pallas_huf_enc.pack_etable8(vals, lengths))
-            sw = pallas_huf_enc.sw_for_expected(seg, exp)
-            enc = _fused_encode_plane_call(seg, sw)
-            rows, _kb = enc(planes[:, b].reshape(full * 4, seg // 4), tbl)
-            outs[b] = rows
-            sws[b] = sw
+        with phase("encode:kernel"):
+            for b in range(num_buf):
+                if shared[b] is None:
+                    continue
+                lengths, vals, _header, _tl = shared[b]
+                exp = _expected_bits(ph[b].astype(np.int64), lengths)
+                if exp >= 8.0 * threshold:
+                    continue
+                tbl = jnp.asarray(pallas_huf_enc.pack_etable8(vals, lengths))
+                sw = pallas_huf_enc.sw_for_expected(seg, exp)
+                enc = _fused_encode_plane_call(seg, sw)
+                rows, _kb = enc(planes[:, b].reshape(full * 4, seg // 4), tbl)
+                outs[b] = rows
+                sws[b] = sw
         return planes, shared, outs, tuple(sws), bits_d, huf_ok_d, rle_d, carg
 
     def assemble(planes, shared, outs, sws, bits_d, huf_ok_d, rle_d, carg_d):
+        from ..stats import phase as _phase  # noqa: PLC0415
+
+        with _phase("encode:assemble"):
+            return _assemble(planes, shared, outs, sws, bits_d, huf_ok_d, rle_d, carg_d)
+
+    def _assemble(planes, shared, outs, sws, bits_d, huf_ok_d, rle_d, carg_d):
         # vectorized in-place splice: all sizes/offsets are known up front
         # (exact histogram-derived bit counts), so the payload is built by
         # slice-assignment into one preallocated buffer — no per-cell bytes

@@ -176,3 +176,16 @@ def file_stats(path_or_bytes) -> Dict:
     }
     out["ratio"] = out["total_len"] / out["original_len"] if out["original_len"] else 0.0
     return out
+
+def phase(label: str):
+    """Annotate one codec phase for ``jax.profiler`` traces.
+
+    The fused pipelines wrap their host-visible phases (plan, dispatch,
+    assemble) in these, so a :func:`trace` capture shows named spans
+    instead of one opaque block (SURVEY.md §5 tracing mandate; the
+    reference's equivalent is commented-out gettimeofday blocks).
+    No-ops outside an active profiler capture.
+    """
+    import jax  # noqa: PLC0415
+
+    return jax.profiler.TraceAnnotation(f"znn:{label}")
