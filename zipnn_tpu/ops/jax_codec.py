@@ -193,7 +193,7 @@ def _fused_fast_decode(
 def _make_fast_args(
     payload_np, cs, stored_mask, rle_mask, huf_b, huf_c,
     sstarts, slens, tbl8, seg, full, num_buf, plane_bytes,
-    byte_reorder, bit_reorder,
+    byte_reorder, bit_reorder, min_sw: int = 0,
 ):
     """Build the fused fast-path callable + its device arguments.
 
@@ -210,7 +210,7 @@ def _make_fast_args(
         last = payload_np[sends - 1]
         if np.any(last == 0):
             raise ValueError("corrupt bitstream: missing sentinel bit")
-        SW = 128 * pallas_huf.row_tiles_for(int(slens.max()))
+        SW = max(128 * pallas_huf.row_tiles_for(int(slens.max())), min_sw)
         S = n_huf * 4
         S_pad = -(-S // pallas_huf.BLOCK) * pallas_huf.BLOCK
         n_blocks = S_pad // pallas_huf.BLOCK
@@ -353,12 +353,17 @@ def plan_pc_decode(
     chunk_size: int,
     orig_size: int,
     force_rate12: bool = False,
+    chunk_range=None,
+    min_sw: int = 0,
 ):
     """Build the fused per-cell-table device decode (reference containers).
 
     Returns (run, dev_args, meta) like :func:`plan_fast_decode`, or None
     when not eligible (needs a TPU, tableLog <= 12, stream geometry within
-    the kernel's VMEM budget).
+    the kernel's VMEM budget).  ``chunk_range=(lo, hi)`` restricts the
+    plan to that range of full chunks (device-memory batching for large
+    containers); ``min_sw`` floors the stream-row width so equal-geometry
+    batches reuse one compiled kernel.
     """
     from .. import codec  # noqa: PLC0415
     from . import pallas_huf_pc as pc  # noqa: PLC0415
@@ -377,9 +382,11 @@ def plan_pc_decode(
     plane_base = np.zeros(num_buf, dtype=np.int64)
     for b in range(1, num_buf):
         plane_base[b] = plane_base[b - 1] + starts[b - 1, n_chunks]
-    cs = (data_start + plane_base[:, None] + starts[:, :-1])[:, :full]
-    sz = (starts[:, 1:] - starts[:, :-1])[:, :full]
-    t = types[:, :full]
+    lo, hi = (0, full) if chunk_range is None else chunk_range
+    cs = (data_start + plane_base[:, None] + starts[:, :-1])[:, lo:hi]
+    sz = (starts[:, 1:] - starts[:, :-1])[:, lo:hi]
+    t = types[:, lo:hi]
+    full = hi - lo
     if np.any(t > 1):
         return None
     raw_mask = t == 0
@@ -410,7 +417,7 @@ def plan_pc_decode(
         if not np.all((l1 > 0) & (l2 > 0) & (l3 > 0) & (l4 > 0)):
             return None
         slens = np.stack([l1, l2, l3, l4], axis=1).reshape(-1)
-        SW = pc.sw_for(int(slens.max()))
+        SW = max(pc.sw_for(int(slens.max())), min_sw)
         rate12 = force_rate12 or (8.0 * float(slens.max()) / seg > pc.RATE12_BITS)
         if not pc.vmem_ok(int(slens.max()), seg, rate12):
             return None
@@ -576,53 +583,103 @@ def decompress_payload(
                             tbl8 = pallas_huf.expand_dtable8(sym_t, nb_t, tlog)
                             fast = True
 
+        batch = _max_batch_chunks(chunk_size)
         if fast or (full and n_huf == 0 and _platform_is_tpu()):
-            # ---- one-dispatch fused device pipeline -----------------------
+            # ---- fused device pipeline, batched over chunk ranges so the
+            # device working set stays bounded for GB-scale containers ----
             if not n_huf:
                 sstarts = slens = None
                 tbl8 = None
-            run, dev_args, SW, end_in_row = _make_fast_args(
-                payload_np, cs, stored_mask, rle_mask, huf_b, huf_c,
-                sstarts, slens, tbl8, seg, full, num_buf, plane_bytes,
-                byte_reorder, bit_reorder,
-            )
-            owords, pend = run(*dev_args)
-            return _complete_fused(
-                owords, pend, end_in_row, slens, n_huf, out, mv, types,
-                cell_start, cell_size, full, n_chunks, chunk_size, orig_size,
-                num_buf, byte_reorder, bit_reorder, to_device,
-                cells=(huf_b, huf_c),
+            flats = [] if to_device else None
+            min_sw = 0
+            for b0 in range(0, full, batch):
+                b1 = min(b0 + batch, full)
+                if n_huf:
+                    sel = (huf_c >= b0) & (huf_c < b1)
+                    hb_r = huf_b[sel]
+                    hc_r = huf_c[sel] - b0
+                    sl4 = slens.reshape(n_huf, 4)
+                    ss4 = sstarts.reshape(n_huf, 4)
+                    slens_r = sl4[sel].reshape(-1)
+                    sstarts_r = ss4[sel].reshape(-1)
+                else:
+                    hb_r = hc_r = np.zeros(0, dtype=np.int64)
+                    slens_r = sstarts_r = None
+                run, dev_args, SW, end_in_row = _make_fast_args(
+                    payload_np, cs[:, b0:b1], stored_mask[:, b0:b1],
+                    rle_mask[:, b0:b1], hb_r, hc_r, sstarts_r, slens_r,
+                    tbl8, seg, b1 - b0, num_buf, plane_bytes,
+                    byte_reorder, bit_reorder, min_sw=min_sw,
+                )
+                min_sw = max(min_sw, SW)
+                owords, pend = run(*dev_args)
+                if hb_r.size:
+                    _check_pend(pend, end_in_row, slens_r, (hb_r, hc_r), b0)
+                if to_device:
+                    flats.append(jax_transforms.u32_flat_to_u8(owords.reshape(-1)))
+                else:
+                    host = np.asarray(owords).astype("<u4", copy=False)
+                    out[b0 * chunk_size : b1 * chunk_size] = (
+                        host.reshape(-1).view(np.uint8)
+                    )
+            return _finish_batched(
+                flats, out, mv, types, cell_start, cell_size, full, n_chunks,
+                chunk_size, orig_size, num_buf, byte_reorder, bit_reorder,
+                to_device,
             )
 
         if n_huf and _platform_is_tpu():
             # per-cell tables (reference-produced containers): the boundary
-            # compare-chain kernel + symbol post-pass
-            planpc = plan_pc_decode(
+            # compare-chain kernel + symbol post-pass, batched the same way
+            probe = plan_pc_decode(
                 payload, num_buf, bit_reorder, byte_reorder, chunk_size,
-                orig_size,
+                orig_size, chunk_range=(0, min(batch, full)),
             )
-            if planpc is not None:
-                for force in dict.fromkeys((False, True)):
-                    if force:
-                        planpc = plan_pc_decode(
-                            payload, num_buf, bit_reorder, byte_reorder,
-                            chunk_size, orig_size, force_rate12=True,
-                        )
+            if probe is not None:
+                flats = [] if to_device else None
+                min_sw = 0
+                force = False
+                b0 = 0
+                while b0 < full:
+                    b1 = min(b0 + batch, full)
+                    planpc = probe if (b0 == 0 and not force) else plan_pc_decode(
+                        payload, num_buf, bit_reorder, byte_reorder,
+                        chunk_size, orig_size, force_rate12=force,
+                        chunk_range=(b0, b1), min_sw=min_sw,
+                    )
+                    if planpc is None:
+                        break  # later range ineligible: fall back entirely
                     run, dev_args, meta = planpc
+                    min_sw = max(min_sw, meta["SW"])
                     owords, pend = run(*dev_args)
                     try:
-                        return _complete_fused(
-                            owords, pend, meta["end_in_row"], meta["slens"],
-                            n_huf, out, mv, types, cell_start, cell_size,
-                            full, n_chunks, chunk_size, orig_size, num_buf,
-                            byte_reorder, bit_reorder, to_device,
-                            cells=meta["cells"],
+                        _check_pend(
+                            pend, meta["end_in_row"], meta["slens"],
+                            meta["cells"], b0,
                         )
                     except _PCStarved:
                         if meta["rate12"]:
                             raise RuntimeError(
                                 "window starvation under rate12 provisioning"
                             ) from None
+                        force = True
+                        continue  # redo this range with the rate12 class
+                    if to_device:
+                        flats.append(
+                            jax_transforms.u32_flat_to_u8(owords.reshape(-1))
+                        )
+                    else:
+                        host = np.asarray(owords).astype("<u4", copy=False)
+                        out[b0 * chunk_size : b1 * chunk_size] = (
+                            host.reshape(-1).view(np.uint8)
+                        )
+                    b0 = b1
+                else:
+                    return _finish_batched(
+                        flats, out, mv, types, cell_start, cell_size, full,
+                        n_chunks, chunk_size, orig_size, num_buf,
+                        byte_reorder, bit_reorder, to_device,
+                    )
 
         raw_planes = np.empty((full, num_buf, plane_bytes), dtype=np.uint8)
         for b, c in zip(*np.nonzero(stored_mask)):
@@ -709,6 +766,41 @@ def decompress_payload(
     return out
 
 
+def _check_pend(pend, end_in_row, slens, cells, chunk_base: int = 0):
+    """Validate per-stream final positions; raises located errors.
+    Returns after raising _PCStarved when any lane flagged starvation."""
+    pend_np = np.asarray(pend).astype(np.int64)
+    if np.any(pend_np < -(1 << 29)):
+        raise _PCStarved()
+    want_end = 8 * (np.asarray(end_in_row) - np.asarray(slens))
+    if not np.array_equal(pend_np, want_end):
+        bad = int(np.nonzero(pend_np != want_end)[0][0])
+        plane = chunk = None
+        if cells is not None:
+            plane = int(cells[0][bad // 4])
+            chunk = int(cells[1][bad // 4]) + chunk_base
+        raise CorruptChunkError(
+            f"HUF stream not fully consumed: pos {int(pend_np[bad])} "
+            f"!= {int(want_end[bad])}",
+            plane=plane, chunk=chunk, stream=bad % 4,
+        )
+
+
+def _max_batch_chunks(chunk_size: int) -> int:
+    """Chunks per fused-decode device batch.
+
+    One batch costs ~6x its plaintext bytes in device working buffers
+    (stream blocks, d-indices, symbols, planes, output) on top of the
+    payload upload; bounding the batch lets arbitrarily large containers
+    (a 16 GB Llama checkpoint is ~34 GB of working set unbatched) stream
+    through a single chip.  ZIPNN_TPU_BATCH_MB overrides (default 512).
+    """
+    import os  # noqa: PLC0415
+
+    budget = int(os.environ.get("ZIPNN_TPU_BATCH_MB", "512")) * (1 << 20)
+    return max(1, budget // max(chunk_size, 1))
+
+
 def _complete_fused(
     owords, pend, end_in_row, slens, n_huf, out, mv, types, cell_start,
     cell_size, full, n_chunks, chunk_size, orig_size, num_buf,
@@ -752,6 +844,28 @@ def _complete_fused(
             flat = jnp.concatenate([flat, jnp.asarray(tail)])
         return flat
     out[: full * chunk_size] = host.reshape(-1).view(np.uint8)
+    return _finish_tail(
+        out, mv, types, cell_start, cell_size, full, n_chunks,
+        chunk_size, orig_size, num_buf, byte_reorder, bit_reorder,
+    )
+
+
+def _finish_batched(
+    flats, out, mv, types, cell_start, cell_size, full, n_chunks,
+    chunk_size, orig_size, num_buf, byte_reorder, bit_reorder, to_device,
+):
+    """Marshal the batched fused decode's result (+ ragged tail)."""
+    jnp = _jnp()
+    if to_device:
+        if full < n_chunks:
+            tail = np.empty(orig_size - full * chunk_size, np.uint8)
+            _finish_tail(
+                tail, mv, types, cell_start, cell_size, full, n_chunks,
+                chunk_size, orig_size, num_buf, byte_reorder, bit_reorder,
+                tail_base=full * chunk_size,
+            )
+            flats.append(jnp.asarray(tail))
+        return flats[0] if len(flats) == 1 else jnp.concatenate(flats)
     return _finish_tail(
         out, mv, types, cell_start, cell_size, full, n_chunks,
         chunk_size, orig_size, num_buf, byte_reorder, bit_reorder,
