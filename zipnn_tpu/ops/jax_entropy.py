@@ -141,11 +141,14 @@ def histogram_cells(data: jax.Array) -> jax.Array:
 
     The TPU equivalent of the reference's per-chunk ``hist`` pass feeding
     HUF_compress — but as MXU work, not a scatter: one-hot the two nibbles
-    of every byte (bf16: 0/1 are exact, f32 accumulation is exact below
-    2^24) and batch-matmul them, so
+    of every byte (int8: XLA *CPU* emulates bf16 matmuls an order of
+    magnitude slower, and this function also serves the CPU mesh paths)
+    and batch-matmul them, so
     ``hist[c, 16*i + j] = #{n : hi(data[c,n])==i and lo(data[c,n])==j}``.
     A segment_sum scatter lowers to serial updates on TPU (~0.1 GB/s); this
-    runs 47x faster, chunked over cells to bound the one-hot slabs.
+    runs 47x faster, chunked over cells to bound the one-hot slabs.  The
+    TPU fused encode uses :func:`histogram_rows_words` (bf16, position-
+    packed) instead.
     """
     C, N = data.shape
     grp = max(1, min(C, (4 << 20) // max(N, 1)))
@@ -157,12 +160,12 @@ def histogram_cells(data: jax.Array) -> jax.Array:
     iota = jnp.arange(16, dtype=jnp.uint8)
 
     def step(_, rows):
-        hi = ((rows >> 4)[..., None] == iota).astype(jnp.bfloat16)
-        lo = ((rows & 15)[..., None] == iota).astype(jnp.bfloat16)
+        hi = ((rows >> 4)[..., None] == iota).astype(jnp.int8)
+        lo = ((rows & 15)[..., None] == iota).astype(jnp.int8)
         h = jnp.einsum(
-            "cni,cnj->cij", hi, lo, preferred_element_type=jnp.float32
+            "cni,cnj->cij", hi, lo, preferred_element_type=_I
         )
-        return None, h.astype(_I)
+        return None, h
 
     _, hs = jax.lax.scan(step, None, x)
     return hs.reshape(Cp, 256)[:C]
