@@ -25,9 +25,14 @@ def _one(args):
 
             return decompress_file(path, force=True, **kwargs)
         except Exception as exc:
-            # CorruptChunkError carries (plane, chunk, stream) — a
-            # deterministic failure; retries cover transient IO faults
             last = exc
+            # CorruptChunkError carries (plane, chunk, stream) — a
+            # deterministic decode failure: retrying would just decode the
+            # same corrupt bytes again.  Retries cover transient IO faults.
+            from ..errors import CorruptChunkError  # noqa: PLC0415
+
+            if isinstance(exc, CorruptChunkError):
+                break
             if attempt < retries:
                 continue
     return f"ERROR {path}: {type(last).__name__}: {last}"

@@ -112,369 +112,9 @@ def _histogram(cells):
 
 from functools import lru_cache
 
-
-@lru_cache(maxsize=None)
-def _fused_fast_decode(
-    SW: int,
-    seg: int,
-    full: int,
-    num_buf: int,
-    plane_bytes: int,
-    byte_reorder: int,
-    bit_reorder: int,
-    n_stored: int,
-    n_rle: int,
-    n_huf: int,
-):
-    """One-call device pipeline for shared-table containers.
-
-    Everything — right-aligned stream slicing, the Pallas lockstep decode,
-    stored-plane gathering from the compressed payload itself, RLE fills,
-    plane assembly, and the byte-group combine — happens inside a single
-    jit, so one dispatch (and one payload upload) decompresses the whole
-    buffer.  Plane assembly is a row *gather* (``all_rows[perm]``), not a
-    scatter, and decoded data stays in uint32 words end to end: the
-    kernel's LE-packed output words ARE the plane words.
-
-    Returns (owords [full, chunk_words] uint32, pend [S] int32).
-    """
-    import jax  # noqa: PLC0415
-    import jax.numpy as jnp  # noqa: PLC0415
-
-    from . import pallas_huf  # noqa: PLC0415
-
-    S = n_huf * 4
-    S_pad = -(-max(S, 1) // pallas_huf.BLOCK) * pallas_huf.BLOCK
-    n_blocks = S_pad // pallas_huf.BLOCK
-    kernel = pallas_huf._decode_call(SW, seg, n_blocks)
-    pad = 4 * SW
-    plane_words = plane_bytes // 4
-
-    def run(tiles, row_starts, p0, tbl8, stored_starts, rle_vals, perm):
-        from . import pallas_gather  # noqa: PLC0415
-
-        RT = SW // 128
-        rows = []
-        if n_stored:
-            # aligned tile gather, then one in-kernel pass rolling each
-            # row to its word offset AND applying the sub-word byte shift
-            bs = stored_starts.astype(jnp.int32) + 512 * RT
-            rtp = plane_words // 128 + 2
-            srows = pallas_gather.gather_rows(tiles, bs >> 9, rtp)
-            srows = pallas_gather.align_rows(
-                srows, (bs >> 2) & 127, (bs & 3) << 3
-            )
-            rows.append(srows[:, :plane_words])
-        if n_rle:
-            v = rle_vals.astype(jnp.uint32)
-            v = v | (v << 8) | (v << 16) | (v << 24)
-            rows.append(jnp.broadcast_to(v[:, None], (n_rle, plane_words)))
-        if n_huf:
-            words = pallas_gather.gather_rows(tiles, row_starts, RT)  # [S_pad, SW]
-            blocks = words.reshape(n_blocks, pallas_huf.SUBS, 128, SW).transpose(0, 3, 1, 2)
-            out, pend = kernel(blocks, p0, tbl8)
-            # LE-packed symbol words == plane words, stream-major
-            ow = out.transpose(0, 2, 3, 1).reshape(S_pad, seg // 4)
-            rows.append(ow[:S].reshape(n_huf, plane_words))
-            pend_flat = pend.reshape(-1)[:S]
-        else:
-            pend_flat = jnp.zeros((0,), jnp.int32)
-
-        all_rows = rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=0)
-        planes_words = all_rows[perm].reshape(full, num_buf, plane_words)
-        owords = jax_transforms.combine_device(
-            planes_words, num_buf, byte_reorder, bit_reorder
-        )
-        return owords, pend_flat
-
-    return jax.jit(run)
-
-
-def _make_fast_args(
-    payload_np, cs, stored_mask, rle_mask, huf_b, huf_c,
-    sstarts, slens, tbl8, seg, full, num_buf, plane_bytes,
-    byte_reorder, bit_reorder, min_sw: int = 0,
-):
-    """Build the fused fast-path callable + its device arguments.
-
-    Shared by decompress_payload and the benchmark harness (which times
-    repeated ``run(*dev_args)`` invocations with device-resident inputs).
-    """
-    jnp = _jnp()
-    n_huf = huf_b.size
-    st_b, st_c = np.nonzero(stored_mask)
-    rl_b, rl_c = np.nonzero(rle_mask)
-    n_stored, n_rle = st_b.size, rl_b.size
-    if n_huf:
-        sends = sstarts + slens
-        last = payload_np[sends - 1]
-        if np.any(last == 0):
-            raise ValueError("corrupt bitstream: missing sentinel bit")
-        SW = max(128 * pallas_huf.row_tiles_for(int(slens.max())), min_sw)
-        S = n_huf * 4
-        S_pad = -(-S // pallas_huf.BLOCK) * pallas_huf.BLOCK
-        n_blocks = S_pad // pallas_huf.BLOCK
-        tile_start, end_in_row = pallas_huf.stream_row_geometry(sends, SW)
-        row_starts = np.zeros(S_pad, dtype=np.int32)
-        row_starts[:S] = tile_start
-        msb = np.floor(np.log2(last.astype(np.int64))).astype(np.int64)
-        p0 = np.full(S_pad, 8 * (4 * SW - 1), dtype=np.int32)
-        p0[:S] = (8 * (end_in_row - 1) + msb).astype(np.int32)
-        p0 = p0.reshape(n_blocks, pallas_huf.SUBS, 128)
-        tbl_dev = jnp.asarray(tbl8)
-    else:
-        SW = 128
-        end_in_row = None
-        row_starts = np.zeros(0, dtype=np.int32)
-        p0 = np.zeros((0, pallas_huf.SUBS, 128), dtype=np.int32)
-        tbl_dev = jnp.zeros((pallas_huf.SUBS, 128), jnp.int32)
-
-    run = _fused_fast_decode(
-        SW, seg, full, num_buf, plane_bytes, byte_reorder, bit_reorder,
-        n_stored, n_rle, n_huf,
-    )
-    # row-gather permutation: all_rows is [stored..., rle..., huf...]
-    nb_, full_ = stored_mask.shape
-    perm = np.zeros((full_, nb_), dtype=np.int32)
-    perm[st_c, st_b] = np.arange(n_stored, dtype=np.int32)
-    perm[rl_c, rl_b] = n_stored + np.arange(n_rle, dtype=np.int32)
-    perm[huf_c, huf_b] = n_stored + n_rle + np.arange(n_huf, dtype=np.int32)
-    # tile prep on the host (front pad for in-bounds row gathers + 512B
-    # alignment + guard tile): a u8->u32 lane restride on device costs
-    # ~5 ms / 96 MB, a host view is free
-    pad_front = 512 * (SW // 128)
-    total = pad_front + payload_np.size
-    pad_end = (-total) % 512 + 512
-    region8 = np.zeros(total + pad_end, dtype=np.uint8)
-    region8[pad_front : pad_front + payload_np.size] = payload_np
-    tiles_np = region8.view("<u4").reshape(-1, 128)
-    dev_args = (
-        jnp.asarray(tiles_np),
-        jnp.asarray(row_starts),
-        jnp.asarray(p0),
-        tbl_dev,
-        jnp.asarray(cs[st_b, st_c].astype(np.int32))
-        if n_stored else jnp.zeros((0,), jnp.int32),
-        jnp.asarray(payload_np[cs[rl_b, rl_c].astype(np.int64)])
-        if n_rle else jnp.zeros((0,), jnp.uint8),
-        jnp.asarray(perm.reshape(-1)),
-    )
-    return run, dev_args, SW, end_in_row
-
-
-class _PCStarved(Exception):
-    """Internal: base-rate window provisioning starved on a local bit-rate
-    spike; the caller retries with the rate12 kernel class."""
-
-
 # Set True to take the Pallas fast paths regardless of platform — used with
 # the kernels' INTERPRET flags so CPU CI drives the fused pipelines.
 FORCE_DEVICE_PATH = False
-
-
-@lru_cache(maxsize=None)
-def _fused_pc_decode(
-    SW: int,
-    seg: int,
-    full: int,
-    num_buf: int,
-    plane_bytes: int,
-    byte_reorder: int,
-    bit_reorder: int,
-    n_stored: int,
-    n_rle: int,
-    n_huf: int,
-    tlog_k: int,
-    rate12: bool,
-):
-    """One-call device pipeline for PER-CELL-table containers.
-
-    The per-cell sibling of :func:`_fused_fast_decode` — the path taken by
-    containers the reference library produces (per-chunk ``HUF_compress``
-    tables, zipnn_core.c:366/807).  Same structure with two extra stages:
-    the boundary compare-chain kernel emits 16-bit dtable indices and the
-    per-sublane post-pass maps them to symbol words
-    (ops/pallas_huf_pc.py).
-    """
-    import jax  # noqa: PLC0415
-    import jax.numpy as jnp  # noqa: PLC0415
-
-    from . import pallas_huf_pc as pc  # noqa: PLC0415
-
-    S = n_huf * 4
-    S_pad = -(-max(S, 1) // pc.BLOCK) * pc.BLOCK
-    n_blocks = S_pad // pc.BLOCK
-    kernel = pc._decode_call(SW, seg, tlog_k, n_blocks, rate12)
-    plane_words = plane_bytes // 4
-
-    def run(tiles, row_starts, p0, cbnd, pages, stored_starts, rle_vals, perm):
-        from . import pallas_gather  # noqa: PLC0415
-
-        RT = SW // 128
-        rows = []
-        if n_stored:
-            bs = stored_starts.astype(jnp.int32) + 512 * RT
-            rtp = plane_words // 128 + 2
-            srows = pallas_gather.gather_rows(tiles, bs >> 9, rtp)
-            srows = pallas_gather.align_rows(
-                srows, (bs >> 2) & 127, (bs & 3) << 3
-            )
-            rows.append(srows[:, :plane_words])
-        if n_rle:
-            v = rle_vals.astype(jnp.uint32)
-            v = v | (v << 8) | (v << 16) | (v << 24)
-            rows.append(jnp.broadcast_to(v[:, None], (n_rle, plane_words)))
-        if n_huf:
-            words = pallas_gather.gather_rows(tiles, row_starts, RT)
-            blocks = words.reshape(n_blocks, pc.SUBS, 128, SW).transpose(0, 3, 1, 2)
-            dw, pend = kernel(p0, cbnd, blocks)
-            dwS = dw.transpose(0, 2, 3, 1).reshape(S_pad, seg // 2)
-            ow = pc.post_map_symbols(dwS, pages, seg, tlog_k)
-            rows.append(ow[:S].reshape(n_huf, plane_words))
-            pend_flat = pend.reshape(-1)[:S]
-        else:
-            pend_flat = jnp.zeros((0,), jnp.int32)
-
-        all_rows = rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=0)
-        planes_words = all_rows[perm].reshape(full, num_buf, plane_words)
-        owords = jax_transforms.combine_device(
-            planes_words, num_buf, byte_reorder, bit_reorder
-        )
-        return owords, pend_flat
-
-    return jax.jit(run)
-
-
-def plan_pc_decode(
-    payload,
-    num_buf: int,
-    bit_reorder: int,
-    byte_reorder: int,
-    chunk_size: int,
-    orig_size: int,
-    force_rate12: bool = False,
-    chunk_range=None,
-    min_sw: int = 0,
-):
-    """Build the fused per-cell-table device decode (reference containers).
-
-    Returns (run, dev_args, meta) like :func:`plan_fast_decode`, or None
-    when not eligible (needs a TPU, tableLog <= 12, stream geometry within
-    the kernel's VMEM budget).  ``chunk_range=(lo, hi)`` restricts the
-    plan to that range of full chunks (device-memory batching for large
-    containers); ``min_sw`` floors the stream-row width so equal-geometry
-    batches reuse one compiled kernel.
-    """
-    from .. import codec  # noqa: PLC0415
-    from . import pallas_huf_pc as pc  # noqa: PLC0415
-
-    jnp = _jnp()
-    n_chunks = (orig_size + chunk_size - 1) // chunk_size
-    full = n_chunks if orig_size == n_chunks * chunk_size else n_chunks - 1
-    if full == 0 or not _platform_is_tpu():
-        return None
-    types, starts, data_start = codec.parse_tables(payload, num_buf, n_chunks)
-    payload_np = np.frombuffer(memoryview(payload), dtype=np.uint8)
-    plane_bytes = chunk_size // num_buf
-    seg = plane_bytes // 4
-    if seg % 128:
-        return None
-    plane_base = np.zeros(num_buf, dtype=np.int64)
-    for b in range(1, num_buf):
-        plane_base[b] = plane_base[b - 1] + starts[b - 1, n_chunks]
-    lo, hi = (0, full) if chunk_range is None else chunk_range
-    cs = (data_start + plane_base[:, None] + starts[:, :-1])[:, lo:hi]
-    sz = (starts[:, 1:] - starts[:, :-1])[:, lo:hi]
-    t = types[:, lo:hi]
-    full = hi - lo
-    if np.any(t > 1):
-        return None
-    raw_mask = t == 0
-    rle_mask = (t == 1) & (sz == 1)
-    stored_mask = raw_mask | ((t == 1) & (sz == plane_bytes))
-    huf_mask = (t == 1) & ~rle_mask & ~stored_mask
-    huf_b, huf_c = np.nonzero(huf_mask)
-    n_huf = huf_b.size
-    sstarts = slens = None
-    cbnd = pages_pad = None
-    tlog_k = 9
-    SW = 256
-    end_in_row = None
-    if n_huf:
-        hcs = cs[huf_b, huf_c].astype(np.int64)
-        hsz = sz[huf_b, huf_c].astype(np.int64)
-        # header length is determined by its first byte (raw 4-bit weights
-        # vs FSE-compressed), so slicing all headers is vectorizable
-        b0 = payload_np[hcs].astype(np.int64)
-        consumed = np.where(b0 >= 128, 1 + (b0 - 127 + 1) // 2, 1 + b0)
-        if not np.all(hsz > consumed + 6):
-            return None
-        jt = hcs + consumed
-        l1 = payload_np[jt].astype(np.int64) | (payload_np[jt + 1].astype(np.int64) << 8)
-        l2 = payload_np[jt + 2].astype(np.int64) | (payload_np[jt + 3].astype(np.int64) << 8)
-        l3 = payload_np[jt + 4].astype(np.int64) | (payload_np[jt + 5].astype(np.int64) << 8)
-        l4 = hsz - consumed - 6 - l1 - l2 - l3
-        if not np.all((l1 > 0) & (l2 > 0) & (l3 > 0) & (l4 > 0)):
-            return None
-        slens = np.stack([l1, l2, l3, l4], axis=1).reshape(-1)
-        SW = max(pc.sw_for(int(slens.max())), min_sw)
-        rate12 = force_rate12 or (8.0 * float(slens.max()) / seg > pc.RATE12_BITS)
-        if not pc.vmem_ok(int(slens.max()), seg, rate12):
-            return None
-        s0 = jt + 6
-        sstarts = np.stack(
-            [s0, s0 + l1, s0 + l1 + l2, s0 + l1 + l2 + l3], axis=1
-        ).reshape(-1)
-        from ..stats import phase  # noqa: PLC0415
-
-        try:
-            with phase("decode:plan-tables"):
-                bounds, pages, tlog_k = pc.cell_decode_tables_payload(
-                    payload_np, hcs, consumed
-                )
-        except ValueError:
-            return None
-        cell_of_stream = np.repeat(np.arange(n_huf), 4)
-        row_starts, p0, cbnd, pages_pad, end_in_row = pc.build_lane_inputs(
-            sstarts, slens, payload_np, bounds, pages, cell_of_stream, SW, tlog_k
-        )
-    else:
-        return None  # all-stored containers take the shared fast path
-
-    run = _fused_pc_decode(
-        SW, seg, full, num_buf, plane_bytes, byte_reorder, bit_reorder,
-        int(np.count_nonzero(stored_mask)), int(np.count_nonzero(rle_mask)),
-        n_huf, tlog_k, rate12,
-    )
-    st_b, st_c = np.nonzero(stored_mask)
-    rl_b, rl_c = np.nonzero(rle_mask)
-    nb_, full_ = stored_mask.shape
-    perm = np.zeros((full_, nb_), dtype=np.int32)
-    perm[st_c, st_b] = np.arange(st_b.size, dtype=np.int32)
-    perm[rl_c, rl_b] = st_b.size + np.arange(rl_b.size, dtype=np.int32)
-    perm[huf_c, huf_b] = st_b.size + rl_b.size + np.arange(n_huf, dtype=np.int32)
-    pad_front = 512 * (SW // 128)
-    total = pad_front + payload_np.size
-    pad_end = (-total) % 512 + 512
-    region8 = np.zeros(total + pad_end, dtype=np.uint8)
-    region8[pad_front : pad_front + payload_np.size] = payload_np
-    tiles_np = region8.view("<u4").reshape(-1, 128)
-    dev_args = (
-        jnp.asarray(tiles_np),
-        jnp.asarray(row_starts),
-        jnp.asarray(p0),
-        jnp.asarray(cbnd),
-        jnp.asarray(pages_pad),
-        jnp.asarray(cs[st_b, st_c].astype(np.int32))
-        if st_b.size else jnp.zeros((0,), jnp.int32),
-        jnp.asarray(payload_np[cs[rl_b, rl_c].astype(np.int64)])
-        if rl_b.size else jnp.zeros((0,), jnp.uint8),
-        jnp.asarray(perm.reshape(-1)),
-    )
-    meta = {"SW": SW, "slens": slens, "full": full, "n_huf": n_huf,
-            "end_in_row": end_in_row, "tlog_k": tlog_k, "rate12": rate12,
-            "cells": (huf_b, huf_c)}
-    return run, dev_args, meta
 
 
 def _platform_is_tpu() -> bool:
@@ -488,427 +128,21 @@ def _platform_is_tpu() -> bool:
         return False
 
 
-def decompress_payload(
-    payload,
-    num_buf: int,
-    bit_reorder: int,
-    byte_reorder: int,
-    chunk_size: int,
-    orig_size: int,
-    to_device: bool = False,
-) -> np.ndarray:
-    """Decompress the table+planes payload to flat bytes (device pipeline).
-
-    Containers whose full-chunk HUF blocks all share one <=8-bit table (our
-    ``huffman_table="shared"`` encode profile) take the Pallas lockstep
-    kernel (ops/pallas_huf.py); anything else — per-chunk tables, reference
-    -produced files — takes the XLA lockstep decoder.
-    """
-    jnp = _jnp()
-    n_chunks = (orig_size + chunk_size - 1) // chunk_size
-    out = np.empty(orig_size, dtype=np.uint8)
-    if n_chunks == 0:
-        return out
-
-    from .. import codec  # noqa: PLC0415 - avoid import cycle
-
-    types, starts, data_start = codec.parse_tables(payload, num_buf, n_chunks)
-    mv = memoryview(payload)
-    payload_np = np.frombuffer(mv, dtype=np.uint8)
-
-    full = n_chunks if orig_size == n_chunks * chunk_size else n_chunks - 1
-    plane_bytes = chunk_size // num_buf
-    seg = plane_bytes // 4
-
-    plane_base = np.zeros(num_buf, dtype=np.int64)
-    for b in range(1, num_buf):
-        plane_base[b] = plane_base[b - 1] + starts[b - 1, n_chunks]
-    cell_start = data_start + plane_base[:, None] + starts[:, :-1]  # [nb, nc]
-    cell_size = starts[:, 1:] - starts[:, :-1]
-
-    if full:
-        t = types[:, :full]
-        cs = cell_start[:, :full]
-        sz = cell_size[:, :full]
-        if np.any(t > 1):
-            raise ValueError(f"unknown chunk type {int(t.max())}")
-        raw_mask = t == 0
-        if np.any(sz[raw_mask] != plane_bytes):
-            raise ValueError("raw chunk size mismatch")
-        if np.any(sz[t == 1] > plane_bytes):
-            raise ValueError("corrupt HUF block (larger than destination)")
-        rle_mask = (t == 1) & (sz == 1)
-        stored_mask = raw_mask | ((t == 1) & (sz == plane_bytes))
-        huf_mask = (t == 1) & ~rle_mask & ~stored_mask
-
-        huf_b, huf_c = np.nonzero(huf_mask)
-        n_huf = huf_b.size
-        huf_planes = None
-
-        fast = False
-        hcs = hsz = None
-        if n_huf:
-            hcs = cs[huf_b, huf_c].astype(np.int64)
-            hsz = sz[huf_b, huf_c].astype(np.int64)
-            first = bytes(payload_np[int(hcs[0]) : int(hcs[0] + hsz[0])])
-            weights, rank_stats, tlog, _, consumed = huf.read_stats(first)
-
-            if tlog <= pallas_huf.TMAX and seg % 128 == 0 and _platform_is_tpu():
-                hdr = payload_np[int(hcs[0]) : int(hcs[0]) + consumed]
-                ok = np.all(hsz > consumed + 6)
-                if ok:
-                    idx = hcs[:, None] + np.arange(consumed)
-                    ok = bool(np.all(payload_np[idx] == hdr))
-                if ok:
-                    jt = hcs + consumed
-                    l1 = payload_np[jt].astype(np.int64) | (
-                        payload_np[jt + 1].astype(np.int64) << 8
-                    )
-                    l2 = payload_np[jt + 2].astype(np.int64) | (
-                        payload_np[jt + 3].astype(np.int64) << 8
-                    )
-                    l3 = payload_np[jt + 4].astype(np.int64) | (
-                        payload_np[jt + 5].astype(np.int64) << 8
-                    )
-                    l4 = hsz - consumed - 6 - l1 - l2 - l3
-                    if np.all((l1 > 0) & (l2 > 0) & (l3 > 0) & (l4 > 0)):
-                        slens = np.stack([l1, l2, l3, l4], axis=1).reshape(-1)
-                        if pallas_huf.fused_vmem_ok(int(slens.max()), seg):
-                            s0 = jt + 6
-                            sstarts = np.stack(
-                                [s0, s0 + l1, s0 + l1 + l2, s0 + l1 + l2 + l3],
-                                axis=1,
-                            ).reshape(-1)
-                            sym_t, nb_t = huf.build_dtable(weights, rank_stats, tlog)
-                            tbl8 = pallas_huf.expand_dtable8(sym_t, nb_t, tlog)
-                            fast = True
-
-        batch = _max_batch_chunks(chunk_size)
-        if fast or (full and n_huf == 0 and _platform_is_tpu()):
-            # ---- fused device pipeline, batched over chunk ranges so the
-            # device working set stays bounded for GB-scale containers ----
-            if not n_huf:
-                sstarts = slens = None
-                tbl8 = None
-            flats = [] if to_device else None
-            min_sw = 0
-            for b0 in range(0, full, batch):
-                b1 = min(b0 + batch, full)
-                if n_huf:
-                    sel = (huf_c >= b0) & (huf_c < b1)
-                    hb_r = huf_b[sel]
-                    hc_r = huf_c[sel] - b0
-                    sl4 = slens.reshape(n_huf, 4)
-                    ss4 = sstarts.reshape(n_huf, 4)
-                    slens_r = sl4[sel].reshape(-1)
-                    sstarts_r = ss4[sel].reshape(-1)
-                else:
-                    hb_r = hc_r = np.zeros(0, dtype=np.int64)
-                    slens_r = sstarts_r = None
-                run, dev_args, SW, end_in_row = _make_fast_args(
-                    payload_np, cs[:, b0:b1], stored_mask[:, b0:b1],
-                    rle_mask[:, b0:b1], hb_r, hc_r, sstarts_r, slens_r,
-                    tbl8, seg, b1 - b0, num_buf, plane_bytes,
-                    byte_reorder, bit_reorder, min_sw=min_sw,
-                )
-                min_sw = max(min_sw, SW)
-                owords, pend = run(*dev_args)
-                if hb_r.size:
-                    _check_pend(pend, end_in_row, slens_r, (hb_r, hc_r), b0)
-                if to_device:
-                    flats.append(jax_transforms.u32_flat_to_u8(owords.reshape(-1)))
-                else:
-                    host = np.asarray(owords).astype("<u4", copy=False)
-                    out[b0 * chunk_size : b1 * chunk_size] = (
-                        host.reshape(-1).view(np.uint8)
-                    )
-            return _finish_batched(
-                flats, out, mv, types, cell_start, cell_size, full, n_chunks,
-                chunk_size, orig_size, num_buf, byte_reorder, bit_reorder,
-                to_device,
-            )
-
-        if n_huf and _platform_is_tpu():
-            # per-cell tables (reference-produced containers): the boundary
-            # compare-chain kernel + symbol post-pass, batched the same way
-            probe = plan_pc_decode(
-                payload, num_buf, bit_reorder, byte_reorder, chunk_size,
-                orig_size, chunk_range=(0, min(batch, full)),
-            )
-            if probe is not None:
-                flats = [] if to_device else None
-                min_sw = 0
-                force = False
-                b0 = 0
-                while b0 < full:
-                    b1 = min(b0 + batch, full)
-                    planpc = probe if (b0 == 0 and not force) else plan_pc_decode(
-                        payload, num_buf, bit_reorder, byte_reorder,
-                        chunk_size, orig_size, force_rate12=force,
-                        chunk_range=(b0, b1), min_sw=min_sw,
-                    )
-                    if planpc is None:
-                        break  # later range ineligible: fall back entirely
-                    run, dev_args, meta = planpc
-                    min_sw = max(min_sw, meta["SW"])
-                    owords, pend = run(*dev_args)
-                    try:
-                        _check_pend(
-                            pend, meta["end_in_row"], meta["slens"],
-                            meta["cells"], b0,
-                        )
-                    except _PCStarved:
-                        if meta["rate12"]:
-                            raise RuntimeError(
-                                "window starvation under rate12 provisioning"
-                            ) from None
-                        force = True
-                        continue  # redo this range with the rate12 class
-                    if to_device:
-                        flats.append(
-                            jax_transforms.u32_flat_to_u8(owords.reshape(-1))
-                        )
-                    else:
-                        host = np.asarray(owords).astype("<u4", copy=False)
-                        out[b0 * chunk_size : b1 * chunk_size] = (
-                            host.reshape(-1).view(np.uint8)
-                        )
-                    b0 = b1
-                else:
-                    return _finish_batched(
-                        flats, out, mv, types, cell_start, cell_size, full,
-                        n_chunks, chunk_size, orig_size, num_buf,
-                        byte_reorder, bit_reorder, to_device,
-                    )
-
-        raw_planes = np.empty((full, num_buf, plane_bytes), dtype=np.uint8)
-        for b, c in zip(*np.nonzero(stored_mask)):
-            o = int(cs[b, c])
-            raw_planes[c, b] = payload_np[o : o + plane_bytes]
-        for b, c in zip(*np.nonzero(rle_mask)):
-            raw_planes[c, b] = payload_np[int(cs[b, c])]
-
-        if n_huf:
-            # generic path: per-cell tables, XLA lockstep decode
-            dtables: List[np.ndarray] = []
-            stream_blobs: List[bytes] = []
-            stream_bits: List[int] = []
-            stream_tlog: List[int] = []
-            for i in range(n_huf):
-                o = int(hcs[i])
-                data = bytes(payload_np[o : o + int(hsz[i])])
-                weights, rank_stats, tlog, _, consumed = huf.read_stats(data)
-                sym_t, nb_t = huf.build_dtable(weights, rank_stats, tlog)
-                ent = np.zeros(_DTABLE_PAD, dtype=np.int32)
-                ent[: sym_t.size] = sym_t.astype(np.int32) | (
-                    nb_t.astype(np.int32) << 8
-                )
-                rest = data[consumed:]
-                if len(rest) < 6:
-                    raise ValueError("corrupt HUF block (missing jump table)")
-                l1 = int.from_bytes(rest[0:2], "little")
-                l2 = int.from_bytes(rest[2:4], "little")
-                l3 = int.from_bytes(rest[4:6], "little")
-                l4 = len(rest) - 6 - l1 - l2 - l3
-                if l4 <= 0:
-                    raise ValueError("corrupt HUF block (jump table overruns input)")
-                off = 6
-                for ln in (l1, l2, l3, l4):
-                    s = rest[off : off + ln]
-                    if not s:
-                        raise ValueError("corrupt HUF block (empty stream)")
-                    stream_blobs.append(s)
-                    stream_bits.append(jax_entropy.sentinel_bits(s))
-                    stream_tlog.append(tlog)
-                    off += ln
-                dtables.append(ent)
-            wpr = _round_words(max(len(s) for s in stream_blobs))
-            words = jax_entropy.pack_streams_np(stream_blobs, wpr)
-            tbl_off = np.repeat(np.arange(n_huf, dtype=np.int32) * _DTABLE_PAD, 4)
-            syms, bits_left = _decode(
-                jnp.asarray(words),
-                jnp.asarray(np.asarray(stream_bits, dtype=np.int32)),
-                jnp.asarray(np.asarray(stream_tlog, dtype=np.int32)),
-                jnp.asarray(tbl_off),
-                jnp.asarray(np.concatenate(dtables)),
-                seg,
-                wpr,
-            )
-            bl = np.asarray(bits_left)
-            if np.any(bl != 0):
-                bad = int(np.nonzero(bl != 0)[0][0])
-                raise CorruptChunkError(
-                    f"HUF stream not fully consumed ({int(bl[bad])} bits left)",
-                    plane=int(huf_b[bad // 4]), chunk=int(huf_c[bad // 4]),
-                    stream=bad % 4,
-                )
-            huf_planes = syms.reshape(n_huf, plane_bytes)
-
-        # ---- scatter decoded planes, combine, one device->host copy ------
-        planes_dev = jnp.asarray(raw_planes)
-        if n_huf:
-            idx_c = jnp.asarray(huf_c.astype(np.int32))
-            idx_b = jnp.asarray(huf_b.astype(np.int32))
-            planes_dev = planes_dev.at[idx_c, idx_b].set(huf_planes)
-
-        pw = planes_dev.reshape(full, num_buf, plane_bytes // 4, 4).astype(jnp.uint32)
-        pwords = pw[..., 0] | (pw[..., 1] << 8) | (pw[..., 2] << 16) | (pw[..., 3] << 24)
-        owords = _combine(pwords, num_buf, byte_reorder, bit_reorder)
-        host = np.asarray(owords).astype("<u4", copy=False)
-        out[: full * chunk_size] = host.reshape(-1).view(np.uint8)
-
-    out = _finish_tail(
-        out, mv, types, cell_start, cell_size, full, n_chunks,
-        chunk_size, orig_size, num_buf, byte_reorder, bit_reorder,
-    )
-    if to_device:
-        return _jnp().asarray(out)
-    return out
-
-
-def _check_pend(pend, end_in_row, slens, cells, chunk_base: int = 0):
-    """Validate per-stream final positions; raises located errors.
-    Returns after raising _PCStarved when any lane flagged starvation."""
-    pend_np = np.asarray(pend).astype(np.int64)
-    if np.any(pend_np < -(1 << 29)):
-        raise _PCStarved()
-    want_end = 8 * (np.asarray(end_in_row) - np.asarray(slens))
-    if not np.array_equal(pend_np, want_end):
-        bad = int(np.nonzero(pend_np != want_end)[0][0])
-        plane = chunk = None
-        if cells is not None:
-            plane = int(cells[0][bad // 4])
-            chunk = int(cells[1][bad // 4]) + chunk_base
-        raise CorruptChunkError(
-            f"HUF stream not fully consumed: pos {int(pend_np[bad])} "
-            f"!= {int(want_end[bad])}",
-            plane=plane, chunk=chunk, stream=bad % 4,
-        )
-
-
-def _max_batch_chunks(chunk_size: int) -> int:
-    """Chunks per fused-decode device batch.
-
-    One batch costs ~6x its plaintext bytes in device working buffers
-    (stream blocks, d-indices, symbols, planes, output) on top of the
-    payload upload; bounding the batch lets arbitrarily large containers
-    (a 16 GB Llama checkpoint is ~34 GB of working set unbatched) stream
-    through a single chip.  ZIPNN_TPU_BATCH_MB overrides (default 512).
-    """
-    import os  # noqa: PLC0415
-
-    budget = int(os.environ.get("ZIPNN_TPU_BATCH_MB", "512")) * (1 << 20)
-    return max(1, budget // max(chunk_size, 1))
-
-
-def _complete_fused(
-    owords, pend, end_in_row, slens, n_huf, out, mv, types, cell_start,
-    cell_size, full, n_chunks, chunk_size, orig_size, num_buf,
-    byte_reorder, bit_reorder, to_device, cells=None,
-):
-    """Validate stream-end positions and marshal a fused decode's output
-    (host bytes or device array + ragged tail), shared by the shared-table
-    and per-cell fast paths."""
-    from ..stats import phase  # noqa: PLC0415
-
-    jnp = _jnp()
-    host = None
-    if not to_device:
-        with phase("decode:marshal"):
-            host = np.asarray(owords).astype("<u4", copy=False)
-    if n_huf:
-        pend_np = np.asarray(pend).astype(np.int64)
-        if np.any(pend_np < -(1 << 29)):
-            raise _PCStarved()
-        want_end = 8 * (end_in_row - slens)
-        if not np.array_equal(pend_np, want_end):
-            bad = int(np.nonzero(pend_np != want_end)[0][0])
-            plane = chunk = None
-            if cells is not None:
-                plane = int(cells[0][bad // 4])
-                chunk = int(cells[1][bad // 4])
-            raise CorruptChunkError(
-                f"HUF stream not fully consumed: pos {int(pend_np[bad])} "
-                f"!= {int(want_end[bad])}",
-                plane=plane, chunk=chunk, stream=bad % 4,
-            )
-    if to_device:
-        flat = jax_transforms.u32_flat_to_u8(owords.reshape(-1))
-        if full < n_chunks:
-            tail = np.empty(orig_size - full * chunk_size, np.uint8)
-            _finish_tail(
-                tail, mv, types, cell_start, cell_size, full,
-                n_chunks, chunk_size, orig_size, num_buf,
-                byte_reorder, bit_reorder, tail_base=full * chunk_size,
-            )
-            flat = jnp.concatenate([flat, jnp.asarray(tail)])
-        return flat
-    out[: full * chunk_size] = host.reshape(-1).view(np.uint8)
-    return _finish_tail(
-        out, mv, types, cell_start, cell_size, full, n_chunks,
-        chunk_size, orig_size, num_buf, byte_reorder, bit_reorder,
-    )
-
-
-def _finish_batched(
-    flats, out, mv, types, cell_start, cell_size, full, n_chunks,
-    chunk_size, orig_size, num_buf, byte_reorder, bit_reorder, to_device,
-):
-    """Marshal the batched fused decode's result (+ ragged tail)."""
-    jnp = _jnp()
-    if to_device:
-        if full < n_chunks:
-            tail = np.empty(orig_size - full * chunk_size, np.uint8)
-            _finish_tail(
-                tail, mv, types, cell_start, cell_size, full, n_chunks,
-                chunk_size, orig_size, num_buf, byte_reorder, bit_reorder,
-                tail_base=full * chunk_size,
-            )
-            flats.append(jnp.asarray(tail))
-        return flats[0] if len(flats) == 1 else jnp.concatenate(flats)
-    return _finish_tail(
-        out, mv, types, cell_start, cell_size, full, n_chunks,
-        chunk_size, orig_size, num_buf, byte_reorder, bit_reorder,
-    )
-
-
-def _finish_tail(
-    out, mv, types, cell_start, cell_size, full, n_chunks,
-    chunk_size, orig_size, num_buf, byte_reorder, bit_reorder,
-    tail_base: int = 0,
-):
-    """Decode the (at most one) ragged tail chunk via the numpy golden model.
-
-    With ``tail_base`` set, ``out`` holds only the tail (device-output path)
-    and offsets are rebased accordingly.
-    """
-    if full < n_chunks:
-        c = n_chunks - 1
-        chunk_len = orig_size - c * chunk_size
-        lens = byte_group.plane_lengths(chunk_len, num_buf, byte_reorder)
-        planes = []
-        for b in range(num_buf):
-            lo = int(cell_start[b, c])
-            hi = lo + int(cell_size[b, c])
-            blob = mv[lo:hi]
-            want = int(lens[b])
-            if types[b, c] == 0:
-                if hi - lo != want:
-                    raise CorruptChunkError(
-                        f"raw size mismatch: {hi - lo} != {want}", plane=b, chunk=c
-                    )
-                planes.append(np.frombuffer(blob, dtype=np.uint8))
-            else:
-                try:
-                    planes.append(huf.decompress(blob, want))
-                except ValueError as exc:
-                    raise CorruptChunkError(str(exc), plane=b, chunk=c) from exc
-        o0 = c * chunk_size - tail_base
-        byte_group.combine(
-            planes, chunk_len, num_buf, byte_reorder, bit_reorder,
-            out=out[o0 : o0 + chunk_len],
-        )
-    return out
+# Implementation lives in ops/jax_decode.py (container-wide host plan,
+# single payload upload, uniform-geometry batches, pipelined execution);
+# names re-exported here for API stability.  FORCE_DEVICE_PATH stays on
+# this module (tests monkeypatch it here) and jax_decode reads it back
+# through _platform_is_tpu above.
+from .jax_decode import (  # noqa: E402
+    _PCStarved,
+    _check_pend,
+    _finish_batched,
+    _finish_tail,
+    _max_batch_chunks,
+    decompress_payload,
+    plan_fast_decode,
+    plan_pc_decode,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -1522,78 +756,3 @@ def plan_fast_encode(
         return out.tobytes()
 
     return run, words_dev, assemble
-
-
-def plan_fast_decode(
-    payload,
-    num_buf: int,
-    bit_reorder: int,
-    byte_reorder: int,
-    chunk_size: int,
-    orig_size: int,
-):
-    """Build the fused device decode for a shared-table container.
-
-    Returns (run, dev_args, meta) where ``run(*dev_args)`` is the
-    single-dispatch HBM->HBM decompress of all full chunks (meta carries
-    the validation vectors), or None when the container is not fast-path
-    eligible.  Used by the benchmark harness and the device-resident
-    serving path.
-    """
-    from .. import codec  # noqa: PLC0415
-
-    n_chunks = (orig_size + chunk_size - 1) // chunk_size
-    full = n_chunks if orig_size == n_chunks * chunk_size else n_chunks - 1
-    if full == 0 or not _platform_is_tpu():
-        return None
-    types, starts, data_start = codec.parse_tables(payload, num_buf, n_chunks)
-    payload_np = np.frombuffer(memoryview(payload), dtype=np.uint8)
-    plane_bytes = chunk_size // num_buf
-    seg = plane_bytes // 4
-    plane_base = np.zeros(num_buf, dtype=np.int64)
-    for b in range(1, num_buf):
-        plane_base[b] = plane_base[b - 1] + starts[b - 1, n_chunks]
-    cs = (data_start + plane_base[:, None] + starts[:, :-1])[:, :full]
-    sz = (starts[:, 1:] - starts[:, :-1])[:, :full]
-    t = types[:, :full]
-    raw_mask = t == 0
-    rle_mask = (t == 1) & (sz == 1)
-    stored_mask = raw_mask | ((t == 1) & (sz == plane_bytes))
-    huf_mask = (t == 1) & ~rle_mask & ~stored_mask
-    huf_b, huf_c = np.nonzero(huf_mask)
-    sstarts = slens = tbl8 = None
-    if huf_b.size:
-        hcs = cs[huf_b, huf_c].astype(np.int64)
-        hsz = sz[huf_b, huf_c].astype(np.int64)
-        first = bytes(payload_np[int(hcs[0]) : int(hcs[0] + hsz[0])])
-        weights, rank_stats, tlog, _, consumed = huf.read_stats(first)
-        if tlog > pallas_huf.TMAX or seg % 128:
-            return None
-        hdr = payload_np[int(hcs[0]) : int(hcs[0]) + consumed]
-        if not np.all(hsz > consumed + 6):
-            return None
-        idx = hcs[:, None] + np.arange(consumed)
-        if not bool(np.all(payload_np[idx] == hdr)):
-            return None
-        jt = hcs + consumed
-        l1 = payload_np[jt].astype(np.int64) | (payload_np[jt + 1].astype(np.int64) << 8)
-        l2 = payload_np[jt + 2].astype(np.int64) | (payload_np[jt + 3].astype(np.int64) << 8)
-        l3 = payload_np[jt + 4].astype(np.int64) | (payload_np[jt + 5].astype(np.int64) << 8)
-        l4 = hsz - consumed - 6 - l1 - l2 - l3
-        if not np.all((l1 > 0) & (l2 > 0) & (l3 > 0) & (l4 > 0)):
-            return None
-        slens = np.stack([l1, l2, l3, l4], axis=1).reshape(-1)
-        if not pallas_huf.fused_vmem_ok(int(slens.max()), seg):
-            return None
-        s0 = jt + 6
-        sstarts = np.stack([s0, s0 + l1, s0 + l1 + l2, s0 + l1 + l2 + l3], axis=1).reshape(-1)
-        sym_t, nb_t = huf.build_dtable(weights, rank_stats, tlog)
-        tbl8 = pallas_huf.expand_dtable8(sym_t, nb_t, tlog)
-    run, dev_args, SW, end_in_row = _make_fast_args(
-        payload_np, cs, stored_mask, rle_mask, huf_b, huf_c,
-        sstarts, slens, tbl8, seg, full, num_buf, plane_bytes,
-        byte_reorder, bit_reorder,
-    )
-    meta = {"SW": SW, "slens": slens, "full": full, "n_huf": huf_b.size,
-            "end_in_row": end_in_row}
-    return run, dev_args, meta

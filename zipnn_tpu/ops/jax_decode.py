@@ -1,0 +1,936 @@
+"""Device decompress pipeline for the ``engine="tpu"`` codec.
+
+Fast-path architecture (round 3; replaces the per-batch re-planning the
+round-2 review flagged as the host wall):
+
+* **One container-wide host plan.**  ``_parse_geometry`` + a plan object
+  (:class:`_SharedPlan` / :class:`_PCPlan`) parse the chunk tables, slice
+  every HUF cell's header/jump geometry vectorized, and batch-parse all
+  per-cell decode tables (native C++) exactly once.  Per-batch kernel
+  inputs are then cheap numpy slices.
+* **One payload upload.**  The raw payload bytes go to the device once;
+  guard padding and the u8->u32 lane restride happen on device at HBM
+  bandwidth (``_tiles_call``).  Round 2 rebuilt and re-uploaded a
+  zero-padded copy of the whole payload per batch.
+* **Uniform batch geometry.**  Every batch is padded to the same
+  (stored/rle/huf) cell capacities, so one compiled kernel serves all
+  batches of a container — a 16 GB checkpoint pays one compile, not one
+  per 512 MB batch.
+* **Pipelined batches.**  Batch N+1's host planning and uploads overlap
+  batch N's device decode (depth-2 in-flight window bounds device
+  memory); stream-end validation is deferred to the drain.
+
+Containers whose HUF blocks share one <=8-bit table (our
+``huffman_table="shared"`` profile) take the Pallas lockstep kernel
+(ops/pallas_huf.py); per-chunk-table containers — what the reference
+library emits (csrc/zipnn_core.c:366/807) — take the boundary
+compare-chain kernel (ops/pallas_huf_pc.py).  Anything else falls back to
+the XLA lockstep decoder at the bottom of this file.
+
+Reference equivalent: csrc/zipnn_core.c:881-1164 (decompress core).
+"""
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import List, Optional
+
+import numpy as np
+
+from . import byte_group
+from ..errors import CorruptChunkError
+from .entropy import huf
+from . import jax_entropy, jax_transforms, pallas_huf
+
+
+def _jnp():
+    import jax.numpy as jnp  # noqa: PLC0415 - keep jax import lazy
+
+    return jnp
+
+
+def _platform_is_tpu() -> bool:
+    from . import jax_codec  # noqa: PLC0415 - FORCE_DEVICE_PATH lives there
+
+    return jax_codec._platform_is_tpu()
+
+
+class _PCStarved(Exception):
+    """Internal: base-rate window provisioning starved on a local bit-rate
+    spike; the caller retries the batch with the rate12 kernel class."""
+
+
+# ---------------------------------------------------------------------------
+# container geometry (host)
+# ---------------------------------------------------------------------------
+
+class _Geom:
+    """Parsed container geometry: chunk tables, per-cell offsets/sizes and
+    the stored/RLE/HUF cell classification over the full-chunk region."""
+
+    __slots__ = (
+        "payload_np", "mv", "num_buf", "chunk_size", "orig_size",
+        "n_chunks", "full", "plane_bytes", "seg", "types",
+        "cell_start", "cell_size", "cs", "sz",
+        "stored_cells", "rle_cells", "huf_cells",
+        "bit_reorder", "byte_reorder",
+    )
+
+
+def _parse_geometry(
+    payload, num_buf, chunk_size, orig_size, bit_reorder, byte_reorder
+) -> Optional[_Geom]:
+    n_chunks = (orig_size + chunk_size - 1) // chunk_size
+    if n_chunks == 0:
+        return None
+    from .. import codec  # noqa: PLC0415 - avoid import cycle
+
+    g = _Geom()
+    g.mv = memoryview(payload)
+    g.payload_np = np.frombuffer(g.mv, dtype=np.uint8)
+    g.num_buf = num_buf
+    g.chunk_size = chunk_size
+    g.orig_size = orig_size
+    g.bit_reorder = bit_reorder
+    g.byte_reorder = byte_reorder
+    g.n_chunks = n_chunks
+    g.full = n_chunks if orig_size == n_chunks * chunk_size else n_chunks - 1
+    types, starts, data_start = codec.parse_tables(payload, num_buf, n_chunks)
+    g.types = types
+    g.plane_bytes = chunk_size // num_buf
+    g.seg = g.plane_bytes // 4
+    plane_base = np.zeros(num_buf, dtype=np.int64)
+    for b in range(1, num_buf):
+        plane_base[b] = plane_base[b - 1] + starts[b - 1, n_chunks]
+    g.cell_start = data_start + plane_base[:, None] + starts[:, :-1]
+    g.cell_size = starts[:, 1:] - starts[:, :-1]
+    if g.full:
+        t = types[:, : g.full]
+        g.cs = g.cell_start[:, : g.full]
+        g.sz = g.cell_size[:, : g.full]
+        if np.any(t > 1):
+            raise ValueError(f"unknown chunk type {int(t.max())}")
+        if np.any(g.sz[t == 0] != g.plane_bytes):
+            raise ValueError("raw chunk size mismatch")
+        if np.any(g.sz[t == 1] > g.plane_bytes):
+            raise ValueError("corrupt HUF block (larger than destination)")
+        raw_mask = t == 0
+        rle_mask = (t == 1) & (g.sz == 1)
+        stored_mask = raw_mask | ((t == 1) & (g.sz == g.plane_bytes))
+        huf_mask = (t == 1) & ~rle_mask & ~stored_mask
+        g.stored_cells = np.nonzero(stored_mask)
+        g.rle_cells = np.nonzero(rle_mask)
+        g.huf_cells = np.nonzero(huf_mask)
+    else:
+        z = (np.zeros(0, np.int64), np.zeros(0, np.int64))
+        g.cs = g.sz = None
+        g.stored_cells = g.rle_cells = g.huf_cells = z
+    return g
+
+
+def _huf_stream_geometry(g: _Geom):
+    """Vectorized header-length/jump-table slicing for every HUF cell.
+
+    Returns (hcs, hsz, consumed, sstarts4 [n,4], slens4 [n,4]) or None when
+    any cell's geometry is invalid — the caller then falls back to the
+    generic path, which produces the precise located error.
+    """
+    hb, hc = g.huf_cells
+    hcs = g.cs[hb, hc].astype(np.int64)
+    hsz = g.sz[hb, hc].astype(np.int64)
+    p = g.payload_np
+    # header length is determined by its first byte (raw 4-bit weights vs
+    # FSE-compressed), so slicing all headers is vectorizable
+    b0 = p[hcs].astype(np.int64)
+    consumed = np.where(b0 >= 128, 1 + (b0 - 127 + 1) // 2, 1 + b0)
+    if not np.all(hsz > consumed + 6):
+        return None
+    jt = hcs + consumed
+    l1 = p[jt].astype(np.int64) | (p[jt + 1].astype(np.int64) << 8)
+    l2 = p[jt + 2].astype(np.int64) | (p[jt + 3].astype(np.int64) << 8)
+    l3 = p[jt + 4].astype(np.int64) | (p[jt + 5].astype(np.int64) << 8)
+    l4 = hsz - consumed - 6 - l1 - l2 - l3
+    if not np.all((l1 > 0) & (l2 > 0) & (l3 > 0) & (l4 > 0)):
+        return None
+    s0 = jt + 6
+    sstarts4 = np.stack([s0, s0 + l1, s0 + l1 + l2, s0 + l1 + l2 + l3], axis=1)
+    slens4 = np.stack([l1, l2, l3, l4], axis=1)
+    if np.any(p[(sstarts4 + slens4).reshape(-1) - 1] == 0):
+        return None  # missing sentinel bit: generic path raises the error
+    return hcs, hsz, consumed, sstarts4, slens4
+
+
+# ---------------------------------------------------------------------------
+# fused device pipelines
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _tiles_call(RT: int):
+    """jitted: pad the payload (RT front guard tiles + end guard) and
+    restride it to [X, 128] uint32 tiles ON DEVICE.
+
+    The payload uploads once, raw; padding and the u8->u32 restride run at
+    HBM bandwidth.  All batches of a container share the result.
+    """
+    import jax  # noqa: PLC0415
+
+    jnp = _jnp()
+
+    def f(region_u8):
+        from . import pallas_gather  # noqa: PLC0415
+
+        return pallas_gather.to_tiles(
+            jnp.concatenate(
+                [jnp.zeros(512 * RT, jnp.uint8), region_u8,
+                 jnp.zeros(512, jnp.uint8)]
+            )
+        )
+
+    return jax.jit(f)
+
+
+@lru_cache(maxsize=None)
+def _fused_fast_decode(
+    SW: int,
+    seg: int,
+    B: int,
+    num_buf: int,
+    plane_bytes: int,
+    byte_reorder: int,
+    bit_reorder: int,
+    n_stored: int,
+    n_rle: int,
+    n_huf: int,
+):
+    """One-dispatch device pipeline for a SHARED-table batch of B chunks.
+
+    Right-aligned stream slicing, the Pallas lockstep decode, stored-plane
+    gathering from the payload tiles, RLE fills, plane assembly (a row
+    *gather*, ``all_rows[perm]``) and the byte-group combine all happen
+    inside a single jit.  ``n_stored/n_rle/n_huf`` are per-batch
+    *capacities*: every batch of a container is padded to the same counts
+    so one compiled program serves them all.
+
+    Returns (owords [B, chunk_words] uint32, pend [S_pad] int32).
+    """
+    import jax  # noqa: PLC0415
+    import jax.numpy as jnp  # noqa: PLC0415
+
+    S = n_huf * 4
+    S_pad = -(-max(S, 1) // pallas_huf.BLOCK) * pallas_huf.BLOCK
+    n_blocks = S_pad // pallas_huf.BLOCK
+    kernel = pallas_huf._decode_call(SW, seg, n_blocks) if n_huf else None
+    plane_words = plane_bytes // 4
+
+    def run(tiles, row_starts, p0, tbl8, st_tiles, st_wsh, st_bsh, rle_vals, perm):
+        from . import pallas_gather  # noqa: PLC0415
+
+        RT = SW // 128
+        rows = []
+        if n_stored:
+            rtp = plane_words // 128 + 2
+            srows = pallas_gather.gather_rows(tiles, st_tiles, rtp)
+            srows = pallas_gather.align_rows(srows, st_wsh, st_bsh)
+            rows.append(srows[:, :plane_words])
+        if n_rle:
+            v = rle_vals.astype(jnp.uint32)
+            v = v | (v << 8) | (v << 16) | (v << 24)
+            rows.append(jnp.broadcast_to(v[:, None], (n_rle, plane_words)))
+        if n_huf:
+            words = pallas_gather.gather_rows(tiles, row_starts, RT)  # [S_pad, SW]
+            blocks = words.reshape(n_blocks, pallas_huf.SUBS, 128, SW).transpose(0, 3, 1, 2)
+            out, pend = kernel(blocks, p0, tbl8)
+            # LE-packed symbol words == plane words, stream-major
+            ow = out.transpose(0, 2, 3, 1).reshape(S_pad, seg // 4)
+            rows.append(ow[:S].reshape(n_huf, plane_words))
+            pend_flat = pend.reshape(-1)[:S]
+        else:
+            pend_flat = jnp.zeros((0,), jnp.int32)
+
+        all_rows = rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=0)
+        planes_words = all_rows[perm].reshape(B, num_buf, plane_words)
+        owords = jax_transforms.combine_device(
+            planes_words, num_buf, byte_reorder, bit_reorder
+        )
+        return owords, pend_flat
+
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=None)
+def _fused_pc_decode(
+    SW: int,
+    seg: int,
+    B: int,
+    num_buf: int,
+    plane_bytes: int,
+    byte_reorder: int,
+    bit_reorder: int,
+    n_stored: int,
+    n_rle: int,
+    n_huf: int,
+    tlog_k: int,
+    rate12: bool,
+):
+    """The per-cell-table sibling of :func:`_fused_fast_decode` — the path
+    for containers the reference library produces (per-chunk
+    ``HUF_compress`` tables, zipnn_core.c:366/807).  Same structure plus
+    two extra stages: the boundary compare-chain kernel emits 16-bit
+    dtable indices and the per-sublane post-pass maps them to symbol words
+    (ops/pallas_huf_pc.py)."""
+    import jax  # noqa: PLC0415
+    import jax.numpy as jnp  # noqa: PLC0415
+
+    from . import pallas_huf_pc as pc  # noqa: PLC0415
+
+    S = n_huf * 4
+    S_pad = -(-max(S, 1) // pc.BLOCK) * pc.BLOCK
+    n_blocks = S_pad // pc.BLOCK
+    kernel = pc._decode_call(SW, seg, tlog_k, n_blocks, rate12)
+    plane_words = plane_bytes // 4
+
+    def run(tiles, row_starts, p0, cbnd, pages, st_tiles, st_wsh, st_bsh,
+            rle_vals, perm):
+        from . import pallas_gather  # noqa: PLC0415
+
+        RT = SW // 128
+        rows = []
+        if n_stored:
+            rtp = plane_words // 128 + 2
+            srows = pallas_gather.gather_rows(tiles, st_tiles, rtp)
+            srows = pallas_gather.align_rows(srows, st_wsh, st_bsh)
+            rows.append(srows[:, :plane_words])
+        if n_rle:
+            v = rle_vals.astype(jnp.uint32)
+            v = v | (v << 8) | (v << 16) | (v << 24)
+            rows.append(jnp.broadcast_to(v[:, None], (n_rle, plane_words)))
+        words = pallas_gather.gather_rows(tiles, row_starts, RT)
+        blocks = words.reshape(n_blocks, pc.SUBS, 128, SW).transpose(0, 3, 1, 2)
+        dw, pend = kernel(p0, cbnd, blocks)
+        dwS = dw.transpose(0, 2, 3, 1).reshape(S_pad, seg // 2)
+        ow = pc.post_map_symbols(dwS, pages, seg, tlog_k)
+        rows.append(ow[:S].reshape(n_huf, plane_words))
+        pend_flat = pend.reshape(-1)[:S]
+
+        all_rows = rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=0)
+        planes_words = all_rows[perm].reshape(B, num_buf, plane_words)
+        owords = jax_transforms.combine_device(
+            planes_words, num_buf, byte_reorder, bit_reorder
+        )
+        return owords, pend_flat
+
+    return jax.jit(run)
+
+
+# ---------------------------------------------------------------------------
+# fast-path plans (host-only; device args derived per batch)
+# ---------------------------------------------------------------------------
+
+class _SharedPlan:
+    """Fast-path plan for shared-table containers (every HUF cell carries
+    the same <=8-bit weight header) and for all-stored containers."""
+
+    kind = "shared"
+    BLOCK = pallas_huf.BLOCK
+
+    @classmethod
+    def build(cls, g: _Geom):
+        if g.seg % 128:
+            return None
+        hb, hc = g.huf_cells
+        p = cls()
+        p.g = g
+        p.n_huf_total = int(hb.size)
+        if not hb.size:
+            p.SW = 128  # no HUF gathers; front pad covers stored rows
+            p.RT = 1
+            p.sstarts4 = p.slens4 = None
+            p.tbl8 = None
+            return p
+        geo = _huf_stream_geometry(g)
+        if geo is None:
+            return None
+        hcs, hsz, consumed, sstarts4, slens4 = geo
+        first = bytes(g.payload_np[int(hcs[0]) : int(hcs[0] + hsz[0])])
+        try:
+            weights, rank_stats, tlog, _, cons0 = huf.read_stats(first)
+        except ValueError:
+            return None
+        if tlog > pallas_huf.TMAX:
+            return None
+        if not np.all(consumed == cons0):
+            return None
+        hdr = g.payload_np[int(hcs[0]) : int(hcs[0]) + cons0]
+        idx = hcs[:, None] + np.arange(cons0)
+        if not bool(np.all(g.payload_np[idx] == hdr)):
+            return None
+        if not pallas_huf.fused_vmem_ok(int(slens4.max()), g.seg):
+            return None
+        sym_t, nb_t = huf.build_dtable(weights, rank_stats, tlog)
+        p.tbl8 = pallas_huf.expand_dtable8(sym_t, nb_t, tlog)
+        p.sstarts4 = sstarts4
+        p.slens4 = slens4
+        p.SW = 128 * pallas_huf.row_tiles_for(int(slens4.max()))
+        p.RT = p.SW // 128
+        return p
+
+    def fused_call(self, caps, B: int, force12: bool = False):
+        ns, nr, nh = caps
+        g = self.g
+        return _fused_fast_decode(
+            self.SW, g.seg, B, g.num_buf, g.plane_bytes,
+            g.byte_reorder, g.bit_reorder, ns, nr, nh,
+        )
+
+
+class _PCPlan:
+    """Fast-path plan for per-cell-table containers (reference profile).
+
+    All per-cell table parsing (native C++ batch parser) happens once here;
+    ``rate12`` is decided container-wide from the exact stream lengths, and
+    VMEM eligibility is checked for the rate12 class too so the starvation
+    retry can always compile (round-2 ADVICE)."""
+
+    kind = "pc"
+
+    @classmethod
+    def build(cls, g: _Geom, force_rate12: bool = False):
+        from . import pallas_huf_pc as pc  # noqa: PLC0415
+
+        cls.BLOCK = pc.BLOCK
+        if g.seg % 128:
+            return None
+        hb, hc = g.huf_cells
+        if not hb.size:
+            return None  # all-stored containers take the shared plan
+        geo = _huf_stream_geometry(g)
+        if geo is None:
+            return None
+        hcs, hsz, consumed, sstarts4, slens4 = geo
+        max_len = int(slens4.max())
+        rate12 = force_rate12 or (8.0 * max_len / g.seg > pc.RATE12_BITS)
+        if not (pc.vmem_ok(max_len, g.seg, rate12)
+                and pc.vmem_ok(max_len, g.seg, True)):
+            return None
+        from ..stats import phase  # noqa: PLC0415
+
+        try:
+            with phase("decode:plan-tables"):
+                bounds, pages, tlog_k = pc.cell_decode_tables_payload(
+                    g.payload_np, hcs, consumed
+                )
+        except ValueError:
+            return None
+        p = cls()
+        p.g = g
+        p.n_huf_total = int(hb.size)
+        p.sstarts4 = sstarts4
+        p.slens4 = slens4
+        p.bounds = bounds
+        p.pages = pages
+        p.tlog_k = tlog_k
+        p.rate12 = rate12
+        p.SW = pc.sw_for(max_len)
+        p.RT = p.SW // 128
+        return p
+
+    def fused_call(self, caps, B: int, force12: bool = False):
+        ns, nr, nh = caps
+        g = self.g
+        return _fused_pc_decode(
+            self.SW, g.seg, B, g.num_buf, g.plane_bytes,
+            g.byte_reorder, g.bit_reorder, ns, nr, nh,
+            self.tlog_k, self.rate12 or force12,
+        )
+
+
+def _batch_caps(g: _Geom, B: int, n_batches: int):
+    """Per-batch cell-count capacities (max over batches per class), so
+    every batch shares one compiled kernel geometry."""
+
+    def cap(cols):
+        if cols.size == 0:
+            return 0
+        return int(np.bincount(cols // B, minlength=n_batches).max())
+
+    return (cap(g.stored_cells[1]), cap(g.rle_cells[1]), cap(g.huf_cells[1]))
+
+
+def _batch_caps_range(g: _Geom, lo: int, hi: int):
+    def cap(cols):
+        return int(np.count_nonzero((cols >= lo) & (cols < hi)))
+
+    return (cap(g.stored_cells[1]), cap(g.rle_cells[1]), cap(g.huf_cells[1]))
+
+
+def _batch_host(plan, lo: int, hi: int, caps, B: int):
+    """Host kernel inputs for chunks [lo, hi), padded to ``caps``/``B``.
+
+    Pure numpy slicing of the plan's container-wide arrays.  Padding lanes
+    get in-bounds geometry (row 0 / zero boundaries) and decode garbage
+    harmlessly; ``perm`` never selects them and ``pend`` is validated for
+    the first ``S_real`` lanes only.
+    """
+    g = plan.g
+    ns_cap, nr_cap, nh_cap = caps
+    st_b, st_c = g.stored_cells
+    rl_b, rl_c = g.rle_cells
+    hb, hc = g.huf_cells
+    ssel = (st_c >= lo) & (st_c < hi)
+    rsel = (rl_c >= lo) & (rl_c < hi)
+    hsel = (hc >= lo) & (hc < hi)
+    stb, stc = st_b[ssel], st_c[ssel]
+    rlb, rlc = rl_b[rsel], rl_c[rsel]
+    hbb, hcc = hb[hsel], hc[hsel]
+    n_st, n_rl, n_hf = stb.size, rlb.size, hbb.size
+    perm = np.zeros((B, g.num_buf), dtype=np.int32)
+    perm[stc - lo, stb] = np.arange(n_st, dtype=np.int32)
+    perm[rlc - lo, rlb] = ns_cap + np.arange(n_rl, dtype=np.int32)
+    perm[hcc - lo, hbb] = ns_cap + nr_cap + np.arange(n_hf, dtype=np.int32)
+    # stored rows: tile index + word/byte shift, int64 host math (payloads
+    # beyond 2 GB stay exact; the device sees only small int32 indices)
+    st_tiles = np.zeros(ns_cap, np.int32)
+    st_wsh = np.zeros(ns_cap, np.int32)
+    st_bsh = np.zeros(ns_cap, np.int32)
+    if n_st:
+        bs = g.cs[stb, stc] + 512 * plan.RT
+        st_tiles[:n_st] = (bs >> 9).astype(np.int32)
+        st_wsh[:n_st] = ((bs >> 2) & 127).astype(np.int32)
+        st_bsh[:n_st] = ((bs & 3) << 3).astype(np.int32)
+    rle_vals = np.zeros(nr_cap, np.uint8)
+    if n_rl:
+        rle_vals[:n_rl] = g.payload_np[g.cs[rlb, rlc].astype(np.int64)]
+    S_pad = -(-max(nh_cap * 4, 1) // plan.BLOCK) * plan.BLOCK
+    n_blocks = S_pad // plan.BLOCK
+    row_starts = np.zeros(S_pad, dtype=np.int32)
+    p0 = np.full(S_pad, 8 * (4 * plan.SW - 1), dtype=np.int32)
+    meta = {"S_real": 4 * n_hf, "cells": (hbb, hcc), "lo": lo, "hi": hi}
+    if n_hf:
+        ss = plan.sstarts4[hsel].reshape(-1)
+        sl = plan.slens4[hsel].reshape(-1)
+        ends = ss + sl
+        tile_start, end_in_row = pallas_huf.stream_row_geometry(ends, plan.SW)
+        row_starts[: 4 * n_hf] = tile_start
+        last = g.payload_np[ends - 1]
+        msb = np.floor(np.log2(last.astype(np.int64))).astype(np.int64)
+        p0[: 4 * n_hf] = (8 * (end_in_row - 1) + msb).astype(np.int32)
+        meta["end_in_row"] = end_in_row
+        meta["slens"] = sl
+    host = {
+        "perm": perm.reshape(-1),
+        "st_tiles": st_tiles, "st_wsh": st_wsh, "st_bsh": st_bsh,
+        "rle_vals": rle_vals,
+        "row_starts": row_starts,
+        "p0": p0.reshape(n_blocks, pallas_huf.SUBS, 128),
+    }
+    if plan.kind == "pc":
+        tk = plan.tlog_k
+        cbnd = np.zeros((S_pad, tk - 1), dtype=np.int32)
+        if n_hf:
+            cbnd[: 4 * n_hf] = np.repeat(plan.bounds[hsel], 4, axis=0)
+        host["cbnd"] = np.ascontiguousarray(
+            cbnd.reshape(n_blocks, pallas_huf.SUBS, 128, tk - 1).transpose(0, 3, 1, 2)
+        )
+        pages_pad = np.zeros((S_pad // 4, (1 << tk) // 4), dtype=np.uint32)
+        if n_hf:
+            pages_pad[:n_hf] = plan.pages[hsel]
+        host["pages"] = pages_pad
+    return host, meta
+
+
+def _to_dev(plan, tiles, host):
+    jnp = _jnp()
+    a = jnp.asarray
+    common = (tiles, a(host["row_starts"]), a(host["p0"]))
+    tail = (
+        a(host["st_tiles"]), a(host["st_wsh"]), a(host["st_bsh"]),
+        a(host["rle_vals"]), a(host["perm"]),
+    )
+    if plan.kind == "pc":
+        return common + (a(host["cbnd"]), a(host["pages"])) + tail
+    tbl = (
+        a(plan.tbl8) if plan.tbl8 is not None
+        else jnp.zeros((pallas_huf.SUBS, 128), jnp.int32)
+    )
+    return common + (tbl,) + tail
+
+
+def _check_pend(pend, meta, rate12_used: bool):
+    """Deferred per-stream final-position validation for one batch."""
+    S = meta["S_real"]
+    if not S:
+        return
+    pend_np = np.asarray(pend)[:S].astype(np.int64)
+    if np.any(pend_np < -(1 << 29)):
+        if rate12_used:
+            raise RuntimeError(
+                "window starvation under rate12 provisioning (kernel bug)"
+            )
+        raise _PCStarved()
+    want_end = 8 * (np.asarray(meta["end_in_row"]) - np.asarray(meta["slens"]))
+    if not np.array_equal(pend_np, want_end):
+        bad = int(np.nonzero(pend_np != want_end)[0][0])
+        raise CorruptChunkError(
+            f"HUF stream not fully consumed: pos {int(pend_np[bad])} "
+            f"!= {int(want_end[bad])}",
+            plane=int(meta["cells"][0][bad // 4]),
+            chunk=int(meta["cells"][1][bad // 4]),
+            stream=bad % 4,
+        )
+
+
+def _max_batch_chunks(chunk_size: int) -> int:
+    """Chunks per fused-decode device batch.
+
+    One batch costs ~6x its plaintext bytes in device working buffers
+    (stream blocks, d-indices, symbols, planes, output) on top of the
+    one-time payload upload; bounding the batch lets arbitrarily large
+    containers (a 16 GB Llama checkpoint is ~34 GB of working set
+    unbatched) stream through a single chip.  ZIPNN_TPU_BATCH_MB
+    overrides (default 512).
+    """
+    import os  # noqa: PLC0415
+
+    budget = int(os.environ.get("ZIPNN_TPU_BATCH_MB", "512")) * (1 << 20)
+    return max(1, budget // max(chunk_size, 1))
+
+
+def _run_fast(plan, g: _Geom, out, to_device: bool):
+    """Pipelined batched execution of a fast-path plan.
+
+    Submits batch N+1 (host slicing + small uploads + async dispatch)
+    before draining batch N, so host planning overlaps device decode; the
+    depth-2 window bounds device memory to two batches' working sets plus
+    the payload tiles.
+    """
+    jnp = _jnp()
+    B = min(g.full, _max_batch_chunks(g.chunk_size))
+    batches = [(lo, min(lo + B, g.full)) for lo in range(0, g.full, B)]
+    caps = _batch_caps(g, B, len(batches))
+    tiles = _tiles_call(plan.RT)(jnp.asarray(g.payload_np))
+    flats: Optional[List] = [] if to_device else None
+
+    def submit(lo, hi, force12=False):
+        host, meta = _batch_host(plan, lo, hi, caps, B)
+        run = plan.fused_call(caps, B, force12)
+        owords, pend = run(*_to_dev(plan, tiles, host))
+        meta["rate12"] = getattr(plan, "rate12", False) or force12
+        return lo, hi, owords, pend, meta
+
+    def drain(item):
+        lo, hi, owords, pend, meta = item
+        try:
+            _check_pend(pend, meta, meta["rate12"])
+        except _PCStarved:
+            # freak local bit-rate spike under base provisioning: redo this
+            # batch with the rate12 kernel class (same args, larger windows)
+            drain(submit(lo, hi, force12=True))
+            return
+        if to_device:
+            flats.append(
+                jax_transforms.u32_flat_to_u8(owords[: hi - lo].reshape(-1))
+            )
+        else:
+            host_np = np.asarray(owords[: hi - lo]).astype("<u4", copy=False)
+            out[lo * g.chunk_size : hi * g.chunk_size] = (
+                host_np.reshape(-1).view(np.uint8)
+            )
+
+    inflight: List = []
+    for lo, hi in batches:
+        inflight.append(submit(lo, hi))
+        if len(inflight) > 1:
+            drain(inflight.pop(0))
+    while inflight:
+        drain(inflight.pop(0))
+    return _finish_batched(
+        flats, out, g.mv, g.types, g.cell_start, g.cell_size, g.full,
+        g.n_chunks, g.chunk_size, g.orig_size, g.num_buf,
+        g.byte_reorder, g.bit_reorder, to_device,
+    )
+
+
+# ---------------------------------------------------------------------------
+# entry points
+# ---------------------------------------------------------------------------
+
+def decompress_payload(
+    payload,
+    num_buf: int,
+    bit_reorder: int,
+    byte_reorder: int,
+    chunk_size: int,
+    orig_size: int,
+    to_device: bool = False,
+) -> np.ndarray:
+    """Decompress the table+planes payload to flat bytes (device pipeline).
+
+    Shared-table and per-cell-table containers with full chunks take the
+    fused Pallas fast paths (see module docstring); anything else takes
+    the XLA lockstep decoder.  ``to_device=True`` returns a device-resident
+    uint8 array (the serving shape: checkpoint bytes decompress straight
+    into HBM).
+    """
+    out = np.empty(orig_size, dtype=np.uint8)
+    g = _parse_geometry(
+        payload, num_buf, chunk_size, orig_size, bit_reorder, byte_reorder
+    )
+    if g is None:
+        return _jnp().asarray(out) if to_device else out
+    if g.full and _platform_is_tpu():
+        plan = _SharedPlan.build(g)
+        if plan is None:
+            plan = _PCPlan.build(g)
+        if plan is not None:
+            return _run_fast(plan, g, out, to_device)
+    return _decode_generic(g, out, to_device)
+
+
+def plan_fast_decode(
+    payload,
+    num_buf: int,
+    bit_reorder: int,
+    byte_reorder: int,
+    chunk_size: int,
+    orig_size: int,
+):
+    """Build the fused device decode for a shared-table container.
+
+    Returns (run, dev_args, meta) where ``run(*dev_args)`` is the
+    single-dispatch HBM->HBM decompress of all full chunks (meta carries
+    the validation vectors), or None when the container is not fast-path
+    eligible.  Used by the benchmark harness and the device-resident
+    serving path.
+    """
+    try:
+        g = _parse_geometry(
+            payload, num_buf, chunk_size, orig_size, bit_reorder, byte_reorder
+        )
+    except ValueError:
+        return None
+    if g is None or not g.full or not _platform_is_tpu():
+        return None
+    plan = _SharedPlan.build(g)
+    if plan is None:
+        return None
+    return _single_range_plan(plan, g, 0, g.full)
+
+
+def plan_pc_decode(
+    payload,
+    num_buf: int,
+    bit_reorder: int,
+    byte_reorder: int,
+    chunk_size: int,
+    orig_size: int,
+    force_rate12: bool = False,
+    chunk_range=None,
+    min_sw: int = 0,
+):
+    """Build the fused per-cell-table device decode (reference containers).
+
+    Returns (run, dev_args, meta) like :func:`plan_fast_decode`, or None
+    when not eligible (needs a TPU, tableLog <= 12, stream geometry within
+    the kernel's VMEM budget).  ``chunk_range=(lo, hi)`` restricts the
+    device args to that range of full chunks; ``min_sw`` floors the
+    stream-row width.
+    """
+    try:
+        g = _parse_geometry(
+            payload, num_buf, chunk_size, orig_size, bit_reorder, byte_reorder
+        )
+    except ValueError:
+        return None
+    if g is None or not g.full or not _platform_is_tpu():
+        return None
+    plan = _PCPlan.build(g, force_rate12=force_rate12)
+    if plan is None:
+        return None
+    if min_sw and min_sw > plan.SW:
+        plan.SW = -(-min_sw // 256) * 256
+        plan.RT = plan.SW // 128
+    lo, hi = (0, g.full) if chunk_range is None else chunk_range
+    return _single_range_plan(plan, g, lo, hi)
+
+
+def _single_range_plan(plan, g: _Geom, lo: int, hi: int):
+    jnp = _jnp()
+    B = hi - lo
+    caps = _batch_caps_range(g, lo, hi)
+    host, meta = _batch_host(plan, lo, hi, caps, B)
+    tiles = _tiles_call(plan.RT)(jnp.asarray(g.payload_np))
+    dev_args = _to_dev(plan, tiles, host)
+    run = plan.fused_call(caps, B)
+    meta_out = {
+        "SW": plan.SW, "slens": meta.get("slens"), "full": B,
+        "n_huf": caps[2], "end_in_row": meta.get("end_in_row"),
+        "cells": meta["cells"], "batch_meta": meta,
+    }
+    if plan.kind == "pc":
+        meta_out["tlog_k"] = plan.tlog_k
+        meta_out["rate12"] = plan.rate12
+    return run, dev_args, meta_out
+
+
+# ---------------------------------------------------------------------------
+# generic path (host scatter + XLA lockstep decode) and the ragged tail
+# ---------------------------------------------------------------------------
+
+def _decode_generic(g: _Geom, out, to_device: bool):
+    jnp = _jnp()
+    from .jax_codec import _DTABLE_PAD, _decode, _round_words  # noqa: PLC0415
+
+    full = g.full
+    if full:
+        plane_bytes = g.plane_bytes
+        seg = plane_bytes // 4
+        raw_planes = np.empty((full, g.num_buf, plane_bytes), dtype=np.uint8)
+        for b, c in zip(*g.stored_cells):
+            o = int(g.cs[b, c])
+            raw_planes[c, b] = g.payload_np[o : o + plane_bytes]
+        for b, c in zip(*g.rle_cells):
+            raw_planes[c, b] = g.payload_np[int(g.cs[b, c])]
+
+        huf_b, huf_c = g.huf_cells
+        n_huf = huf_b.size
+        huf_planes = None
+        if n_huf:
+            hcs = g.cs[huf_b, huf_c].astype(np.int64)
+            hsz = g.sz[huf_b, huf_c].astype(np.int64)
+            # per-cell tables, XLA lockstep decode
+            dtables: List[np.ndarray] = []
+            stream_blobs: List[bytes] = []
+            stream_bits: List[int] = []
+            stream_tlog: List[int] = []
+            for i in range(n_huf):
+                o = int(hcs[i])
+                data = bytes(g.payload_np[o : o + int(hsz[i])])
+                weights, rank_stats, tlog, _, consumed = huf.read_stats(data)
+                sym_t, nb_t = huf.build_dtable(weights, rank_stats, tlog)
+                ent = np.zeros(_DTABLE_PAD, dtype=np.int32)
+                ent[: sym_t.size] = sym_t.astype(np.int32) | (
+                    nb_t.astype(np.int32) << 8
+                )
+                rest = data[consumed:]
+                if len(rest) < 6:
+                    raise ValueError("corrupt HUF block (missing jump table)")
+                l1 = int.from_bytes(rest[0:2], "little")
+                l2 = int.from_bytes(rest[2:4], "little")
+                l3 = int.from_bytes(rest[4:6], "little")
+                l4 = len(rest) - 6 - l1 - l2 - l3
+                if l4 <= 0:
+                    raise ValueError("corrupt HUF block (jump table overruns input)")
+                off = 6
+                for ln in (l1, l2, l3, l4):
+                    s = rest[off : off + ln]
+                    if not s:
+                        raise ValueError("corrupt HUF block (empty stream)")
+                    stream_blobs.append(s)
+                    stream_bits.append(jax_entropy.sentinel_bits(s))
+                    stream_tlog.append(tlog)
+                    off += ln
+                dtables.append(ent)
+            wpr = _round_words(max(len(s) for s in stream_blobs))
+            words = jax_entropy.pack_streams_np(stream_blobs, wpr)
+            tbl_off = np.repeat(np.arange(n_huf, dtype=np.int32) * _DTABLE_PAD, 4)
+            syms, bits_left = _decode(
+                jnp.asarray(words),
+                jnp.asarray(np.asarray(stream_bits, dtype=np.int32)),
+                jnp.asarray(np.asarray(stream_tlog, dtype=np.int32)),
+                jnp.asarray(tbl_off),
+                jnp.asarray(np.concatenate(dtables)),
+                seg,
+                wpr,
+            )
+            bl = np.asarray(bits_left)
+            if np.any(bl != 0):
+                bad = int(np.nonzero(bl != 0)[0][0])
+                raise CorruptChunkError(
+                    f"HUF stream not fully consumed ({int(bl[bad])} bits left)",
+                    plane=int(huf_b[bad // 4]), chunk=int(huf_c[bad // 4]),
+                    stream=bad % 4,
+                )
+            huf_planes = syms.reshape(n_huf, plane_bytes)
+
+        # ---- scatter decoded planes, combine, one device->host copy ------
+        planes_dev = jnp.asarray(raw_planes)
+        if n_huf:
+            idx_c = jnp.asarray(huf_c.astype(np.int32))
+            idx_b = jnp.asarray(huf_b.astype(np.int32))
+            planes_dev = planes_dev.at[idx_c, idx_b].set(huf_planes)
+
+        from .jax_codec import _combine  # noqa: PLC0415
+
+        pw = planes_dev.reshape(full, g.num_buf, plane_bytes // 4, 4).astype(jnp.uint32)
+        pwords = pw[..., 0] | (pw[..., 1] << 8) | (pw[..., 2] << 16) | (pw[..., 3] << 24)
+        owords = _combine(pwords, g.num_buf, g.byte_reorder, g.bit_reorder)
+        host = np.asarray(owords).astype("<u4", copy=False)
+        out[: full * g.chunk_size] = host.reshape(-1).view(np.uint8)
+
+    out = _finish_tail(
+        out, g.mv, g.types, g.cell_start, g.cell_size, full, g.n_chunks,
+        g.chunk_size, g.orig_size, g.num_buf, g.byte_reorder, g.bit_reorder,
+    )
+    if to_device:
+        return _jnp().asarray(out)
+    return out
+
+
+def _finish_batched(
+    flats, out, mv, types, cell_start, cell_size, full, n_chunks,
+    chunk_size, orig_size, num_buf, byte_reorder, bit_reorder, to_device,
+):
+    """Marshal the batched fused decode's result (+ ragged tail)."""
+    jnp = _jnp()
+    if to_device:
+        if full < n_chunks:
+            tail = np.empty(orig_size - full * chunk_size, np.uint8)
+            _finish_tail(
+                tail, mv, types, cell_start, cell_size, full, n_chunks,
+                chunk_size, orig_size, num_buf, byte_reorder, bit_reorder,
+                tail_base=full * chunk_size,
+            )
+            flats.append(jnp.asarray(tail))
+        return flats[0] if len(flats) == 1 else jnp.concatenate(flats)
+    return _finish_tail(
+        out, mv, types, cell_start, cell_size, full, n_chunks,
+        chunk_size, orig_size, num_buf, byte_reorder, bit_reorder,
+    )
+
+
+def _finish_tail(
+    out, mv, types, cell_start, cell_size, full, n_chunks,
+    chunk_size, orig_size, num_buf, byte_reorder, bit_reorder,
+    tail_base: int = 0,
+):
+    """Decode the (at most one) ragged tail chunk via the numpy golden model.
+
+    With ``tail_base`` set, ``out`` holds only the tail (device-output path)
+    and offsets are rebased accordingly.
+    """
+    if full < n_chunks:
+        c = n_chunks - 1
+        chunk_len = orig_size - c * chunk_size
+        lens = byte_group.plane_lengths(chunk_len, num_buf, byte_reorder)
+        planes = []
+        for b in range(num_buf):
+            lo = int(cell_start[b, c])
+            hi = lo + int(cell_size[b, c])
+            blob = mv[lo:hi]
+            want = int(lens[b])
+            if types[b, c] == 0:
+                if hi - lo != want:
+                    raise CorruptChunkError(
+                        f"raw size mismatch: {hi - lo} != {want}", plane=b, chunk=c
+                    )
+                planes.append(np.frombuffer(blob, dtype=np.uint8))
+            else:
+                try:
+                    planes.append(huf.decompress(blob, want))
+                except ValueError as exc:
+                    raise CorruptChunkError(str(exc), plane=b, chunk=c) from exc
+        o0 = c * chunk_size - tail_base
+        byte_group.combine(
+            planes, chunk_len, num_buf, byte_reorder, bit_reorder,
+            out=out[o0 : o0 + chunk_len],
+        )
+    return out
