@@ -822,11 +822,15 @@ struct HufDTable {
   int table_log;
 };
 
-// returns bytes consumed or -1
-static int huf_read_dtable(const uint8_t* data, size_t len, HufDTable& dt) {
+// Parse a HUF weight header into per-symbol weights (weights[s] = 0 for
+// absent symbols; all 256 entries written) plus rank_stats and the
+// tableLog, without expanding a decode table.  Returns bytes consumed
+// or -1 on a corrupt header.
+static int huf_read_weights(const uint8_t* data, size_t len, uint8_t* weights,
+                            uint32_t* rank_stats, int* table_log_out,
+                            int* n_symbols_out) {
   if (len == 0) return -1;
   unsigned i_size = data[0];
-  uint8_t weights[256];
   int o_size;
   int consumed;
   if (i_size >= 128) {
@@ -844,7 +848,7 @@ static int huf_read_dtable(const uint8_t* data, size_t len, HufDTable& dt) {
     if (o_size < 0) return -1;
     consumed = 1 + (int)i_size;
   }
-  uint32_t rank_stats[HUF_TABLELOG_MAX + 1] = {0};
+  for (int w = 0; w <= HUF_TABLELOG_MAX; w++) rank_stats[w] = 0;
   uint64_t weight_total = 0;
   for (int i = 0; i < o_size; i++) {
     if (weights[i] > HUF_TABLELOG_MAX) return -1;
@@ -861,7 +865,20 @@ static int huf_read_dtable(const uint8_t* data, size_t len, HufDTable& dt) {
   weights[o_size] = (uint8_t)last_weight;
   rank_stats[last_weight]++;
   if (rank_stats[1] < 2 || (rank_stats[1] & 1)) return -1;
-  int n_symbols = o_size + 1;
+  for (int i = o_size + 1; i < 256; i++) weights[i] = 0;
+  *table_log_out = table_log;
+  *n_symbols_out = o_size + 1;
+  return consumed;
+}
+
+// returns bytes consumed or -1
+static int huf_read_dtable(const uint8_t* data, size_t len, HufDTable& dt) {
+  uint8_t weights[256];
+  uint32_t rank_stats[HUF_TABLELOG_MAX + 1];
+  int table_log, n_symbols;
+  int consumed =
+      huf_read_weights(data, len, weights, rank_stats, &table_log, &n_symbols);
+  if (consumed < 0) return -1;
 
   // fill decode table
   uint32_t rank_val[HUF_TABLELOG_MAX + 2] = {0};
@@ -1386,6 +1403,82 @@ long long ztpu_parse_dtables(const uint8_t* payload, const long long* offsets,
     tlog_out[i] = dt.table_log;
   });
   return -bad.load();
+}
+
+// Phase 1 of the TPU per-cell decode plan: batch-parse weight headers into
+// per-symbol weights (u8[n][256], zeros for absent symbols) + tableLogs.
+// Cheaper than ztpu_parse_dtables: no 4096-entry table expansion per cell.
+// Returns 0, or -(i+1) for the first corrupt header.
+long long ztpu_parse_dweights(const uint8_t* payload, const long long* offsets,
+                              const long long* sizes, long long n,
+                              uint8_t* weights_out, int* tlog_out,
+                              int threads) {
+  std::atomic<long long> bad{0};
+  run_pool((unsigned)threads, (size_t)n, [&](size_t i) {
+    if (bad.load(std::memory_order_relaxed)) return;
+    uint32_t rank_stats[HUF_TABLELOG_MAX + 1];
+    int table_log, n_symbols;
+    int consumed = huf_read_weights(payload + offsets[i], (size_t)sizes[i],
+                                    weights_out + (size_t)i * 256, rank_stats,
+                                    &table_log, &n_symbols);
+    if (consumed < 0) {
+      long long want = 0;
+      bad.compare_exchange_strong(want, (long long)i + 1);
+      return;
+    }
+    tlog_out[i] = table_log;
+  });
+  return -bad.load();
+}
+
+// Phase 2: expand per-cell weights into the per-cell decode kernel's host
+// inputs — the boundary registers (closed form over rank_stats: bound_m =
+// #d-entries with nb > m, i.e. entries whose weight <= tableLog - m,
+// scaled into the common tlog_k-bit domain) and the packed symbol pages
+// (the canonical dtable fill, longest codes first, written straight into
+// the little-endian u32 page words).  Matches ops/pallas_huf_pc.py
+// _expand_cell / ops/entropy/huf.py build_dtable byte for byte.
+long long ztpu_expand_cells(const uint8_t* weights, const int* tlogs,
+                            long long n, int tlog_k, int* bounds_out,
+                            uint32_t* pages_out, int threads) {
+  if (tlog_k < 1 || tlog_k > HUF_TABLELOG_MAX) return -1;
+  size_t page_words = ((size_t)1 << tlog_k) / 4;
+  run_pool((unsigned)threads, (size_t)n, [&](size_t i) {
+    const uint8_t* w = weights + (size_t)i * 256;
+    int tlog = tlogs[i];
+    int scale = tlog_k - tlog;
+    uint32_t rank_stats[HUF_TABLELOG_MAX + 2] = {0};
+    for (int s = 0; s < 256; s++) rank_stats[w[s]]++;
+    int* bo = bounds_out + (size_t)i * (tlog_k - 1);
+    uint64_t cum_by_w[HUF_TABLELOG_MAX + 2] = {0};
+    uint64_t cum = 0;
+    for (int wq = 1; wq <= tlog; wq++) {
+      cum += (uint64_t)rank_stats[wq] * (((uint64_t)1 << wq) >> 1);
+      cum_by_w[wq] = cum;
+    }
+    for (int m = 1; m < tlog_k; m++) {
+      int wmax = tlog - m;  // weights 1..wmax have nb > m
+      uint64_t b = wmax >= 1 ? cum_by_w[wmax] : 0;
+      bo[m - 1] = (int)(b << scale);
+    }
+    uint8_t* sym12 = (uint8_t*)(pages_out + (size_t)i * page_words);
+    uint32_t rank_val[HUF_TABLELOG_MAX + 2] = {0};
+    uint32_t next_start = 0;
+    for (int nn = 1; nn <= tlog; nn++) {
+      uint32_t cur = next_start;
+      next_start += rank_stats[nn] << (nn - 1);
+      rank_val[nn] = cur;
+    }
+    for (int s = 0; s < 256; s++) {
+      int ww = w[s];
+      if (!ww) continue;
+      uint32_t length = ((1u << ww) >> 1) << scale;
+      uint32_t start = rank_val[ww] << scale;
+      std::memset(sym12 + start, s, length);
+      rank_val[ww] += (1u << ww) >> 1;
+    }
+  });
+  return 0;
 }
 
 // Compress `data` into the table+planes payload.  Returns payload size, or

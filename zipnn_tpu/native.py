@@ -103,6 +103,26 @@ def _load():
             ctypes.c_void_p,  # tlog out i32[n]
             ctypes.c_int,
         ]
+        lib.ztpu_parse_dweights.restype = ctypes.c_longlong
+        lib.ztpu_parse_dweights.argtypes = [
+            ctypes.c_void_p,  # payload
+            ctypes.c_void_p,  # offsets i64[n]
+            ctypes.c_void_p,  # sizes i64[n]
+            ctypes.c_longlong,
+            ctypes.c_void_p,  # weights out u8[n*256]
+            ctypes.c_void_p,  # tlog out i32[n]
+            ctypes.c_int,
+        ]
+        lib.ztpu_expand_cells.restype = ctypes.c_longlong
+        lib.ztpu_expand_cells.argtypes = [
+            ctypes.c_void_p,  # weights u8[n*256]
+            ctypes.c_void_p,  # tlogs i32[n]
+            ctypes.c_longlong,
+            ctypes.c_int,     # tlog_k
+            ctypes.c_void_p,  # bounds out i32[n*(tlog_k-1)]
+            ctypes.c_void_p,  # pages out u32[n*(2^tlog_k/4)]
+            ctypes.c_int,
+        ]
         _LIB = lib
         return lib
 
@@ -218,3 +238,45 @@ def parse_dtables(payload, offsets, sizes, threads: int = 0):
     if r != 0:
         raise ValueError(f"corrupt HUF weight header (cell {int(-r) - 1})")
     return sym, nb, tlogs
+
+
+def parse_dweights(payload, offsets, sizes, threads: int = 0):
+    """Batch-parse HUF weight headers into per-symbol weights + tableLogs
+    (phase 1 of the per-cell decode plan; no table expansion)."""
+    lib = _load()
+    buf = np.ascontiguousarray(payload, dtype=np.uint8)
+    off = np.ascontiguousarray(offsets, dtype=np.int64)
+    szs = np.ascontiguousarray(sizes, dtype=np.int64)
+    n = off.size
+    weights = np.empty((n, 256), dtype=np.uint8)
+    tlogs = np.empty(n, dtype=np.int32)
+    r = lib.ztpu_parse_dweights(
+        buf.ctypes.data, off.ctypes.data, szs.ctypes.data, n,
+        weights.ctypes.data, tlogs.ctypes.data,
+        threads or os.cpu_count() or 1,
+    )
+    if r != 0:
+        raise ValueError(f"corrupt HUF weight header (cell {int(-r) - 1})")
+    return weights, tlogs
+
+
+def expand_cells(weights, tlogs, tlog_k: int, threads: int = 0):
+    """Expand per-cell weights into kernel boundary registers + packed
+    symbol pages (phase 2 of the per-cell decode plan).
+
+    Returns (bounds [n, tlog_k-1] int32, pages [n, 2^tlog_k // 4] uint32).
+    """
+    lib = _load()
+    w = np.ascontiguousarray(weights, dtype=np.uint8)
+    t = np.ascontiguousarray(tlogs, dtype=np.int32)
+    n = t.size
+    bounds = np.empty((n, tlog_k - 1), dtype=np.int32)
+    pages = np.empty((n, (1 << tlog_k) // 4), dtype=np.uint32)
+    r = lib.ztpu_expand_cells(
+        w.ctypes.data, t.ctypes.data, n, tlog_k,
+        bounds.ctypes.data, pages.ctypes.data,
+        threads or os.cpu_count() or 1,
+    )
+    if r != 0:
+        raise ValueError("expand_cells failed")
+    return bounds, pages

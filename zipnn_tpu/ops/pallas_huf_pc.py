@@ -696,19 +696,10 @@ def cell_decode_tables_payload(payload_np, offsets, sizes):
         bounds, pages, _ = cell_decode_tables(headers, tlog_k)
         return bounds, pages, tlog_k
 
-    sym, nb, tlogs = native.parse_dtables(payload_np, offsets, sizes)
+    # two native phases: weights parse (per-header FSE decode) then the
+    # closed-form bounds + page fill in the common tlog_k domain — no
+    # 4096-wide intermediate tables, no numpy per-entry passes
+    weights, tlogs = native.parse_dweights(payload_np, offsets, sizes)
     tlog_k = max(9, int(tlogs.max()))
-    scale = (tlog_k - tlogs).astype(np.int64)
-    # nb is non-increasing per row with zeros beyond 2^tlog (never > m):
-    # C_m = #entries with nb > m, scaled into the tlog_k-bit domain
-    bounds = np.empty((n, tlog_k - 1), dtype=np.int32)
-    nb16 = nb.astype(np.int16)
-    for m in range(1, tlog_k):
-        bounds[:, m - 1] = ((nb16 > m).sum(axis=1).astype(np.int64) << scale)
-    idx = (
-        np.arange(1 << tlog_k, dtype=np.int16)[None, :] >> scale[:, None]
-    ).astype(np.int16)
-    sym12 = np.take_along_axis(sym, idx, axis=1)
-    p = sym12.reshape(n, -1, 4).astype(np.uint32)
-    pages = p[:, :, 0] | (p[:, :, 1] << 8) | (p[:, :, 2] << 16) | (p[:, :, 3] << 24)
+    bounds, pages = native.expand_cells(weights, tlogs, tlog_k)
     return bounds, pages, tlog_k
