@@ -1481,6 +1481,65 @@ long long ztpu_expand_cells(const uint8_t* weights, const int* tlogs,
   return 0;
 }
 
+// Splice one plane's cell region of a shared-profile container payload
+// from the encode kernel's padded row output plus the gathered raw-cell
+// bytes (the host side of the fused TPU encode; replaces a per-cell
+// Python loop).  For chunk c the cell starts at out+starts[c]:
+//   kinds[c]==0: raw    -> plane_bytes from raw_rows[raw_idx[c]]
+//   kinds[c]==1: rle    -> 1 byte rle_vals[c]
+//   kinds[c]==2: huf    -> header | 6-byte jump (sbytes LE) | 4 streams,
+//     stream k copied from rows[(4c+k)*row_stride] when row_ok[4c+k],
+//     else left zeroed for the caller to patch (exact host re-encode).
+// Reference equivalent: prepare_python_return_buffer + the interleaved
+// copy (zipnn_core.c:56-153).
+long long ztpu_splice_plane(uint8_t* out, const long long* starts,
+                            const uint8_t* kinds, const uint8_t* rle_vals,
+                            const int* raw_idx, const uint8_t* raw_rows,
+                            long long raw_stride, const uint8_t* header,
+                            long long hlen, const uint16_t* sbytes,
+                            const uint8_t* rows, long long row_stride,
+                            const uint8_t* row_ok, long long full,
+                            long long plane_bytes, int threads) {
+  std::atomic<bool> failed{false};
+  run_pool((unsigned)threads, (size_t)full, [&](size_t c) {
+    uint8_t* o = out + starts[c];
+    switch (kinds[c]) {
+      case 0: {
+        int ri = raw_idx ? raw_idx[c] : -1;
+        if (ri < 0 || !raw_rows) {
+          failed.store(true);
+          return;
+        }
+        std::memcpy(o, raw_rows + (size_t)ri * raw_stride, (size_t)plane_bytes);
+        break;
+      }
+      case 1:
+        o[0] = rle_vals[c];
+        break;
+      default: {
+        std::memcpy(o, header, (size_t)hlen);
+        o += hlen;
+        const uint16_t* sb = sbytes + 4 * c;
+        o[0] = (uint8_t)(sb[0] & 0xFF);
+        o[1] = (uint8_t)(sb[0] >> 8);
+        o[2] = (uint8_t)(sb[1] & 0xFF);
+        o[3] = (uint8_t)(sb[1] >> 8);
+        o[4] = (uint8_t)(sb[2] & 0xFF);
+        o[5] = (uint8_t)(sb[2] >> 8);
+        o += 6;
+        for (int k = 0; k < 4; k++) {
+          size_t n = sb[k];
+          if (rows && (!row_ok || row_ok[4 * c + k]))
+            std::memcpy(o, rows + (size_t)(4 * c + k) * row_stride, n);
+          o += n;
+        }
+        break;
+      }
+    }
+  });
+  return failed.load() ? -1 : 0;
+}
+
 // Compress `data` into the table+planes payload.  Returns payload size, or
 // -1 on error / insufficient capacity.
 long long ztpu_compress(const uint8_t* data, size_t len, unsigned num_buf,

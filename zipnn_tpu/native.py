@@ -123,6 +123,25 @@ def _load():
             ctypes.c_void_p,  # pages out u32[n*(2^tlog_k/4)]
             ctypes.c_int,
         ]
+        lib.ztpu_splice_plane.restype = ctypes.c_longlong
+        lib.ztpu_splice_plane.argtypes = [
+            ctypes.c_void_p,   # out payload base
+            ctypes.c_void_p,   # starts i64[full] (absolute)
+            ctypes.c_void_p,   # kinds u8[full] 0=raw 1=rle 2=huf
+            ctypes.c_void_p,   # rle_vals u8[full]
+            ctypes.c_void_p,   # raw_idx i32[full] (or None)
+            ctypes.c_void_p,   # raw_rows u8[n_raw, raw_stride] (or None)
+            ctypes.c_longlong,
+            ctypes.c_void_p,   # header u8[hlen]
+            ctypes.c_longlong,
+            ctypes.c_void_p,   # sbytes u16[full*4]
+            ctypes.c_void_p,   # rows u8[full*4, row_stride] (or None)
+            ctypes.c_longlong,
+            ctypes.c_void_p,   # row_ok u8[full*4] (or None)
+            ctypes.c_longlong,  # full
+            ctypes.c_longlong,  # plane_bytes
+            ctypes.c_int,
+        ]
         _LIB = lib
         return lib
 
@@ -280,3 +299,30 @@ def expand_cells(weights, tlogs, tlog_k: int, threads: int = 0):
     if r != 0:
         raise ValueError("expand_cells failed")
     return bounds, pages
+
+
+def splice_plane(
+    out: np.ndarray, starts: np.ndarray, kinds: np.ndarray,
+    rle_vals: np.ndarray, raw_idx, raw_rows, header: np.ndarray,
+    sbytes: np.ndarray, rows, row_ok, full: int, plane_bytes: int,
+    threads: int = 0,
+) -> None:
+    """Splice one plane's cell region of a shared-profile payload (see
+    csrc ztpu_splice_plane).  ``rows``/``raw_rows``/``row_ok``/``raw_idx``
+    may be None."""
+    lib = _load()
+
+    def ptr(a):
+        return a.ctypes.data if a is not None else None
+
+    r = lib.ztpu_splice_plane(
+        out.ctypes.data, starts.ctypes.data, kinds.ctypes.data,
+        rle_vals.ctypes.data, ptr(raw_idx), ptr(raw_rows),
+        raw_rows.shape[1] if raw_rows is not None else 0,
+        header.ctypes.data, header.size, sbytes.ctypes.data,
+        ptr(rows), rows.shape[1] if rows is not None else 0,
+        ptr(row_ok), full, plane_bytes,
+        threads or os.cpu_count() or 1,
+    )
+    if r != 0:
+        raise RuntimeError("native splice failed")

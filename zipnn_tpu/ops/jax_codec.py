@@ -653,30 +653,35 @@ def plan_fast_encode(
                 sws[b] = sw
         return planes, shared, outs, tuple(sws), bits_d, huf_ok_d, rle_d, carg
 
-    def assemble(planes, shared, outs, sws, bits_d, huf_ok_d, rle_d, carg_d):
+    def assemble(planes, shared, outs, sws, bits_d, huf_ok_d, rle_d, carg_d,
+                 timings=None):
         from ..stats import phase as _phase  # noqa: PLC0415
 
         with _phase("encode:assemble"):
-            return _assemble(planes, shared, outs, sws, bits_d, huf_ok_d, rle_d, carg_d)
+            return _assemble(planes, shared, outs, sws, bits_d, huf_ok_d,
+                             rle_d, carg_d, timings=timings)
 
-    def _assemble(planes, shared, outs, sws, bits_d, huf_ok_d, rle_d, carg_d):
-        # vectorized in-place splice: all sizes/offsets are known up front
-        # (exact histogram-derived bit counts), so the payload is built by
-        # slice-assignment into one preallocated buffer — no per-cell bytes
-        # objects and no 50k-piece join
+    def _assemble(planes, shared, outs, sws, bits_d, huf_ok_d, rle_d, carg_d,
+                  timings=None):
+        # All sizes/offsets are known up front (exact histogram-derived bit
+        # counts), so the payload is built by direct memcpy into one
+        # preallocated buffer.  Device->host moves are kept to exactly what
+        # the payload needs: the kernel row regions and a device-side
+        # *gather* of the raw cells (not the whole plane array).  The
+        # splice itself is the native C++ ztpu_splice_plane when available
+        # (a per-cell Python loop otherwise); the rare stream whose exact
+        # bit count overflowed its heuristic kernel row is host-encoded
+        # afterwards.  ``timings`` (optional dict) receives fetch_s /
+        # splice_s so the bench can separate the D2H link from host work.
+        import time as _time  # noqa: PLC0415
+
+        jnp = _jnp()
+        t0 = _time.perf_counter()
         bits = np.asarray(bits_d).astype(np.int64)
         huf_ok = np.asarray(huf_ok_d)
         rle = np.asarray(rle_d)
         carg_h = np.asarray(carg_d).reshape(full, num_buf)
         sbytes = (bits + 7) // 8  # [full, nb, 4]
-        rview = [
-            None if outs[b] is None else
-            np.ascontiguousarray(outs[b])
-            .astype("<u4", copy=False)
-            .view(np.uint8)
-            .reshape(full * 4, -1)
-            for b in range(num_buf)
-        ]
         hlen = np.asarray(
             [len(shared[b][2]) if shared[b] is not None else 0
              for b in range(num_buf)],
@@ -694,65 +699,126 @@ def plan_fast_encode(
         plane_base = np.zeros(num_buf, dtype=np.int64)
         for b in range(1, num_buf):
             plane_base[b] = plane_base[b - 1] + starts[b - 1, full]
+        # kernel rows cover a stream only when its plane ran the kernel
+        # AND its exact bit count fits the heuristic row width (8 spill
+        # words of clamp margin, as in the kernel); anything else is
+        # host-encoded exactly at the end
+        fits = np.zeros((full, num_buf, 4), dtype=bool)
+        for b in range(num_buf):
+            if outs[b] is not None:
+                fits[:, b, :] = (bits[:, b, :] + 31) // 32 + 8 <= sws[b]
+        plan_s = _time.perf_counter() - t0
+
+        # ---- device -> host: kernel rows + gathered raw cells -----------
+        t0 = _time.perf_counter()
+        rview = [
+            None if outs[b] is None else
+            np.ascontiguousarray(outs[b])
+            .astype("<u4", copy=False)
+            .view(np.uint8)
+            .reshape(full * 4, -1)
+            for b in range(num_buf)
+        ]
+        raw_mask = ~(rle | huf_ok)  # [full, nb]
+        raw_c, raw_b = np.nonzero(raw_mask)
+        raw_rows = None
+        raw_idx = None
+        if raw_c.size:
+            gathered = planes[
+                jnp.asarray(raw_c.astype(np.int32)),
+                jnp.asarray(raw_b.astype(np.int32)),
+            ]
+            raw_rows = (
+                np.ascontiguousarray(gathered)
+                .astype("<u4", copy=False)
+                .view(np.uint8)
+                .reshape(raw_c.size, plane_bytes)
+            )
+            raw_idx = np.full((num_buf, full), -1, dtype=np.int32)
+            raw_idx[raw_b, raw_c] = np.arange(raw_c.size, dtype=np.int32)
+        fetch_s = _time.perf_counter() - t0
+
+        # ---- host splice -------------------------------------------------
+        t0 = _time.perf_counter()
         out = np.empty(tbl_len + int(plane_base[-1] + starts[-1, full]), np.uint8)
         out[: chunk_types.nbytes] = np.ascontiguousarray(chunk_types).reshape(-1)
         out[chunk_types.nbytes : tbl_len] = np.ascontiguousarray(
             cumulative.astype("<u8")
         ).view(np.uint8).reshape(-1)
-        planes_h = None
-        # kernel rows cover a stream only when its plane ran the kernel
-        # AND its exact bit count fits the heuristic row width (8 spill
-        # words of clamp margin, as in the kernel); anything else is
-        # host-encoded exactly below
-        need_host = not np.all(rle | huf_ok)
-        fits = np.zeros((full, num_buf, 4), dtype=bool)
+        try:
+            from .. import native  # noqa: PLC0415
+        except Exception:
+            native = None
         for b in range(num_buf):
-            if rview[b] is not None:
-                fits[:, b, :] = (bits[:, b, :] + 31) // 32 + 8 <= sws[b]
-            if huf_ok[:, b].any() and (
-                rview[b] is None or not fits[huf_ok[:, b], b].all()
-            ):
-                need_host = True
-        if need_host:
-            pw = np.ascontiguousarray(planes)
-            planes_h = pw.astype("<u4", copy=False).view(np.uint8).reshape(
-                full, num_buf, plane_bytes
+            header = (
+                np.frombuffer(shared[b][2], np.uint8)
+                if shared[b] is not None else np.zeros(0, np.uint8)
             )
-        for b in range(num_buf):
-            header = None
-            if shared[b] is not None:
-                header = np.frombuffer(shared[b][2], np.uint8)
             base = tbl_len + int(plane_base[b])
+            abs_starts = np.ascontiguousarray(base + starts[b, :full])
+            kinds = np.where(
+                rle[:, b], 1, np.where(huf_ok[:, b], 2, 0)
+            ).astype(np.uint8)
+            sb16 = np.ascontiguousarray(
+                np.where(huf_ok[:, b, None], sbytes[:, b, :], 0).astype("<u2")
+            )
+            row_ok = np.ascontiguousarray(fits[:, b, :]).reshape(-1)
             rv = rview[b]
-            hl = int(hlen[b])
-            for c in range(full):
-                o = base + int(starts[b, c])
-                if rle[c, b]:
-                    out[o] = carg_h[c, b]
-                elif huf_ok[c, b]:
-                    out[o : o + hl] = header
-                    o += hl
-                    ls = sbytes[c, b]
-                    out[o] = ls[0] & 0xFF
-                    out[o + 1] = ls[0] >> 8
-                    out[o + 2] = ls[1] & 0xFF
-                    out[o + 3] = ls[1] >> 8
-                    out[o + 4] = ls[2] & 0xFF
-                    out[o + 5] = ls[2] >> 8
-                    o += 6
-                    for k in range(4):
-                        n = int(ls[k])
-                        if rv is not None and fits[c, b, k]:
-                            out[o : o + n] = rv[4 * c + k, :n]
-                        else:
-                            lengths, vals, _header, _tl = shared[b]
-                            syms = planes_h[c, b].reshape(4, seg)[k]
-                            blob = huf.encode_stream(syms, vals, lengths)
-                            assert len(blob) == n, "bit-count mismatch"
-                            out[o : o + n] = np.frombuffer(blob, np.uint8)
-                        o += n
-                else:
-                    out[o : o + plane_bytes] = planes_h[c, b]
+            if native is not None:
+                native.splice_plane(
+                    out, abs_starts, kinds,
+                    np.ascontiguousarray(carg_h[:, b].astype(np.uint8)),
+                    raw_idx[b] if raw_idx is not None else None,
+                    raw_rows, header, sb16, rv,
+                    np.ascontiguousarray(row_ok.astype(np.uint8)),
+                    full, plane_bytes,
+                )
+            else:
+                hl = header.size
+                for c in range(full):
+                    o = int(abs_starts[c])
+                    if kinds[c] == 1:
+                        out[o] = carg_h[c, b]
+                    elif kinds[c] == 2:
+                        out[o : o + hl] = header
+                        o += hl
+                        ls = sbytes[c, b]
+                        out[o + 0] = ls[0] & 0xFF
+                        out[o + 1] = ls[0] >> 8
+                        out[o + 2] = ls[1] & 0xFF
+                        out[o + 3] = ls[1] >> 8
+                        out[o + 4] = ls[2] & 0xFF
+                        out[o + 5] = ls[2] >> 8
+                        o += 6
+                        for k in range(4):
+                            n = int(ls[k])
+                            if rv is not None and fits[c, b, k]:
+                                out[o : o + n] = rv[4 * c + k, :n]
+                            o += n
+                    else:
+                        out[o : o + plane_bytes] = raw_rows[raw_idx[b, c]]
+            # exact host re-encode of streams the kernel rows don't cover
+            miss = np.nonzero(huf_ok[:, b, None] & ~fits[:, b, :])
+            if miss[0].size:
+                lengths, vals, _header, _tl = shared[b]
+                hl = header.size
+                for c, k in zip(*miss):
+                    o = int(abs_starts[c]) + hl + 6 + int(
+                        sbytes[c, b, :k].sum()
+                    )
+                    cw = np.ascontiguousarray(planes[int(c), b]).astype(
+                        "<u4", copy=False
+                    )
+                    syms = cw.view(np.uint8).reshape(4, seg)[k]
+                    blob = huf.encode_stream(syms, vals, lengths)
+                    n = int(sbytes[c, b, k])
+                    assert len(blob) == n, "bit-count mismatch"
+                    out[o : o + n] = np.frombuffer(blob, np.uint8)
+        splice_s = _time.perf_counter() - t0
+        if timings is not None:
+            timings.update(
+                plan_s=plan_s, fetch_s=fetch_s, splice_s=splice_s
+            )
         return out.tobytes()
 
     return run, words_dev, assemble
