@@ -18,6 +18,9 @@
 #include <algorithm>
 #include <atomic>
 #include <cstdint>
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
 #include <cstring>
 #include <functional>
 #include <queue>
@@ -950,6 +953,10 @@ static void huf_encode_4streams(const uint8_t* data, const size_t sizes[4],
                                 std::vector<uint8_t> streams[4]) {
   const uint16_t* vals = ct.vals;
   const uint8_t* lens = ct.lengths;
+  // merged (value, length) table: one load per symbol instead of two
+  uint32_t vl[256];
+  for (int s = 0; s < 256; s++)
+    vl[s] = (uint32_t)vals[s] | ((uint32_t)lens[s] << 16);
   uint64_t acc[4] = {0, 0, 0, 0};
   unsigned nb[4] = {0, 0, 0, 0};
   uint8_t* op[4];
@@ -966,15 +973,30 @@ static void huf_encode_4streams(const uint8_t* data, const size_t sizes[4],
       p += sizes[k];
     }
   }
-  size_t rounds = (sizes[3] < sizes[0] ? sizes[3] : sizes[0]) / 2;
+  // 4 symbols per stream per round: <= 7 + 4*12 = 55 bits in the 64-bit
+  // accumulator, one spill per round (half the pointer/spill overhead of
+  // the previous 2-symbol rounds)
+  size_t rounds = (sizes[3] < sizes[0] ? sizes[3] : sizes[0]) / 4;
   for (size_t r = 0; r < rounds; r++) {
     for (int k = 0; k < 4; k++) {
-      uint8_t s1 = *--sp[k];
-      acc[k] |= (uint64_t)vals[s1] << nb[k];
-      nb[k] += lens[s1];
-      uint8_t s2 = *--sp[k];
-      acc[k] |= (uint64_t)vals[s2] << nb[k];
-      nb[k] += lens[s2];
+      const uint8_t* s = sp[k];
+      uint64_t a = acc[k];
+      unsigned n = nb[k];
+      uint32_t e0 = vl[s[-1]];
+      a |= (uint64_t)(uint16_t)e0 << n;
+      n += e0 >> 16;
+      uint32_t e1 = vl[s[-2]];
+      a |= (uint64_t)(uint16_t)e1 << n;
+      n += e1 >> 16;
+      uint32_t e2 = vl[s[-3]];
+      a |= (uint64_t)(uint16_t)e2 << n;
+      n += e2 >> 16;
+      uint32_t e3 = vl[s[-4]];
+      a |= (uint64_t)(uint16_t)e3 << n;
+      n += e3 >> 16;
+      sp[k] = s - 4;
+      acc[k] = a;
+      nb[k] = n;
     }
     for (int k = 0; k < 4; k++) {
       write_u64_unaligned(op[k], acc[k]);
@@ -984,7 +1006,7 @@ static void huf_encode_4streams(const uint8_t* data, const size_t sizes[4],
       nb[k] &= 7;
     }
   }
-  for (int k = 0; k < 4; k++) rem[k] -= 2 * rounds;
+  for (int k = 0; k < 4; k++) rem[k] -= 4 * rounds;
   for (int k = 0; k < 4; k++) {
     while (rem[k]) {  // tails: at most 3 symbols (segment size skew)
       uint8_t s = *--sp[k];
@@ -1146,9 +1168,35 @@ static bool huf_decompress_block(const uint8_t* data, size_t c_size, uint8_t* ou
   }
   const int tlog = dt.table_log;
   const unsigned shift_base = 64 - (unsigned)tlog;
-  const uint16_t* ent = dt.ent;
-  size_t n4 = sizes[3];  // the shortest segment
-  size_t i = 0;
+  // Double-symbol table (zstd X2 idea): entry = sym0 | sym1<<8 |
+  // total_bits<<16 | n_syms<<24.  A lookup resolves 2 symbols whenever the
+  // second code is fully determined by the remaining peek bits — for the
+  // ~4-5 bit/symbol exponent-plane tables that's most lookups, nearly
+  // halving the serial per-symbol cost.  Validity of the pair requires the
+  // whole aliased index range to share one dtable block (first==last
+  // check; canonical blocks are contiguous per symbol).
+  static thread_local uint32_t x2[1 << HUF_TABLELOG_MAX];
+  {
+    uint32_t size = 1u << tlog;
+    for (uint32_t d = 0; d < size; d++) {
+      uint32_t nb0 = dt.nb[d];
+      uint32_t e = dt.sym[d] | (nb0 << 16) | (1u << 24);
+      if (nb0 >= 1 && nb0 <= (uint32_t)tlog) {
+        uint32_t rem = (uint32_t)tlog - nb0;
+        uint32_t d2 = (d << nb0) & (size - 1);
+        uint32_t d2e = d2 + (nb0 ? (1u << nb0) - 1 : 0);
+        uint32_t nb1 = dt.nb[d2];
+        if (nb1 != 0 && nb1 <= rem && dt.nb[d2e] == nb1 &&
+            dt.sym[d2e] == dt.sym[d2]) {
+          e = dt.sym[d] | ((uint32_t)dt.sym[d2] << 8) | ((nb0 + nb1) << 16) |
+              (2u << 24);
+        }
+      }
+      x2[d] = e;
+    }
+  }
+  uint8_t* oend[4];
+  for (int k = 0; k < 4; k++) oend[k] = op[k] + sizes[k];
   // burst state lives in locals so the 4 independent ~6-cycle dependency
   // chains register-allocate (the rd[] struct members defeated that: the
   // compiler kept spilling per symbol)
@@ -1161,24 +1209,28 @@ static bool huf_decompress_block(const uint8_t* data, size_t c_size, uint8_t* ou
     pp[k] = rd[k].ptr;
   }
   for (;;) {
-    // hoist the bounds: each 4-symbol round moves a stream pointer back by
-    // at most 6 bytes; run the largest burst that stays safely inside every
-    // stream without re-checking pointers per round
-    size_t hdroom = (size_t)-1;
+    // hoist the bounds: each round is 4 lookups per stream (<= 4*tlog
+    // bits, so the pointer moves back at most 6 bytes) and advances each
+    // output by at most 8 symbols plus a 1-byte speculative write
+    size_t hdroom = (size_t)-1, orem = (size_t)-1;
     for (int k = 0; k < 4; k++) {
       size_t a = (size_t)(pp[k] - rd[k].start);
       if (a < hdroom) hdroom = a;
+      size_t o = (size_t)(oend[k] - op[k]);
+      if (o < orem) orem = o;
     }
     size_t rounds = hdroom / 6;
-    if (i + 4 > n4 || rounds == 0) break;
-    size_t lim = i + 4 * rounds;
-    if (lim > n4) lim = n4 & ~(size_t)3;
-    for (; i < lim; i += 4) {
+    size_t orounds = orem > 9 ? (orem - 9) / 8 : 0;
+    if (orounds < rounds) rounds = orounds;
+    if (rounds == 0) break;
+    for (size_t r = 0; r < rounds; r++) {
       for (int rep = 0; rep < 4; rep++) {
         for (int k = 0; k < 4; k++) {
-          uint16_t e = ent[(uint32_t)((c[k] << bc[k]) >> shift_base)];
-          op[k][i + rep] = (uint8_t)e;
-          bc[k] += e >> 8;
+          uint32_t e = x2[(uint32_t)((c[k] << bc[k]) >> shift_base)];
+          op[k][0] = (uint8_t)e;
+          op[k][1] = (uint8_t)(e >> 8);
+          op[k] += e >> 24;
+          bc[k] += (e >> 16) & 0xFFu;
         }
       }
       for (int k = 0; k < 4; k++) {
@@ -1194,12 +1246,12 @@ static bool huf_decompress_block(const uint8_t* data, size_t c_size, uint8_t* ou
     rd[k].bits_consumed = bc[k];
     rd[k].ptr = pp[k];
   }
-  // tails, one stream at a time
+  // tails, one stream at a time (single-symbol, bounds-checked reader)
   for (int k = 0; k < 4; k++) {
-    size_t j = i;
-    while (j < sizes[k]) {
+    uint8_t* o = op[k];
+    while (o < oend[k]) {
       uint32_t idx = rd[k].peek(tlog);
-      op[k][j++] = dt.sym[idx];
+      *o++ = dt.sym[idx];
       rd[k].skip(dt.nb[idx]);
       rd[k].reload();
     }
@@ -1231,6 +1283,96 @@ static void revert16_inplace(uint8_t* buf, size_t len) {
     u = ((u << 8) & 0x80008000u) | ((u >> 1) & 0x7F807F80u) | (u & 0x7F007Fu);
     std::memcpy(buf + 4 * i, &u, 4);
   }
+}
+
+// ---- fused bit-reorder + 2-plane (de)interleave, AVX2 when available ----
+// The reference quirk (data_manipulation_dtype16.c:10-29): the sign
+// rotation operates on whole uint32 words, so the final len%4 bytes are
+// never reordered — only pairs with index < (len/4)*2 transform.
+
+static void split2(const uint8_t* src, size_t len, int bit_reorder,
+                   uint8_t* d0, uint8_t* d1) {
+  size_t half = len / 2;
+  size_t reo_pairs = bit_reorder ? (len / 4) * 2 : 0;
+  size_t vlim = bit_reorder ? reo_pairs : half;
+  size_t i = 0;
+#if defined(__AVX2__)
+  const __m256i m_ff00 = _mm256_set1_epi16((short)0xFF00);
+  const __m256i m_0080 = _mm256_set1_epi16(0x0080);
+  const __m256i m_007f = _mm256_set1_epi16(0x007F);
+  const __m256i m_00ff = _mm256_set1_epi16(0x00FF);
+  for (; i + 32 <= vlim; i += 32) {
+    __m256i a = _mm256_loadu_si256((const __m256i*)(src + 2 * i));
+    __m256i b = _mm256_loadu_si256((const __m256i*)(src + 2 * i + 32));
+    if (bit_reorder) {
+      a = _mm256_or_si256(
+          _mm256_or_si256(_mm256_and_si256(_mm256_slli_epi16(a, 1), m_ff00),
+                          _mm256_and_si256(_mm256_srli_epi16(a, 8), m_0080)),
+          _mm256_and_si256(a, m_007f));
+      b = _mm256_or_si256(
+          _mm256_or_si256(_mm256_and_si256(_mm256_slli_epi16(b, 1), m_ff00),
+                          _mm256_and_si256(_mm256_srli_epi16(b, 8), m_0080)),
+          _mm256_and_si256(b, m_007f));
+    }
+    __m256i lo = _mm256_packus_epi16(_mm256_and_si256(a, m_00ff),
+                                     _mm256_and_si256(b, m_00ff));
+    __m256i hi = _mm256_packus_epi16(_mm256_srli_epi16(a, 8),
+                                     _mm256_srli_epi16(b, 8));
+    lo = _mm256_permute4x64_epi64(lo, 0xD8);
+    hi = _mm256_permute4x64_epi64(hi, 0xD8);
+    _mm256_storeu_si256((__m256i*)(d0 + i), lo);
+    _mm256_storeu_si256((__m256i*)(d1 + i), hi);
+  }
+#endif
+  for (; i < half; i++) {
+    uint16_t x = (uint16_t)(src[2 * i] | (src[2 * i + 1] << 8));
+    if (i < reo_pairs)
+      x = (uint16_t)(((x << 1) & 0xFF00) | ((x >> 8) & 0x0080) | (x & 0x007F));
+    d0[i] = (uint8_t)x;
+    d1[i] = (uint8_t)(x >> 8);
+  }
+  if (len & 1) d0[half] = src[len - 1];
+}
+
+static void combine2(const uint8_t* s0, const uint8_t* s1, uint8_t* out,
+                     size_t len, int bit_reorder) {
+  size_t half = len / 2;
+  size_t reo_pairs = bit_reorder ? (len / 4) * 2 : 0;
+  size_t vlim = bit_reorder ? reo_pairs : half;
+  size_t i = 0;
+#if defined(__AVX2__)
+  const __m256i m_8000 = _mm256_set1_epi16((short)0x8000);
+  const __m256i m_7f80 = _mm256_set1_epi16(0x7F80);
+  const __m256i m_007f = _mm256_set1_epi16(0x007F);
+  for (; i + 32 <= vlim; i += 32) {
+    __m256i lo = _mm256_loadu_si256((const __m256i*)(s0 + i));
+    __m256i hi = _mm256_loadu_si256((const __m256i*)(s1 + i));
+    __m256i t0 = _mm256_unpacklo_epi8(lo, hi);
+    __m256i t1 = _mm256_unpackhi_epi8(lo, hi);
+    __m256i a = _mm256_permute2x128_si256(t0, t1, 0x20);
+    __m256i b = _mm256_permute2x128_si256(t0, t1, 0x31);
+    if (bit_reorder) {
+      a = _mm256_or_si256(
+          _mm256_or_si256(_mm256_and_si256(_mm256_slli_epi16(a, 8), m_8000),
+                          _mm256_and_si256(_mm256_srli_epi16(a, 1), m_7f80)),
+          _mm256_and_si256(a, m_007f));
+      b = _mm256_or_si256(
+          _mm256_or_si256(_mm256_and_si256(_mm256_slli_epi16(b, 8), m_8000),
+                          _mm256_and_si256(_mm256_srli_epi16(b, 1), m_7f80)),
+          _mm256_and_si256(b, m_007f));
+    }
+    _mm256_storeu_si256((__m256i*)(out + 2 * i), a);
+    _mm256_storeu_si256((__m256i*)(out + 2 * i + 32), b);
+  }
+#endif
+  for (; i < half; i++) {
+    uint16_t x = (uint16_t)(s0[i] | (s1[i] << 8));
+    if (i < reo_pairs)
+      x = (uint16_t)(((x << 8) & 0x8000) | ((x >> 1) & 0x7F80) | (x & 0x007F));
+    out[2 * i] = (uint8_t)x;
+    out[2 * i + 1] = (uint8_t)(x >> 8);
+  }
+  if (len & 1) out[len - 1] = s0[half];
 }
 
 static void reorder32(const uint8_t* src, uint8_t* dst, size_t len) {
@@ -1265,27 +1407,18 @@ static void split_planes(const uint8_t* chunk, size_t len, unsigned num_buf,
                          int bit_reorder, uint8_t* scratch_reordered,
                          uint8_t** plane_ptrs, size_t* plane_lens) {
   const uint8_t* src = chunk;
-  if (num_buf == 2 && bit_reorder) {
-    reorder16(chunk, scratch_reordered, len);
-    src = scratch_reordered;
-  } else if (num_buf == 4 && bit_reorder) {
+  plane_lengths(len, num_buf, plane_lens);
+  if (num_buf == 2) {
+    // fused reorder + deinterleave: one pass, no scratch copy
+    split2(chunk, len, bit_reorder, plane_ptrs[0], plane_ptrs[1]);
+    return;
+  }
+  if (num_buf == 4 && bit_reorder) {
     reorder32(chunk, scratch_reordered, len);
     src = scratch_reordered;
   }
-  plane_lengths(len, num_buf, plane_lens);
   if (num_buf == 1) {
     std::memcpy(plane_ptrs[0], src, len);
-    return;
-  }
-  if (num_buf == 2) {
-    uint8_t* d0 = plane_ptrs[0];
-    uint8_t* d1 = plane_ptrs[1];
-    size_t half = len / 2;
-    for (size_t i = 0; i < half; i++) {
-      d0[i] = src[2 * i];
-      d1[i] = src[2 * i + 1];
-    }
-    if (len & 1) d0[half] = src[len - 1];
     return;
   }
   // num_buf == 4
@@ -1312,15 +1445,8 @@ static void combine_planes(uint8_t* const* plane_ptrs, const size_t* plane_lens,
     return;
   }
   if (num_buf == 2) {
-    const uint8_t* s0 = plane_ptrs[0];
-    const uint8_t* s1 = plane_ptrs[1];
-    size_t half = len / 2;
-    for (size_t i = 0; i < half; i++) {
-      out[2 * i] = s0[i];
-      out[2 * i + 1] = s1[i];
-    }
-    if (len & 1) out[len - 1] = s0[half];
-    if (bit_reorder) revert16_inplace(out, len);
+    // fused interleave + sign-rotation revert: one pass over the output
+    combine2(plane_ptrs[0], plane_ptrs[1], out, len, bit_reorder);
     return;
   }
   const uint8_t* s0 = plane_ptrs[0];
@@ -1345,6 +1471,10 @@ static void combine_planes(uint8_t* const* plane_ptrs, const size_t* plane_lens,
 
 struct ChunkResult {
   std::vector<uint8_t> blob[4];
+  // raw planes keep their bytes in `planes` (no per-plane copy): blob[b]
+  // stays empty and assembly reads planes.data() + poff[b]
+  std::vector<uint8_t> planes;
+  size_t poff[4] = {0, 0, 0, 0};
   uint8_t type[4];
   uint64_t size[4];
 };
@@ -1540,6 +1670,48 @@ long long ztpu_splice_plane(uint8_t* out, const long long* starts,
   return failed.load() ? -1 : 0;
 }
 
+// Assemble chunk results into the payload: type table, cumulative sizes,
+// plane-major data regions (parallel interleave copy).
+static long long assemble_payload(std::vector<ChunkResult>& results,
+                                  size_t n_chunks, unsigned num_buf,
+                                  int threads, uint8_t* out, size_t out_cap) {
+  size_t tables = n_chunks * num_buf * 9;
+  size_t total = tables;
+  for (size_t c = 0; c < n_chunks; c++)
+    for (unsigned b = 0; b < num_buf; b++) total += results[c].size[b];
+  if (total > out_cap) return -1;
+
+  uint8_t* tp = out;
+  for (unsigned b = 0; b < num_buf; b++)
+    for (size_t c = 0; c < n_chunks; c++) *tp++ = results[c].type[b];
+  uint8_t* sp = tp;  // cumulative-size table (unaligned-safe writes)
+  std::vector<std::vector<uint64_t>> cum_start(num_buf);
+  std::vector<uint64_t> plane_totals(num_buf, 0);
+  for (unsigned b = 0; b < num_buf; b++) {
+    cum_start[b].resize(n_chunks + 1, 0);
+    uint64_t cum = 0;
+    for (size_t c = 0; c < n_chunks; c++) {
+      cum_start[b][c] = cum;
+      cum += results[c].size[b];
+      write_u64_unaligned(sp + 8 * (b * n_chunks + c), cum);
+    }
+    plane_totals[b] = cum;
+  }
+  std::vector<uint64_t> plane_base(num_buf, 0);
+  for (unsigned b = 1; b < num_buf; b++)
+    plane_base[b] = plane_base[b - 1] + plane_totals[b - 1];
+  uint8_t* dbase = out + tables;
+  run_pool((unsigned)threads, n_chunks, [&](size_t c) {
+    const ChunkResult& r = results[c];
+    for (unsigned b = 0; b < num_buf; b++) {
+      const uint8_t* s =
+          r.type[b] ? r.blob[b].data() : r.planes.data() + r.poff[b];
+      std::memcpy(dbase + plane_base[b] + cum_start[b][c], s, r.size[b]);
+    }
+  });
+  return (long long)total;
+}
+
 // Compress `data` into the table+planes payload.  Returns payload size, or
 // -1 on error / insufficient capacity.
 long long ztpu_compress(const uint8_t* data, size_t len, unsigned num_buf,
@@ -1569,7 +1741,11 @@ long long ztpu_compress(const uint8_t* data, size_t len, unsigned num_buf,
     split_planes(data + off, clen, num_buf, bit_reorder, reordered.data(), pptrs,
                  plens);
     ChunkResult& r = results[c];
+    bool any_raw = false;
+    size_t acc2 = 0;
     for (unsigned b = 0; b < num_buf; b++) {
+      r.poff[b] = acc2;
+      acc2 += plens[b];
       std::vector<uint8_t> comp;
       long long cs = huf_compress_block(pptrs[b], plens[b], comp);
       bool use_comp = false;
@@ -1585,47 +1761,182 @@ long long ztpu_compress(const uint8_t* data, size_t len, unsigned num_buf,
       } else {
         r.type[b] = 0;
         r.size[b] = plens[b];
-        r.blob[b].assign(pptrs[b], pptrs[b] + plens[b]);
+        any_raw = true;
       }
     }
+    if (any_raw) r.planes = std::move(planes);
   });
   if (failed.load()) return -1;
+  return assemble_payload(results, n_chunks, num_buf, threads, out, out_cap);
+}
 
-  // assemble: types, cumulative sizes, plane-major data
-  size_t tables = n_chunks * num_buf * 9;
-  size_t total = tables;
-  for (size_t c = 0; c < n_chunks; c++)
-    for (unsigned b = 0; b < num_buf; b++) total += results[c].size[b];
-  if (total > out_cap) return -1;
+// Shared-table profile compress (the TPU-optimal encode profile): one
+// <=8-bit Huffman table per byte plane built from the plane-global
+// histogram, identical weight headers repeated per block.  Byte-identical
+// to codec.compress_payload_numpy(shared_tables=True), the profile's
+// specification.  Returns payload size, -1 on error, or -2 when a plane
+// histogram overflows uint32 (caller falls back to the numpy engine).
+long long ztpu_compress_shared(const uint8_t* data, size_t len,
+                               unsigned num_buf, int bit_reorder,
+                               int byte_reorder, size_t chunk_size,
+                               double threshold, int threads, uint8_t* out,
+                               size_t out_cap) {
+  (void)byte_reorder;
+  if (num_buf != 1 && num_buf != 2 && num_buf != 4) return -1;
+  size_t n_chunks = chunk_size ? (len + chunk_size - 1) / chunk_size : 0;
 
-  uint8_t* tp = out;
-  for (unsigned b = 0; b < num_buf; b++)
-    for (size_t c = 0; c < n_chunks; c++) *tp++ = results[c].type[b];
-  uint8_t* sp = tp;  // cumulative-size table (unaligned-safe writes)
-  std::vector<std::vector<uint64_t>> cum_start(num_buf);
-  std::vector<uint64_t> plane_totals(num_buf, 0);
-  for (unsigned b = 0; b < num_buf; b++) {
-    cum_start[b].resize(n_chunks + 1, 0);
-    uint64_t cum = 0;
-    for (size_t c = 0; c < n_chunks; c++) {
-      cum_start[b][c] = cum;
-      cum += results[c].size[b];
-      write_u64_unaligned(sp + 8 * (b * n_chunks + c), cum);
-    }
-    plane_totals[b] = cum;
-  }
-  // parallel interleave copy (plane-major regions)
-  std::vector<uint64_t> plane_base(num_buf, 0);
-  for (unsigned b = 1; b < num_buf; b++)
-    plane_base[b] = plane_base[b - 1] + plane_totals[b - 1];
-  uint8_t* dbase = out + tables;
+  // pass 1: per-(chunk, plane) histograms
+  std::vector<uint32_t> hists((size_t)n_chunks * num_buf * 256, 0);
   run_pool((unsigned)threads, n_chunks, [&](size_t c) {
+    size_t off = c * chunk_size;
+    size_t clen = std::min(chunk_size, len - off);
+    std::vector<uint8_t> reordered(bit_reorder && num_buf == 4 ? clen : 0);
+    std::vector<uint8_t> planes(clen);
+    size_t plens[4];
+    uint8_t* pptrs[4] = {nullptr, nullptr, nullptr, nullptr};
+    plane_lengths(clen, num_buf, plens);
+    size_t acc = 0;
     for (unsigned b = 0; b < num_buf; b++) {
-      std::memcpy(dbase + plane_base[b] + cum_start[b][c],
-                  results[c].blob[b].data(), results[c].size[b]);
+      pptrs[b] = planes.data() + acc;
+      acc += plens[b];
+    }
+    split_planes(data + off, clen, num_buf, bit_reorder, reordered.data(),
+                 pptrs, plens);
+    for (unsigned b = 0; b < num_buf; b++) {
+      uint32_t* h = hists.data() + (c * num_buf + b) * 256;
+      uint32_t h4[4][256] = {{0}};
+      size_t i = 0;
+      const uint8_t* p = pptrs[b];
+      for (; i + 4 <= plens[b]; i += 4) {
+        h4[0][p[i]]++;
+        h4[1][p[i + 1]]++;
+        h4[2][p[i + 2]]++;
+        h4[3][p[i + 3]]++;
+      }
+      for (; i < plens[b]; i++) h4[0][p[i]]++;
+      for (int s = 0; s < 256; s++)
+        h[s] = h4[0][s] + h4[1][s] + h4[2][s] + h4[3][s];
     }
   });
-  return (long long)total;
+
+  // shared table per plane from the plane-global histogram
+  struct SharedT {
+    HufCTable ct;
+    std::vector<uint8_t> header;
+    bool ok = false;
+  };
+  SharedT sh[4];
+  for (unsigned b = 0; b < num_buf; b++) {
+    uint64_t count64[256] = {0};
+    for (size_t c = 0; c < n_chunks; c++) {
+      const uint32_t* h = hists.data() + (c * num_buf + b) * 256;
+      for (int s = 0; s < 256; s++) count64[s] += h[s];
+    }
+    uint64_t total = 0;
+    uint32_t count[256];
+    unsigned n_present = 0, max_sv = 0;
+    for (int s = 0; s < 256; s++) {
+      if (count64[s] > 0xFFFFFFFFull) return -2;
+      count[s] = (uint32_t)count64[s];
+      total += count64[s];
+      if (count[s]) {
+        n_present++;
+        max_sv = s;
+      }
+    }
+    if (total == 0 || n_present < 2) continue;  // no table (build returns None)
+    HufCTable& ct = sh[b].ct;
+    int max_len;
+    if (!huffman_lengths(count, ct.lengths, &max_len)) continue;
+    if (max_len > 8) {
+      if (!package_merge_lengths(count, 8, ct.lengths)) continue;
+      max_len = 0;
+      for (int s = 0; s < 256; s++)
+        if (ct.lengths[s] > max_len) max_len = ct.lengths[s];
+    }
+    ct.table_log = max_len;
+    ct.max_sv = max_sv;
+    if (!huf_write_ctable(ct, sh[b].header)) continue;
+    canonical_values(ct);
+    sh[b].ok = true;
+  }
+
+  // pass 2: re-split and encode every cell with its plane's shared table
+  std::vector<ChunkResult> results(n_chunks);
+  run_pool((unsigned)threads, n_chunks, [&](size_t c) {
+    size_t off = c * chunk_size;
+    size_t clen = std::min(chunk_size, len - off);
+    std::vector<uint8_t> reordered(bit_reorder && num_buf == 4 ? clen : 0);
+    std::vector<uint8_t> planes(clen);
+    size_t plens[4];
+    uint8_t* pptrs[4] = {nullptr, nullptr, nullptr, nullptr};
+    plane_lengths(clen, num_buf, plens);
+    size_t acc = 0;
+    for (unsigned b = 0; b < num_buf; b++) {
+      pptrs[b] = planes.data() + acc;
+      acc += plens[b];
+    }
+    split_planes(data + off, clen, num_buf, bit_reorder, reordered.data(),
+                 pptrs, plens);
+    ChunkResult& r = results[c];
+    bool any_raw = false;
+    size_t acc2 = 0;
+    for (unsigned b = 0; b < num_buf; b++) {
+      r.poff[b] = acc2;
+      acc2 += plens[b];
+      size_t n = plens[b];
+      const uint32_t* h = hists.data() + (c * num_buf + b) * 256;
+      uint32_t largest = 0;
+      uint8_t larg_sym = 0;
+      for (int s = 0; s < 256; s++)
+        if (h[s] > largest) {
+          largest = h[s];
+          larg_sym = (uint8_t)s;
+        }
+      std::vector<uint8_t> comp;
+      bool have = false;
+      if (n > 0 && largest == n) {
+        comp.assign(1, pptrs[b][0]);
+        (void)larg_sym;
+        have = true;
+      } else if (n >= 12 && n <= HUF_BLOCKSIZE_MAX && sh[b].ok) {
+        // compress_with_table: 4-stream encode with the fixed table
+        size_t seg = (n + 3) / 4;
+        size_t sizes[4] = {seg, seg, seg, n - 3 * seg};
+        std::vector<uint8_t> streams[4];
+        huf_encode_4streams(pptrs[b], sizes, sh[b].ct, streams);
+        bool ok = true;
+        for (int k = 0; k < 4; k++)
+          if (streams[k].empty() || streams[k].size() > 65535) ok = false;
+        if (ok) {
+          comp.clear();
+          comp.reserve(sh[b].header.size() + 6 + streams[0].size() +
+                       streams[1].size() + streams[2].size() +
+                       streams[3].size());
+          comp.insert(comp.end(), sh[b].header.begin(), sh[b].header.end());
+          uint8_t jump[6];
+          write_le16(jump + 0, (uint16_t)streams[0].size());
+          write_le16(jump + 2, (uint16_t)streams[1].size());
+          write_le16(jump + 4, (uint16_t)streams[2].size());
+          comp.insert(comp.end(), jump, jump + 6);
+          for (int k = 0; k < 4; k++)
+            comp.insert(comp.end(), streams[k].begin(), streams[k].end());
+          have = comp.size() < n - 1;  // compress_with_table size guard
+        }
+      }
+      if (have && (double)comp.size() < (double)n * threshold) {
+        r.type[b] = 1;
+        r.size[b] = comp.size();
+        r.blob[b] = std::move(comp);
+      } else {
+        r.type[b] = 0;
+        r.size[b] = n;
+        any_raw = true;
+      }
+    }
+    if (any_raw) r.planes = std::move(planes);
+  });
+  return assemble_payload(results, n_chunks, num_buf, threads, out, out_cap);
 }
 
 // Decompress the table+planes payload into `out` (orig_size bytes).

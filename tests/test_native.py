@@ -70,3 +70,56 @@ def test_zipnn_auto_engine_uses_native_and_matches():
     assert c_auto == c_np
     d = ZipNN(input_format="torch", engine="auto").decompress(c_np)
     assert torch.equal(d, t)
+
+
+@pytest.mark.parametrize(
+    "num_buf,byte_reorder,bit_reorder",
+    [(2, 10, 1), (2, 10, 0), (4, 220, 1), (1, 10, 0)],
+)
+def test_shared_profile_cross_engine(num_buf, byte_reorder, bit_reorder):
+    """Native shared-table (TPU-optimal) profile must be byte-identical to
+    the numpy specification, including RLE planes, raw planes, and the
+    ragged tail."""
+    chunk = 32 * 1024
+    for n in [0, 1, 255, chunk - 1, chunk, chunk + 3, 3 * chunk + 77]:
+        data = (RNG.normal(100, 6, n).clip(0, 255)).astype(np.uint8)
+        if n >= chunk:
+            data[:chunk // 2] = 7  # constant region: RLE / skewed cells
+        p_nat = native.compress_payload_shared(
+            data, num_buf, bit_reorder, byte_reorder, chunk, 0.95, 4
+        )
+        p_py = codec.compress_payload_numpy(
+            data, num_buf, bit_reorder, byte_reorder, chunk, 0.95,
+            shared_tables=True,
+        )
+        assert p_nat == p_py, (num_buf, byte_reorder, bit_reorder, n)
+        d = codec.decompress_payload_numpy(
+            p_nat, num_buf, bit_reorder, byte_reorder, chunk, n
+        )
+        assert np.array_equal(d, data)
+
+
+def test_shared_profile_incompressible_and_rle():
+    rnd = RNG.integers(0, 256, 70_000, dtype=np.uint8)
+    for data in (rnd, np.zeros(70_000, np.uint8)):
+        p_nat = native.compress_payload_shared(data, 2, 1, 10, 32 * 1024, 0.95, 2)
+        p_py = codec.compress_payload_numpy(
+            data, 2, 1, 10, 32 * 1024, 0.95, shared_tables=True
+        )
+        assert p_nat == p_py
+
+
+def test_zipnn_shared_auto_routes_native():
+    from zipnn_tpu import ZipNN
+
+    data = (RNG.normal(100, 5, 300_000).clip(0, 255)).astype(np.uint8).tobytes()
+    c_auto = bytes(
+        ZipNN(engine="auto", huffman_table="shared",
+              compression_chunk=32768).compress(data)
+    )
+    c_np = bytes(
+        ZipNN(engine="numpy", huffman_table="shared",
+              compression_chunk=32768).compress(data)
+    )
+    assert c_auto == c_np
+    assert bytes(ZipNN(engine="auto").decompress(c_auto)) == data

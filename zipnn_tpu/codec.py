@@ -260,8 +260,6 @@ def _native():
 
 def resolve_engine(engine: str, shared_tables: bool = False) -> str:
     if engine == "auto":
-        if shared_tables:
-            return "numpy"  # native core does per-chunk tables only
         return "native" if _native() is not None else "numpy"
     return engine
 
@@ -278,13 +276,25 @@ def compress_payload(
     shared_tables: bool = False,
 ) -> bytes:
     engine = resolve_engine(engine, shared_tables)
-    if engine == "numpy" or (shared_tables and engine == "native"):
+    if engine == "numpy":
         return compress_payload_numpy(
             data, num_buf, bit_reorder, byte_reorder, chunk_size, threshold,
             shared_tables=shared_tables,
         )
     if engine == "native":
-        return _native().compress_payload(
+        nat = _native()
+        if shared_tables:
+            try:
+                return nat.compress_payload_shared(
+                    data, num_buf, bit_reorder, byte_reorder, chunk_size,
+                    threshold, threads
+                )
+            except nat.SharedOverflow:
+                return compress_payload_numpy(
+                    data, num_buf, bit_reorder, byte_reorder, chunk_size,
+                    threshold, shared_tables=True,
+                )
+        return nat.compress_payload(
             data, num_buf, bit_reorder, byte_reorder, chunk_size, threshold, threads
         )
     if engine == "tpu":

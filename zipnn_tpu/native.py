@@ -66,6 +66,8 @@ def _load():
             ctypes.c_void_p,
             ctypes.c_size_t,
         ]
+        lib.ztpu_compress_shared.restype = ctypes.c_longlong
+        lib.ztpu_compress_shared.argtypes = list(lib.ztpu_compress.argtypes)
         lib.ztpu_decompress.restype = ctypes.c_longlong
         lib.ztpu_decompress.argtypes = [
             ctypes.c_void_p,
@@ -179,6 +181,47 @@ def compress_payload(
     )
     if r < 0:
         raise RuntimeError(f"native compress failed: {r}")
+    return out[:r].tobytes()
+
+
+class SharedOverflow(RuntimeError):
+    """A plane histogram exceeded uint32 (input > ~8.5 GB per call); the
+    caller falls back to the numpy engine for exact parity."""
+
+
+def compress_payload_shared(
+    data: np.ndarray,
+    num_buf: int,
+    bit_reorder: int,
+    byte_reorder: int,
+    chunk_size: int,
+    threshold: float,
+    threads: int,
+) -> bytes:
+    """Shared-table (TPU-optimal) profile via the C++ core; byte-identical
+    to codec.compress_payload_numpy(shared_tables=True)."""
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.uint8).reshape(-1)
+    n = data.size
+    n_chunks = (n + chunk_size - 1) // chunk_size
+    cap = n + n_chunks * num_buf * 9 + 4096 + (n_chunks + 1) * 64
+    out = np.empty(cap, dtype=np.uint8)
+    r = lib.ztpu_compress_shared(
+        data.ctypes.data,
+        n,
+        num_buf,
+        bit_reorder,
+        byte_reorder,
+        chunk_size,
+        threshold,
+        threads or os.cpu_count() or 1,
+        out.ctypes.data,
+        cap,
+    )
+    if r == -2:
+        raise SharedOverflow()
+    if r < 0:
+        raise RuntimeError(f"native shared compress failed: {r}")
     return out[:r].tobytes()
 
 
