@@ -119,3 +119,129 @@ def test_chunk_range_partition():
             ranges = [chunk_range(p, n_proc, n_chunks) for p in range(n_proc)]
             flat = [c for lo, hi in ranges for c in range(lo, hi)]
             assert flat == list(range(n_chunks))
+
+
+WORKER_ST = r"""
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+from zipnn_tpu.parallel import multihost
+
+port, pid, nproc, in_path, out_path, engine = sys.argv[1:7]
+multihost.initialize(f"localhost:{port}", int(nproc), int(pid))
+multihost.compress_safetensors_multihost(in_path, out_path, engine=engine)
+"""
+
+WORKER_TPU_MESH = r"""
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+from zipnn_tpu import parallel
+from zipnn_tpu.parallel import multihost
+
+port, pid, nproc, in_path, out_path, dec_path, chunk = sys.argv[1:8]
+multihost.initialize(f"localhost:{port}", int(nproc), int(pid))
+with parallel.use_mesh(parallel.make_mesh(jax.local_devices())):
+    multihost.compress_file_multihost(
+        in_path, out_path, bytearray_dtype="bfloat16",
+        compression_chunk=int(chunk), engine="tpu",
+    )
+    multihost.decompress_file_multihost(out_path, dec_path)
+"""
+
+
+def _run_two(tmp_path, worker_src, args):
+    port = _free_port()
+    script = tmp_path / "worker2.py"
+    script.write_text(worker_src)
+    procs = []
+    for pid in range(2):
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=4",
+            PYTHONPATH=str(Path(__file__).resolve().parent.parent),
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(script), str(port), str(pid), "2", *args],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            )
+        )
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err.decode()[-2000:]
+
+
+def _make_st_file(path):
+    import torch
+    from safetensors.torch import save_file
+
+    g = torch.Generator().manual_seed(5)
+    rnd = np.random.default_rng(5)
+    tensors = {
+        "w.attn": (torch.randn(300, 257, generator=g) * 0.05).to(torch.bfloat16),
+        "w.mlp": torch.randn(123, 77, generator=g) * 0.01,
+        "ids": torch.arange(1000, dtype=torch.int64),
+        # incompressible bf16: exercises the keep-raw-if-bigger rule
+        "noise": torch.from_numpy(
+            rnd.integers(0, 2**16, (64, 64), dtype=np.uint16).astype(np.uint16)
+        ).view(torch.bfloat16),
+    }
+    save_file(tensors, str(path), metadata={"format": "pt"})
+    return tensors
+
+
+def test_two_process_safetensors_compress(tmp_path):
+    """2 processes cooperatively produce ONE .znn.safetensors file that the
+    plugins layer loads transparently; byte-identical to the 1-process run
+    of the same API (SURVEY.md §2.3 bullet 3)."""
+    import torch
+
+    from zipnn_tpu.io.streaming import SafetensorsStreamReader
+    from zipnn_tpu.parallel import multihost
+    from zipnn_tpu.plugins.safetensors import SafeOpen
+
+    src = tmp_path / "model.safetensors"
+    tensors = _make_st_file(src)
+    out2 = tmp_path / "model2.znn.safetensors"
+    _run_two(tmp_path, WORKER_ST, [str(src), str(out2), "numpy"])
+
+    out1 = tmp_path / "model1.znn.safetensors"
+    multihost.compress_safetensors_multihost(str(src), str(out1), engine="numpy")
+    assert out1.read_bytes() == out2.read_bytes(), (
+        "cooperative output depends on process count"
+    )
+
+    rdr = SafetensorsStreamReader(str(out2))
+    assert "w.attn" in rdr.compressed and "w.mlp" in rdr.compressed
+    assert "ids" not in rdr.compressed and "noise" not in rdr.compressed
+    with SafeOpen(str(out2), "pt", "cpu") as f:
+        for name, want in tensors.items():
+            got = f.get_tensor(name)
+            if got.dtype == torch.bfloat16:  # bit-exact (NaN payloads too)
+                assert torch.equal(
+                    got.view(torch.uint16), want.view(torch.uint16)
+                ), name
+            else:
+                assert torch.equal(got, want), name
+
+
+def test_two_process_tpu_engine_with_mesh(tmp_path):
+    """The 2-process flow with engine="tpu" and an ambient per-process
+    device mesh: the shard_mapped codec stages run inside the cooperative
+    compress and the container stays byte-identical to single-host."""
+    chunk = 128 * 1024
+    data = _bf16(256 * 1024 * 3, seed=21)
+    in_path = tmp_path / "weights.bin"
+    in_path.write_bytes(data)
+    golden = ZipNN(
+        engine="numpy", bytearray_dtype="bfloat16", compression_chunk=chunk
+    ).compress(data)
+    _run_two(
+        tmp_path, WORKER_TPU_MESH,
+        [str(in_path), str(tmp_path / "o.znn"), str(tmp_path / "d.bin"),
+         str(chunk)],
+    )
+    assert (tmp_path / "o.znn").read_bytes() == golden
+    assert (tmp_path / "d.bin").read_bytes() == data

@@ -133,6 +133,23 @@ class SafetensorsStreamReader:
         return False
 
 
+def np_to_torch(arr: np.ndarray):
+    """numpy (incl. ml_dtypes bf16/fp8 views) -> torch tensor (copying:
+    range-read buffers are read-only)."""
+    import torch  # noqa: PLC0415
+
+    name = arr.dtype.name
+    if name == "bfloat16":
+        return torch.from_numpy(
+            np.ascontiguousarray(arr).view(np.uint16).copy()
+        ).view(torch.bfloat16)
+    if name in ("float8_e4m3fn", "float8_e5m2"):
+        return torch.from_numpy(
+            np.ascontiguousarray(arr).view(np.uint8).copy()
+        ).view(getattr(torch, name))
+    return torch.from_numpy(np.ascontiguousarray(arr).copy())
+
+
 def _torch_to_np(t) -> np.ndarray:
     import torch  # noqa: PLC0415
 

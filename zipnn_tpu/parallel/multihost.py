@@ -101,9 +101,12 @@ def compress_file_multihost(
     """Compress ``in_path`` into a single ``.znn`` container cooperatively.
 
     Every process reads and compresses only its chunk range; process 0
-    additionally writes the header + global tables.  The output is
-    byte-identical to a single-host ``ZipNN(...).compress`` of the whole
-    file (asserted by tests/test_multihost.py).
+    additionally writes the header + global tables.  With a per-chunk-table
+    profile (the default of every engine here) the output is byte-identical
+    to a single-host ``ZipNN(...).compress`` of the whole file (asserted by
+    tests/test_multihost.py) — a shared-table profile would build its table
+    from each process's local histogram and is deliberately not offered on
+    this API.
     """
     import jax
 
@@ -189,6 +192,126 @@ def compress_file_multihost(
                 f.seek(data_start + int(plane_base[b]) + int(starts_g[b, lo]))
                 f.write(blob)
     _barrier("znn-mh-data")
+
+
+def compress_safetensors_multihost(
+    in_path: str,
+    out_path: str,
+    *,
+    engine: str = "auto",
+    method: str = "HUFFMAN",
+) -> None:
+    """Per-tensor compress a safetensors file cooperatively into ONE
+    ``.znn.safetensors`` output (SURVEY.md §2.3 bullet 3).
+
+    Tensors are partitioned across processes by
+    :func:`zipnn_tpu.io.streaming.partition_names` (deterministic
+    size-balanced bins, no communication); each process range-reads and
+    compresses only its shard (``engine`` selects numpy/native/tpu), the
+    output byte sizes + keep-raw flags are all-gathered (2 ints per
+    tensor), and every process then computes the identical safetensors
+    header — reference ``znn_compressed_vectors`` schema
+    (zipnn/util_safetensors.py:9-58), loadable by
+    ``plugins.safetensors.SafeOpen`` — and pwrites its tensors' bytes in
+    place.  Per-chunk-table profiles (every engine's default) make the
+    compressed bytes independent of the process count.
+    """
+    import json  # noqa: PLC0415
+
+    import jax  # noqa: PLC0415
+
+    from ..io.streaming import _ST_DTYPES, SafetensorsStreamReader  # noqa: PLC0415
+    from ..plugins.safetensors import METADATA_KEY  # noqa: PLC0415
+
+    pid, n_proc = jax.process_index(), jax.process_count()
+    rdr = SafetensorsStreamReader(in_path)
+    names = rdr.keys()  # file order = global output order
+    mine = set(rdr.shard_names(n_proc, pid))
+
+    _FLOAT_ST = {"F64", "F32", "F16", "BF16", "F8_E4M3", "F8_E5M2"}
+    blobs: dict = {}
+    local = np.zeros((len(names), 2), dtype=np.int64)  # [out_nbytes, is_comp]
+    for i, name in enumerate(names):
+        if name not in mine:
+            continue
+        raw_n = rdr.nbytes(name)
+        st_dtype = rdr._tensors[name]["dtype"]
+        comp = None
+        if st_dtype in _FLOAT_ST:
+            from ..io.streaming import np_to_torch  # noqa: PLC0415
+
+            t = np_to_torch(rdr.get_tensor(name))
+            from ..zipnn import ZipNN  # noqa: PLC0415
+
+            blob = ZipNN(
+                input_format="torch", method=method, engine=engine
+            ).compress(t)
+            if blob is not None and len(blob) < raw_n:
+                comp = bytes(blob)
+        if comp is None:
+            local[i] = (raw_n, 0)  # raw bytes pass through untouched
+        else:
+            blobs[name] = comp
+            local[i] = (len(comp), 1)
+
+    world = _allgather_i64(local)  # [n_proc, n_tensors, 2]
+    owner = {}
+    for p in range(n_proc):
+        for name in rdr.shard_names(n_proc, p):
+            owner[name] = p
+    sizes = np.array(
+        [world[owner[n], i] for i, n in enumerate(names)], dtype=np.int64
+    ).reshape(len(names), 2)
+
+    # identical header on every process (insertion order = file order)
+    infos = {}
+    header: dict = {}
+    md = dict(rdr.metadata)
+    md.pop(METADATA_KEY, None)
+    md.setdefault("format", "pt")
+    off = 0
+    for i, name in enumerate(names):
+        nbytes, is_comp = int(sizes[i, 0]), int(sizes[i, 1])
+        info = rdr._tensors[name]
+        if is_comp:
+            infos[name] = {
+                "dtype": _ST_DTYPES[info["dtype"]][0],
+                "shape": str(list(info["shape"])),
+            }
+            header[name] = {
+                "dtype": "U8", "shape": [nbytes],
+                "data_offsets": [off, off + nbytes],
+            }
+        else:
+            header[name] = {
+                "dtype": info["dtype"], "shape": list(info["shape"]),
+                "data_offsets": [off, off + nbytes],
+            }
+        off += nbytes
+    md[METADATA_KEY] = json.dumps(infos)
+    hdr_obj = {"__metadata__": md}
+    hdr_obj.update(header)
+    hjson = json.dumps(hdr_obj, separators=(",", ":")).encode()
+    hjson += b" " * ((-(8 + len(hjson))) % 8)  # align the data region
+    data_start = 8 + len(hjson)
+
+    if pid == 0:
+        with open(out_path, "wb") as f:
+            f.truncate(data_start + off)
+            f.write(len(hjson).to_bytes(8, "little") + hjson)
+    _barrier("znn-mh-st-header")
+
+    offsets = {n: header[n]["data_offsets"][0] for n in names}
+    with open(out_path, "r+b") as f:
+        for name in names:
+            if name not in mine:
+                continue
+            payload = blobs.get(name)
+            if payload is None:
+                payload = rdr.read_bytes(name)
+            f.seek(data_start + offsets[name])
+            f.write(payload)
+    _barrier("znn-mh-st-data")
 
 
 def decompress_file_multihost(in_path: str, out_path: str) -> None:
