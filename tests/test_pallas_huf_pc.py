@@ -474,3 +474,95 @@ def test_cell_tables_payload_matches_python():
     assert tk1 == tk2
     assert np.array_equal(b1, b2)
     assert np.array_equal(p1, p2)
+
+
+def _cells_from_plane_blobs(blobs):
+    """Lay compressed HUF cell blobs out as (region, starts, lens, cells,
+    headers) for the schedule simulator (stream geometry exactly as
+    plan_pc_decode derives it from a container payload)."""
+    headers, parts, starts, lens, cells = [], [], [], [], []
+    pos = 0
+    for i, blob in enumerate(blobs):
+        _w, _r, _tl, _sz, consumed = huf.read_stats(blob)
+        rest = blob[consumed:]
+        l1 = int.from_bytes(rest[0:2], "little")
+        l2 = int.from_bytes(rest[2:4], "little")
+        l3 = int.from_bytes(rest[4:6], "little")
+        l4 = len(rest) - 6 - l1 - l2 - l3
+        headers.append(blob[:consumed])
+        off = 6
+        for ln in (l1, l2, l3, l4):
+            parts.append(rest[off : off + ln])
+            starts.append(pos)
+            lens.append(ln)
+            cells.append(i)
+            pos += ln
+            off += ln
+    region = np.frombuffer(b"".join(parts), np.uint8)
+    return (
+        headers, region, np.asarray(starts, np.int64),
+        np.asarray(lens, np.int64), np.asarray(cells, np.int64),
+    )
+
+
+@pytest.mark.parametrize("profile", ["bf16_mix", "bf16_outliers", "fp16_logu"])
+def test_sim_real_weight_planes_256k_no_starvation(profile):
+    """Round-2 review item: realistic weight distributions at the
+    reference's 256 KB chunks through the schedule simulator, asserting the
+    plan's rate-class heuristic never needs the starvation retry (no
+    misclass) and the decode is exact.
+
+    Profiles: per-channel-scaled gaussians (trained-weight-like bf16),
+    outlier-heavy bf16 (a few huge activations/weights per chunk), and
+    log-uniform-magnitude fp16 (the ~7-8 bit/symbol exponent byte that
+    must pick the rate12 class).
+    """
+    from zipnn_tpu.ops import byte_group
+
+    rng = np.random.default_rng(hash(profile) % 2**31)
+    chunk = 256 * 1024
+    n_chunks = 2
+    n = chunk * n_chunks // 2
+    if profile == "bf16_mix":
+        scales = 10.0 ** rng.uniform(-3, 0, 64)
+        vals = (rng.standard_normal(n) * np.repeat(scales, n // 64)).astype(
+            np.float32
+        )
+        raw = ((vals.view(np.uint32) >> 16).astype("<u2")).tobytes()
+        num_buf, byte_reorder, bit_reorder = 2, 10, 1
+    elif profile == "bf16_outliers":
+        vals = (rng.standard_normal(n) * 0.02).astype(np.float32)
+        idx = rng.integers(0, n, n // 500)
+        vals[idx] *= 1e4  # exponent-plane outliers
+        raw = ((vals.view(np.uint32) >> 16).astype("<u2")).tobytes()
+        num_buf, byte_reorder, bit_reorder = 2, 10, 1
+    else:  # fp16_logu
+        vals = (
+            rng.standard_normal(n) * 10.0 ** rng.uniform(-4, 2, n)
+        ).astype(np.float16)
+        raw = vals.tobytes()
+        num_buf, byte_reorder, bit_reorder = 2, 10, 0
+
+    blobs, planes_kept = [], []
+    for c in range(n_chunks):
+        data = np.frombuffer(raw[c * chunk : (c + 1) * chunk], np.uint8)
+        for p in byte_group.split(data, num_buf, byte_reorder, bit_reorder):
+            comp = huf.compress(p)
+            if comp is not None and 1 < len(comp) < p.size * 0.95:
+                blobs.append(bytes(comp))
+                planes_kept.append(p)
+    assert blobs, "profile produced no compressible planes"
+    seg = chunk // num_buf // 4
+    headers, region, starts, lens, cells = _cells_from_plane_blobs(blobs)
+    tlog_k = max(9, max(huf.read_stats(h)[2] for h in set(headers)))
+    bounds, pages, _ = pc.cell_decode_tables(headers, tlog_k)
+    rate12 = 8.0 * float(lens.max()) / seg > pc.RATE12_BITS
+    out_d, pend = sim_decode_pc(
+        region, starts, lens, bounds[cells], tlog_k, seg, rate12=rate12
+    )
+    assert not np.any(pend < -(1 << 29)), (
+        f"{profile}: rate-class heuristic misclassified (starvation retry)"
+    )
+    syms = postmap(out_d, pages, cells, tlog_k)
+    want = np.stack([p.reshape(4, seg) for p in planes_kept]).reshape(-1, seg)
+    assert np.array_equal(syms, want)
