@@ -385,3 +385,87 @@ def test_histogram_rows_words_matches_cells():
         assert np.array_equal(a, b)
         want = np.stack([np.bincount(r, minlength=256) for r in data])
         assert np.array_equal(a, want)
+
+
+# ---------------------------------------------------------------------------
+# decode-plan host machinery (ops/jax_decode.py)
+# ---------------------------------------------------------------------------
+
+def _pc_geom(n_chunks=10, chunk=8192, seed=0):
+    rng = np.random.default_rng(seed)
+    n = n_chunks * chunk
+    # mix: compressible cells, RLE regions, incompressible (raw) regions
+    data = np.clip(rng.normal(128, 4, n), 0, 255).astype(np.uint8)
+    data[2 * chunk : 3 * chunk] = 0
+    data[5 * chunk : 6 * chunk] = rng.integers(0, 256, chunk, dtype=np.uint8)
+    payload = codec.compress_payload_numpy(data, 2, 1, 10, chunk)
+    from zipnn_tpu.ops import jax_decode
+
+    g = jax_decode._parse_geometry(payload, 2, chunk, n, 1, 10)
+    return g, data, payload
+
+
+def test_decode_plan_batch_caps_and_perm():
+    """Uniform-batch capacities cover every batch; the per-batch perm maps
+    each (chunk, plane) to exactly one row and padding rows are never
+    referenced."""
+    from zipnn_tpu.ops import jax_decode
+
+    g, _data, _payload = _pc_geom()
+    plan = jax_decode._PCPlan.build(g)
+    assert plan is not None
+    for B in (3, 4, 10):
+        n_batches = -(-g.full // B)
+        caps = jax_decode._batch_caps(g, B, n_batches)
+        ns_cap, nr_cap, nh_cap = caps
+        for lo in range(0, g.full, B):
+            hi = min(lo + B, g.full)
+            host, meta = jax_decode._batch_host(plan, lo, hi, caps, B)
+            n_hf = meta["S_real"] // 4
+            assert n_hf <= nh_cap
+            perm = host["perm"].reshape(B, g.num_buf)
+            # every real (chunk, plane) points into a populated row class
+            for c in range(hi - lo):
+                for b in range(g.num_buf):
+                    r = int(perm[c, b])
+                    assert 0 <= r < ns_cap + nr_cap + nh_cap
+            # huf lane geometry: real lanes populated, pad lanes default
+            rs = host["row_starts"]
+            S_pad = rs.size
+            assert S_pad % jax_decode.pallas_huf.BLOCK == 0
+            assert np.all(rs[meta["S_real"]:] == 0)
+            if n_hf:
+                assert np.all(rs[: meta["S_real"]] >= 0)
+                assert meta["slens"].size == meta["S_real"]
+
+
+def test_decode_plan_caps_range_matches_loop():
+    from zipnn_tpu.ops import jax_decode
+
+    g, _d, _p = _pc_geom(seed=3)
+    for lo, hi in [(0, 4), (3, 9), (0, g.full)]:
+        caps = jax_decode._batch_caps_range(g, lo, hi)
+        hb, hc = g.huf_cells
+        assert caps[2] == int(np.count_nonzero((hc >= lo) & (hc < hi)))
+
+
+def test_shared_plan_build_eligibility():
+    """Shared plan accepts identical-header containers and rejects
+    per-chunk-table ones (which the PC plan then takes)."""
+    from zipnn_tpu.ops import jax_decode
+
+    chunk, n_chunks = 8192, 6
+    # one compressible plane (bf16-like): the single-table kernel requires
+    # every HUF cell to carry the same header; two-plane-compressible
+    # shared containers carry one table per plane and route to the
+    # per-cell plan instead
+    data = np.frombuffer(_bf16ish(chunk * n_chunks).tobytes(), np.uint8).copy()
+    shared_payload = codec.compress_payload_numpy(
+        data, 2, 1, 10, chunk, shared_tables=True
+    )
+    pc_payload = codec.compress_payload_numpy(data, 2, 1, 10, chunk)
+    g_sh = jax_decode._parse_geometry(shared_payload, 2, chunk, data.size, 1, 10)
+    g_pc = jax_decode._parse_geometry(pc_payload, 2, chunk, data.size, 1, 10)
+    assert jax_decode._SharedPlan.build(g_sh) is not None
+    assert jax_decode._SharedPlan.build(g_pc) is None
+    assert jax_decode._PCPlan.build(g_pc) is not None
