@@ -32,7 +32,7 @@ def _corrupt_cell(comp: bytes, plane: int, chunk: int, chunk_size: int, orig: in
     mid = (lo + hi) // 2
     for i in range(mid, min(mid + 8, hi)):
         payload[i] ^= 0x5A
-    return comp[:HEADER_LEN] + bytes(payload)
+    return bytes(comp[:HEADER_LEN]) + bytes(payload)
 
 
 @pytest.fixture(scope="module")

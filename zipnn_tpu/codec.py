@@ -274,37 +274,51 @@ def compress_payload(
     threads: int = 0,
     engine: str = "auto",
     shared_tables: bool = False,
-) -> bytes:
+    prefix_len: int = 0,
+):
+    """Engine-dispatched payload compress.
+
+    ``prefix_len`` reserves header space at the front of the result (the
+    reference C core's python_header convention, zipnn_core.c:105-121);
+    with it the return is a uint8 array whose first ``prefix_len`` bytes
+    the caller fills — the native engine builds header + payload in one
+    buffer with zero join copies.
+    """
     engine = resolve_engine(engine, shared_tables)
-    if engine == "numpy":
-        return compress_payload_numpy(
-            data, num_buf, bit_reorder, byte_reorder, chunk_size, threshold,
-            shared_tables=shared_tables,
-        )
     if engine == "native":
         nat = _native()
         if shared_tables:
             try:
                 return nat.compress_payload_shared(
                     data, num_buf, bit_reorder, byte_reorder, chunk_size,
-                    threshold, threads
+                    threshold, threads, prefix_len=prefix_len,
                 )
             except nat.SharedOverflow:
-                return compress_payload_numpy(
-                    data, num_buf, bit_reorder, byte_reorder, chunk_size,
-                    threshold, shared_tables=True,
-                )
-        return nat.compress_payload(
-            data, num_buf, bit_reorder, byte_reorder, chunk_size, threshold, threads
-        )
+                pass  # numpy fallback below
+        else:
+            return nat.compress_payload(
+                data, num_buf, bit_reorder, byte_reorder, chunk_size,
+                threshold, threads, prefix_len=prefix_len,
+            )
     if engine == "tpu":
         from .ops import jax_codec  # noqa: PLC0415
 
-        return jax_codec.compress_payload(
+        payload = jax_codec.compress_payload(
             data, num_buf, bit_reorder, byte_reorder, chunk_size, threshold,
             shared_tables=shared_tables,
         )
-    raise ValueError(f"unknown engine {engine!r}")
+    elif engine in ("numpy", "native"):
+        payload = compress_payload_numpy(
+            data, num_buf, bit_reorder, byte_reorder, chunk_size, threshold,
+            shared_tables=shared_tables,
+        )
+    else:
+        raise ValueError(f"unknown engine {engine!r}")
+    if prefix_len == 0:
+        return payload
+    out = np.empty(prefix_len + len(payload), dtype=np.uint8)
+    out[prefix_len:] = np.frombuffer(payload, np.uint8)
+    return out
 
 
 def decompress_payload(

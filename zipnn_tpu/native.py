@@ -160,13 +160,22 @@ def compress_payload(
     chunk_size: int,
     threshold: float,
     threads: int,
-) -> bytes:
+    prefix_len: int = 0,
+):
+    """Compress into the table+planes payload.
+
+    ``prefix_len`` reserves that many bytes at the front of the returned
+    buffer for the caller's container header — the reference C core's
+    python_header convention (zipnn_core.c:105-121): header + payload live
+    in ONE buffer, no join copy.  Returns bytes when prefix_len == 0, else
+    a uint8 array of prefix_len + payload bytes (prefix uninitialized).
+    """
     lib = _load()
     data = np.ascontiguousarray(data, dtype=np.uint8).reshape(-1)
     n = data.size
     n_chunks = (n + chunk_size - 1) // chunk_size
     cap = n + n_chunks * num_buf * 9 + 4096 + (n_chunks + 1) * 64
-    out = np.empty(cap, dtype=np.uint8)
+    out = np.empty(prefix_len + cap, dtype=np.uint8)
     r = lib.ztpu_compress(
         data.ctypes.data,
         n,
@@ -176,12 +185,14 @@ def compress_payload(
         chunk_size,
         threshold,
         threads or os.cpu_count() or 1,
-        out.ctypes.data,
+        out.ctypes.data + prefix_len,
         cap,
     )
     if r < 0:
         raise RuntimeError(f"native compress failed: {r}")
-    return out[:r].tobytes()
+    if prefix_len == 0:
+        return out[:r].tobytes()
+    return out[: prefix_len + r]
 
 
 class SharedOverflow(RuntimeError):
@@ -197,15 +208,17 @@ def compress_payload_shared(
     chunk_size: int,
     threshold: float,
     threads: int,
-) -> bytes:
+    prefix_len: int = 0,
+):
     """Shared-table (TPU-optimal) profile via the C++ core; byte-identical
-    to codec.compress_payload_numpy(shared_tables=True)."""
+    to codec.compress_payload_numpy(shared_tables=True).  ``prefix_len``
+    as in :func:`compress_payload`."""
     lib = _load()
     data = np.ascontiguousarray(data, dtype=np.uint8).reshape(-1)
     n = data.size
     n_chunks = (n + chunk_size - 1) // chunk_size
     cap = n + n_chunks * num_buf * 9 + 4096 + (n_chunks + 1) * 64
-    out = np.empty(cap, dtype=np.uint8)
+    out = np.empty(prefix_len + cap, dtype=np.uint8)
     r = lib.ztpu_compress_shared(
         data.ctypes.data,
         n,
@@ -215,14 +228,16 @@ def compress_payload_shared(
         chunk_size,
         threshold,
         threads or os.cpu_count() or 1,
-        out.ctypes.data,
+        out.ctypes.data + prefix_len,
         cap,
     )
     if r == -2:
         raise SharedOverflow()
     if r < 0:
         raise RuntimeError(f"native shared compress failed: {r}")
-    return out[:r].tobytes()
+    if prefix_len == 0:
+        return out[:r].tobytes()
+    return out[: prefix_len + r]
 
 
 def decompress_payload(

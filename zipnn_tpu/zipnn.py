@@ -452,6 +452,7 @@ class ZipNN:
             return hdr.to_bytes() + body
 
         chunk = codec.effective_chunk(self.compression_chunk, grouping.num_buf)
+        prefix = HEADER_LEN + hdr.ext_len()
         payload = codec.compress_payload(
             arr,
             grouping.num_buf,
@@ -462,10 +463,15 @@ class ZipNN:
             self.threads,
             self.engine,
             shared_tables=self.huffman_table == "shared",
+            prefix_len=prefix,
         )
         hdr.original_len = arr.size
-        hdr.total_len = HEADER_LEN + hdr.ext_len() + len(payload)
-        return hdr.to_bytes() + payload
+        # header + payload share one buffer (the reference C core's
+        # python_header convention, zipnn_core.c:105-121): fill the
+        # reserved prefix and return a zero-copy view
+        hdr.total_len = len(payload)
+        payload[:prefix] = np.frombuffer(hdr.to_bytes(), np.uint8)
+        return memoryview(payload)
 
     def compress_method(self, data: bytes) -> bytes:
         """Whole-buffer vanilla compression (reference zipnn.py:645-668)."""
