@@ -18,6 +18,7 @@
 #include <algorithm>
 #include <atomic>
 #include <cstdint>
+#include <memory>
 #if defined(__AVX2__)
 #include <immintrin.h>
 #endif
@@ -1059,15 +1060,22 @@ static bool huf_decode_stream(const uint8_t* stream, size_t stream_len,
 static long long huf_compress_block(const uint8_t* data, size_t n,
                                     std::vector<uint8_t>& out) {
   if (n == 0 || n > HUF_BLOCKSIZE_MAX) return 0;
-  // 4 sub-histograms: consecutive equal symbols would otherwise serialize
-  // on store-to-load forwarding of the same counter slot
+  // 4 sub-histograms (consecutive equal symbols would otherwise serialize
+  // on store-to-load forwarding of the same counter slot), fed 8 bytes per
+  // u64 load to take pressure off the load ports
   uint32_t cnt4[4][256] = {{0}};
   size_t i4 = 0;
-  for (; i4 + 4 <= n; i4 += 4) {
-    cnt4[0][data[i4]]++;
-    cnt4[1][data[i4 + 1]]++;
-    cnt4[2][data[i4 + 2]]++;
-    cnt4[3][data[i4 + 3]]++;
+  for (; i4 + 8 <= n; i4 += 8) {
+    uint64_t v;
+    std::memcpy(&v, data + i4, 8);
+    cnt4[0][v & 0xFF]++;
+    cnt4[1][(v >> 8) & 0xFF]++;
+    cnt4[2][(v >> 16) & 0xFF]++;
+    cnt4[3][(v >> 24) & 0xFF]++;
+    cnt4[0][(v >> 32) & 0xFF]++;
+    cnt4[1][(v >> 40) & 0xFF]++;
+    cnt4[2][(v >> 48) & 0xFF]++;
+    cnt4[3][v >> 56]++;
   }
   for (; i4 < n; i4++) cnt4[0][data[i4]]++;
   uint32_t count[256];
@@ -1472,8 +1480,10 @@ static void combine_planes(uint8_t* const* plane_ptrs, const size_t* plane_lens,
 struct ChunkResult {
   std::vector<uint8_t> blob[4];
   // raw planes keep their bytes in `planes` (no per-plane copy): blob[b]
-  // stays empty and assembly reads planes.data() + poff[b]
-  std::vector<uint8_t> planes;
+  // stays empty and assembly reads planes.get() + poff[b].  unique_ptr
+  // over new[]: uninitialized — a std::vector here would memset the whole
+  // input size per chunk (~40 ms/64 MB on slow-page-fault hosts)
+  std::unique_ptr<uint8_t[]> planes;
   size_t poff[4] = {0, 0, 0, 0};
   uint8_t type[4];
   uint64_t size[4];
@@ -1705,7 +1715,7 @@ static long long assemble_payload(std::vector<ChunkResult>& results,
     const ChunkResult& r = results[c];
     for (unsigned b = 0; b < num_buf; b++) {
       const uint8_t* s =
-          r.type[b] ? r.blob[b].data() : r.planes.data() + r.poff[b];
+          r.type[b] ? r.blob[b].data() : r.planes.get() + r.poff[b];
       std::memcpy(dbase + plane_base[b] + cum_start[b][c], s, r.size[b]);
     }
   });
@@ -1728,14 +1738,15 @@ long long ztpu_compress(const uint8_t* data, size_t len, unsigned num_buf,
     if (failed.load(std::memory_order_relaxed)) return;
     size_t off = c * chunk_size;
     size_t clen = std::min(chunk_size, len - off);
-    std::vector<uint8_t> reordered(bit_reorder ? clen : 0);
-    std::vector<uint8_t> planes(clen);
+    // scratch only for the fp32 reorder path; the 2-plane split is fused
+    std::vector<uint8_t> reordered(bit_reorder && num_buf == 4 ? clen : 0);
+    std::unique_ptr<uint8_t[]> planes(new uint8_t[clen ? clen : 1]);
     size_t plens[4];
     uint8_t* pptrs[4] = {nullptr, nullptr, nullptr, nullptr};
     plane_lengths(clen, num_buf, plens);
     size_t acc = 0;
     for (unsigned b = 0; b < num_buf; b++) {
-      pptrs[b] = planes.data() + acc;
+      pptrs[b] = planes.get() + acc;
       acc += plens[b];
     }
     split_planes(data + off, clen, num_buf, bit_reorder, reordered.data(), pptrs,
@@ -1791,13 +1802,13 @@ long long ztpu_compress_shared(const uint8_t* data, size_t len,
     size_t off = c * chunk_size;
     size_t clen = std::min(chunk_size, len - off);
     std::vector<uint8_t> reordered(bit_reorder && num_buf == 4 ? clen : 0);
-    std::vector<uint8_t> planes(clen);
+    std::unique_ptr<uint8_t[]> planes(new uint8_t[clen ? clen : 1]);
     size_t plens[4];
     uint8_t* pptrs[4] = {nullptr, nullptr, nullptr, nullptr};
     plane_lengths(clen, num_buf, plens);
     size_t acc = 0;
     for (unsigned b = 0; b < num_buf; b++) {
-      pptrs[b] = planes.data() + acc;
+      pptrs[b] = planes.get() + acc;
       acc += plens[b];
     }
     split_planes(data + off, clen, num_buf, bit_reorder, reordered.data(),
@@ -1807,11 +1818,17 @@ long long ztpu_compress_shared(const uint8_t* data, size_t len,
       uint32_t h4[4][256] = {{0}};
       size_t i = 0;
       const uint8_t* p = pptrs[b];
-      for (; i + 4 <= plens[b]; i += 4) {
-        h4[0][p[i]]++;
-        h4[1][p[i + 1]]++;
-        h4[2][p[i + 2]]++;
-        h4[3][p[i + 3]]++;
+      for (; i + 8 <= plens[b]; i += 8) {
+        uint64_t v;
+        std::memcpy(&v, p + i, 8);
+        h4[0][v & 0xFF]++;
+        h4[1][(v >> 8) & 0xFF]++;
+        h4[2][(v >> 16) & 0xFF]++;
+        h4[3][(v >> 24) & 0xFF]++;
+        h4[0][(v >> 32) & 0xFF]++;
+        h4[1][(v >> 40) & 0xFF]++;
+        h4[2][(v >> 48) & 0xFF]++;
+        h4[3][v >> 56]++;
       }
       for (; i < plens[b]; i++) h4[0][p[i]]++;
       for (int s = 0; s < 256; s++)
@@ -1867,13 +1884,13 @@ long long ztpu_compress_shared(const uint8_t* data, size_t len,
     size_t off = c * chunk_size;
     size_t clen = std::min(chunk_size, len - off);
     std::vector<uint8_t> reordered(bit_reorder && num_buf == 4 ? clen : 0);
-    std::vector<uint8_t> planes(clen);
+    std::unique_ptr<uint8_t[]> planes(new uint8_t[clen ? clen : 1]);
     size_t plens[4];
     uint8_t* pptrs[4] = {nullptr, nullptr, nullptr, nullptr};
     plane_lengths(clen, num_buf, plens);
     size_t acc = 0;
     for (unsigned b = 0; b < num_buf; b++) {
-      pptrs[b] = planes.data() + acc;
+      pptrs[b] = planes.get() + acc;
       acc += plens[b];
     }
     split_planes(data + off, clen, num_buf, bit_reorder, reordered.data(),
