@@ -1272,27 +1272,6 @@ static bool huf_decompress_block(const uint8_t* data, size_t c_size, uint8_t* ou
 // byte-plane transforms (reference semantics, dtype16.c / dtype32.c)
 // ---------------------------------------------------------------------------
 
-static void reorder16(const uint8_t* src, uint8_t* dst, size_t len) {
-  size_t nwords = len / 4;
-  for (size_t i = 0; i < nwords; i++) {
-    uint32_t u;
-    std::memcpy(&u, src + 4 * i, 4);
-    u = ((u << 1) & 0xFF00FF00u) | ((u >> 8) & 0x800080u) | (u & 0x7F007Fu);
-    std::memcpy(dst + 4 * i, &u, 4);
-  }
-  for (size_t i = nwords * 4; i < len; i++) dst[i] = src[i];
-}
-
-static void revert16_inplace(uint8_t* buf, size_t len) {
-  size_t nwords = len / 4;
-  for (size_t i = 0; i < nwords; i++) {
-    uint32_t u;
-    std::memcpy(&u, buf + 4 * i, 4);
-    u = ((u << 8) & 0x80008000u) | ((u >> 1) & 0x7F807F80u) | (u & 0x7F007Fu);
-    std::memcpy(buf + 4 * i, &u, 4);
-  }
-}
-
 // ---- fused bit-reorder + 2-plane (de)interleave, AVX2 when available ----
 // The reference quirk (data_manipulation_dtype16.c:10-29): the sign
 // rotation operates on whole uint32 words, so the final len%4 bytes are
@@ -1383,25 +1362,113 @@ static void combine2(const uint8_t* s0, const uint8_t* s1, uint8_t* out,
   if (len & 1) out[len - 1] = s0[half];
 }
 
-static void reorder32(const uint8_t* src, uint8_t* dst, size_t len) {
-  size_t nwords = len / 4;
-  for (size_t i = 0; i < nwords; i++) {
-    uint32_t u;
-    std::memcpy(&u, src + 4 * i, 4);
-    u = ((u << 1) & 0xFF000000u) | ((u >> 8) & 0x800000u) | (u & 0x7FFFFFu);
-    std::memcpy(dst + 4 * i, &u, 4);
-  }
-  for (size_t i = nwords * 4; i < len; i++) dst[i] = src[i];
+// ---- fused fp32 bit-reorder + 4-plane (de)interleave (SSSE3) ------------
+// Same quirk discipline as the 16-bit pair: the rotation operates on whole
+// uint32 words; the final len%4 bytes pass through unreordered.
+
+#if defined(__SSSE3__)
+static inline __m128i reorder32_vec(__m128i v) {
+  return _mm_or_si128(
+      _mm_or_si128(
+          _mm_and_si128(_mm_slli_epi32(v, 1), _mm_set1_epi32((int)0xFF000000)),
+          _mm_and_si128(_mm_srli_epi32(v, 8), _mm_set1_epi32(0x00800000))),
+      _mm_and_si128(v, _mm_set1_epi32(0x007FFFFF)));
 }
 
-static void revert32_inplace(uint8_t* buf, size_t len) {
-  size_t nwords = len / 4;
-  for (size_t i = 0; i < nwords; i++) {
-    uint32_t u;
-    std::memcpy(&u, buf + 4 * i, 4);
-    u = ((u << 8) & 0x80000000u) | ((u >> 1) & 0x7F800000u) | (u & 0x7FFFFFu);
-    std::memcpy(buf + 4 * i, &u, 4);
+static inline __m128i revert32_vec(__m128i v) {
+  return _mm_or_si128(
+      _mm_or_si128(
+          _mm_and_si128(_mm_slli_epi32(v, 8), _mm_set1_epi32((int)0x80000000)),
+          _mm_and_si128(_mm_srli_epi32(v, 1), _mm_set1_epi32(0x7F800000))),
+      _mm_and_si128(v, _mm_set1_epi32(0x007FFFFF)));
+}
+#endif
+
+static void split4(const uint8_t* src, size_t len, int bit_reorder,
+                   uint8_t* const* dp) {
+  size_t q = len / 4;
+  size_t i = 0;
+#if defined(__SSSE3__)
+  const __m128i sh =
+      _mm_setr_epi8(0, 4, 8, 12, 1, 5, 9, 13, 2, 6, 10, 14, 3, 7, 11, 15);
+  for (; i + 16 <= q; i += 16) {
+    __m128i v0 = _mm_loadu_si128((const __m128i*)(src + 4 * i));
+    __m128i v1 = _mm_loadu_si128((const __m128i*)(src + 4 * i + 16));
+    __m128i v2 = _mm_loadu_si128((const __m128i*)(src + 4 * i + 32));
+    __m128i v3 = _mm_loadu_si128((const __m128i*)(src + 4 * i + 48));
+    if (bit_reorder) {
+      v0 = reorder32_vec(v0);
+      v1 = reorder32_vec(v1);
+      v2 = reorder32_vec(v2);
+      v3 = reorder32_vec(v3);
+    }
+    v0 = _mm_shuffle_epi8(v0, sh);
+    v1 = _mm_shuffle_epi8(v1, sh);
+    v2 = _mm_shuffle_epi8(v2, sh);
+    v3 = _mm_shuffle_epi8(v3, sh);
+    __m128i t0 = _mm_unpacklo_epi32(v0, v1);
+    __m128i t1 = _mm_unpackhi_epi32(v0, v1);
+    __m128i t2 = _mm_unpacklo_epi32(v2, v3);
+    __m128i t3 = _mm_unpackhi_epi32(v2, v3);
+    _mm_storeu_si128((__m128i*)(dp[0] + i), _mm_unpacklo_epi64(t0, t2));
+    _mm_storeu_si128((__m128i*)(dp[1] + i), _mm_unpackhi_epi64(t0, t2));
+    _mm_storeu_si128((__m128i*)(dp[2] + i), _mm_unpacklo_epi64(t1, t3));
+    _mm_storeu_si128((__m128i*)(dp[3] + i), _mm_unpackhi_epi64(t1, t3));
   }
+#endif
+  for (; i < q; i++) {
+    uint32_t u;
+    std::memcpy(&u, src + 4 * i, 4);
+    if (bit_reorder)
+      u = ((u << 1) & 0xFF000000u) | ((u >> 8) & 0x800000u) | (u & 0x7FFFFFu);
+    dp[0][i] = (uint8_t)u;
+    dp[1][i] = (uint8_t)(u >> 8);
+    dp[2][i] = (uint8_t)(u >> 16);
+    dp[3][i] = (uint8_t)(u >> 24);
+  }
+  size_t r = len % 4;
+  for (size_t b = 0; b < r; b++) dp[b][q] = src[4 * q + b];
+}
+
+static void combine4(const uint8_t* const* sp, uint8_t* out, size_t len,
+                     int bit_reorder) {
+  size_t q = len / 4;
+  size_t i = 0;
+#if defined(__SSSE3__)
+  for (; i + 16 <= q; i += 16) {
+    __m128i v0 = _mm_loadu_si128((const __m128i*)(sp[0] + i));
+    __m128i v1 = _mm_loadu_si128((const __m128i*)(sp[1] + i));
+    __m128i v2 = _mm_loadu_si128((const __m128i*)(sp[2] + i));
+    __m128i v3 = _mm_loadu_si128((const __m128i*)(sp[3] + i));
+    __m128i a0 = _mm_unpacklo_epi8(v0, v1);
+    __m128i a1 = _mm_unpackhi_epi8(v0, v1);
+    __m128i b0 = _mm_unpacklo_epi8(v2, v3);
+    __m128i b1 = _mm_unpackhi_epi8(v2, v3);
+    __m128i o0 = _mm_unpacklo_epi16(a0, b0);
+    __m128i o1 = _mm_unpackhi_epi16(a0, b0);
+    __m128i o2 = _mm_unpacklo_epi16(a1, b1);
+    __m128i o3 = _mm_unpackhi_epi16(a1, b1);
+    if (bit_reorder) {
+      o0 = revert32_vec(o0);
+      o1 = revert32_vec(o1);
+      o2 = revert32_vec(o2);
+      o3 = revert32_vec(o3);
+    }
+    _mm_storeu_si128((__m128i*)(out + 4 * i), o0);
+    _mm_storeu_si128((__m128i*)(out + 4 * i + 16), o1);
+    _mm_storeu_si128((__m128i*)(out + 4 * i + 32), o2);
+    _mm_storeu_si128((__m128i*)(out + 4 * i + 48), o3);
+  }
+#endif
+  for (; i < q; i++) {
+    uint32_t u = (uint32_t)sp[0][i] | ((uint32_t)sp[1][i] << 8) |
+                 ((uint32_t)sp[2][i] << 16) | ((uint32_t)sp[3][i] << 24);
+    if (bit_reorder)
+      u = ((u << 8) & 0x80000000u) | ((u >> 1) & 0x7F800000u) | (u & 0x7FFFFFu);
+    std::memcpy(out + 4 * i, &u, 4);
+  }
+  size_t r = len % 4;
+  for (size_t b = 0; b < r; b++) out[4 * q + b] = sp[b][q];
 }
 
 static void plane_lengths(size_t total, unsigned num_buf, size_t* lens) {
@@ -1414,35 +1481,18 @@ static void plane_lengths(size_t total, unsigned num_buf, size_t* lens) {
 static void split_planes(const uint8_t* chunk, size_t len, unsigned num_buf,
                          int bit_reorder, uint8_t* scratch_reordered,
                          uint8_t** plane_ptrs, size_t* plane_lens) {
-  const uint8_t* src = chunk;
+  (void)scratch_reordered;  // both fused paths need no scratch now
   plane_lengths(len, num_buf, plane_lens);
   if (num_buf == 2) {
     // fused reorder + deinterleave: one pass, no scratch copy
     split2(chunk, len, bit_reorder, plane_ptrs[0], plane_ptrs[1]);
     return;
   }
-  if (num_buf == 4 && bit_reorder) {
-    reorder32(chunk, scratch_reordered, len);
-    src = scratch_reordered;
-  }
   if (num_buf == 1) {
-    std::memcpy(plane_ptrs[0], src, len);
+    std::memcpy(plane_ptrs[0], chunk, len);
     return;
   }
-  // num_buf == 4
-  uint8_t* d0 = plane_ptrs[0];
-  uint8_t* d1 = plane_ptrs[1];
-  uint8_t* d2 = plane_ptrs[2];
-  uint8_t* d3 = plane_ptrs[3];
-  size_t q = len / 4;
-  for (size_t i = 0; i < q; i++) {
-    d0[i] = src[4 * i];
-    d1[i] = src[4 * i + 1];
-    d2[i] = src[4 * i + 2];
-    d3[i] = src[4 * i + 3];
-  }
-  size_t r = len % 4;
-  for (size_t b = 0; b < r; b++) plane_ptrs[b][q] = src[4 * q + b];
+  split4(chunk, len, bit_reorder, plane_ptrs);
 }
 
 static void combine_planes(uint8_t* const* plane_ptrs, const size_t* plane_lens,
@@ -1457,20 +1507,9 @@ static void combine_planes(uint8_t* const* plane_ptrs, const size_t* plane_lens,
     combine2(plane_ptrs[0], plane_ptrs[1], out, len, bit_reorder);
     return;
   }
-  const uint8_t* s0 = plane_ptrs[0];
-  const uint8_t* s1 = plane_ptrs[1];
-  const uint8_t* s2 = plane_ptrs[2];
-  const uint8_t* s3 = plane_ptrs[3];
-  size_t q = len / 4;
-  for (size_t i = 0; i < q; i++) {
-    out[4 * i] = s0[i];
-    out[4 * i + 1] = s1[i];
-    out[4 * i + 2] = s2[i];
-    out[4 * i + 3] = s3[i];
-  }
-  size_t r = len % 4;
-  for (size_t b = 0; b < r; b++) out[4 * q + b] = plane_ptrs[b][q];
-  if (bit_reorder) revert32_inplace(out, len);
+  const uint8_t* sp[4] = {plane_ptrs[0], plane_ptrs[1], plane_ptrs[2],
+                          plane_ptrs[3]};
+  combine4(sp, out, len, bit_reorder);
 }
 
 // ---------------------------------------------------------------------------
