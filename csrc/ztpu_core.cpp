@@ -1965,6 +1965,22 @@ long long ztpu_compress_shared(const uint8_t* data, size_t len,
         (void)larg_sym;
         have = true;
       } else if (n >= 12 && n <= HUF_BLOCKSIZE_MAX && sh[b].ok) {
+        // sound lower bound from the cell histogram: the encoded cell is
+        // at least header + jump + total_code_bits/8 bytes, so a cell
+        // whose lower bound already fails the size/threshold guards is
+        // raw without running the encoder (mantissa planes skip ~all
+        // their encode work; decisions stay byte-exact because the true
+        // size can only be larger)
+        uint64_t bits = 0;
+        for (int s2 = 0; s2 < 256; s2++)
+          bits += (uint64_t)h[s2] * sh[b].ct.lengths[s2];
+        uint64_t lower = sh[b].header.size() + 6 + bits / 8;
+        if ((double)lower >= (double)n * threshold || lower >= n - 1) {
+          r.type[b] = 0;
+          r.size[b] = n;
+          any_raw = true;
+          continue;
+        }
         // compress_with_table: 4-stream encode with the fixed table
         size_t seg = (n + 3) / 4;
         size_t sizes[4] = {seg, seg, seg, n - 3 * seg};

@@ -819,6 +819,7 @@ def plan_fast_encode(
             timings.update(
                 plan_s=plan_s, fetch_s=fetch_s, splice_s=splice_s
             )
-        return out.tobytes()
+        return memoryview(out)  # zero-copy: a tobytes here would re-touch
+        # (and on this rig re-fault) every payload page
 
     return run, words_dev, assemble
