@@ -469,3 +469,25 @@ def test_shared_plan_build_eligibility():
     assert jax_decode._SharedPlan.build(g_sh) is not None
     assert jax_decode._SharedPlan.build(g_pc) is None
     assert jax_decode._PCPlan.build(g_pc) is not None
+
+
+@pytest.mark.tpu
+def test_tpu_fp8_fused_decode_roundtrip():
+    """fp8 (single-plane, 128 KB chunk cap) containers route through the
+    per-cell fast path on hardware (seg=32768 exceeds the shared kernel's
+    VMEM gate) and decode bit-exactly."""
+    import jax
+
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("needs a real TPU")
+    from zipnn_tpu import ZipNN
+
+    rng = np.random.default_rng(13)
+    # e4m3-ish weights: sign+exp structure → compressible single plane
+    vals = np.clip(rng.normal(120, 6, 5 * 128 * 1024 + 333), 0, 255)
+    data = vals.astype(np.uint8).tobytes()
+    comp = ZipNN(
+        engine="numpy", bytearray_dtype="float8_e4m3fn"
+    ).compress(data)
+    got = ZipNN(engine="tpu").decompress(bytes(comp))
+    assert bytes(got) == data
