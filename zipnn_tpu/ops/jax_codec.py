@@ -654,15 +654,15 @@ def plan_fast_encode(
         return planes, shared, outs, tuple(sws), bits_d, huf_ok_d, rle_d, carg
 
     def assemble(planes, shared, outs, sws, bits_d, huf_ok_d, rle_d, carg_d,
-                 timings=None):
+                 timings=None, out_buf=None):
         from ..stats import phase as _phase  # noqa: PLC0415
 
         with _phase("encode:assemble"):
             return _assemble(planes, shared, outs, sws, bits_d, huf_ok_d,
-                             rle_d, carg_d, timings=timings)
+                             rle_d, carg_d, timings=timings, out_buf=out_buf)
 
     def _assemble(planes, shared, outs, sws, bits_d, huf_ok_d, rle_d, carg_d,
-                  timings=None):
+                  timings=None, out_buf=None):
         # All sizes/offsets are known up front (exact histogram-derived bit
         # counts), so the payload is built by direct memcpy into one
         # preallocated buffer.  Device->host moves are kept to exactly what
@@ -740,7 +740,13 @@ def plan_fast_encode(
 
         # ---- host splice -------------------------------------------------
         t0 = _time.perf_counter()
-        out = np.empty(tbl_len + int(plane_base[-1] + starts[-1, full]), np.uint8)
+        total_len = tbl_len + int(plane_base[-1] + starts[-1, full])
+        if out_buf is not None and out_buf.nbytes >= total_len:
+            # serving pipelines reuse a staging buffer across checkpoints:
+            # skips the per-call page-fault cost of a fresh allocation
+            out = out_buf[:total_len]
+        else:
+            out = np.empty(total_len, np.uint8)
         out[: chunk_types.nbytes] = np.ascontiguousarray(chunk_types).reshape(-1)
         out[chunk_types.nbytes : tbl_len] = np.ascontiguousarray(
             cumulative.astype("<u8")
