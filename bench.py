@@ -126,7 +126,17 @@ def _decode_measured(payload, data, bit_reorder, results, key, extra=None):
     run = plan.fused_call(caps, g.full)
     owords, pend = run(*dev_args)
     _ = np.asarray(pend[:1])
-    jax_decode._check_pend(pend, meta, plan.rate12)
+    rate12_retry = False
+    try:
+        jax_decode._check_pend(pend, meta, plan.rate12)
+    except jax_decode._PCStarved:
+        # freak local bit-rate spike under base provisioning (real mixed
+        # json+weights chunks do this): same retry decompress_payload does
+        rate12_retry = True
+        run = plan.fused_call(caps, g.full, True)
+        owords, pend = run(*dev_args)
+        _ = np.asarray(pend[:1])
+        jax_decode._check_pend(pend, meta, True)
     nfull = g.full * PC_CHUNK  # ragged tail (if any) decodes on host
     host_out = np.ascontiguousarray(owords).astype("<u4", copy=False)
     assert bytes(host_out.reshape(-1).view(np.uint8))[:nfull] == data[:nfull], (
@@ -147,7 +157,8 @@ def _decode_measured(payload, data, bit_reorder, results, key, extra=None):
         "upload_s_tunnel": round(t_upload, 2),
         "n_huf_cells": plan.n_huf_total,
         "tlog_k": plan.tlog_k,
-        "rate12": bool(plan.rate12),
+        "rate12": bool(plan.rate12) or rate12_retry,
+        "rate12_retry": rate12_retry,
         "distinct_cells": True,
     }
     if extra:

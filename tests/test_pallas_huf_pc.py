@@ -566,3 +566,46 @@ def test_sim_real_weight_planes_256k_no_starvation(profile):
     syms = postmap(out_d, pages, cells, tlog_k)
     want = np.stack([p.reshape(4, seg) for p in planes_kept]).reshape(-1, seg)
     assert np.array_equal(syms, want)
+
+
+def test_sim_mixed_json_weights_chunk_rate12_retry():
+    """A chunk spanning a safetensors json header and bf16 weights (the
+    GPT-2 bench case): the stream averages under the rate12 threshold but
+    text segments spike the local bit rate, so the base class may raise
+    its starvation flag — and the rate12 retry must decode exactly.  This
+    mirrors decompress_payload's retry semantics."""
+    from zipnn_tpu.ops import byte_group
+
+    rng = np.random.default_rng(99)
+    chunk = 256 * 1024
+    # first third: json-ish ASCII; rest: bf16-like weights
+    text = np.frombuffer(
+        (b'{"model.layer.%03d.weight":{"dtype":"BF16","shape":[1024,1024],'
+         b'"data_offsets":[0,2097152]},' * 4000), np.uint8
+    )[: chunk // 3].copy()
+    n = (chunk - text.size) // 2
+    vals = (rng.standard_normal(n) * 0.02).astype(np.float32)
+    w = ((vals.view(np.uint32) >> 16).astype("<u2")).tobytes()
+    data = np.frombuffer(text.tobytes() + w, np.uint8)[:chunk]
+    blobs, planes_kept = [], []
+    for p in byte_group.split(data, 2, 10, 1):
+        comp = huf.compress(p)
+        if comp is not None and 1 < len(comp) < p.size * 0.95:
+            blobs.append(bytes(comp))
+            planes_kept.append(p)
+    assert blobs, "mixed chunk must stay compressible"
+    seg = chunk // 2 // 4
+    headers, region, starts, lens, cells = _cells_from_plane_blobs(blobs)
+    tlog_k = max(9, max(huf.read_stats(h)[2] for h in set(headers)))
+    bounds, pages, _ = pc.cell_decode_tables(headers, tlog_k)
+    rate12 = 8.0 * float(lens.max()) / seg > pc.RATE12_BITS
+    for attempt in dict.fromkeys((rate12, True)):
+        out_d, pend = sim_decode_pc(
+            region, starts, lens, bounds[cells], tlog_k, seg, rate12=attempt
+        )
+        if not np.any(pend < -(1 << 29)):
+            break
+        assert not attempt, "starved under rate12 provisioning"
+    syms = postmap(out_d, pages, cells, tlog_k)
+    want = np.stack([p.reshape(4, seg) for p in planes_kept]).reshape(-1, seg)
+    assert np.array_equal(syms, want)
