@@ -149,11 +149,14 @@ def _decode_measured(payload, data, bit_reorder, results, key, extra=None):
         _ = np.asarray(pend[:1])
         best = min(best, time.perf_counter() - t0)
     gb = nfull / 1e9
+    # a cold load that needed the rate12 retry paid the failed base-class
+    # attempt too — charge it to e2e
+    e2e_s = t_plan + best * (2 if rate12_retry else 1)
     results[key] = {
         "decompress_GBps_hbm": round(gb / best, 4),
         "plan_s": round(t_plan, 4),
         "decode_s": round(best, 4),
-        "decompress_GBps_e2e": round(gb / (t_plan + best), 4),
+        "decompress_GBps_e2e": round(gb / e2e_s, 4),
         "upload_s_tunnel": round(t_upload, 2),
         "n_huf_cells": plan.n_huf_total,
         "tlog_k": plan.tlog_k,
