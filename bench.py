@@ -98,6 +98,16 @@ def _warm_host_plan():
     if plan is not None and g.full:
         caps = jax_decode._batch_caps_range(g, 0, g.full)
         jax_decode._batch_host(plan, 0, g.full, caps, g.full)
+    # first device contact pays ~4 min of per-process backend/tunnel init
+    # regardless of size (measured: 4 MB first = 235 s, everything after =
+    # ~34 MB/s); warm it here so upload_s reports actual transfer
+    try:
+        import jax.numpy as jnp
+
+        dev = jnp.asarray(np.zeros(1 * MB, np.uint8))
+        _ = np.asarray(dev[:1])
+    except Exception:
+        pass
 
 
 def _decode_measured(payload, data, bit_reorder, results, key, extra=None):
