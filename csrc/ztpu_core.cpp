@@ -19,6 +19,7 @@
 #include <atomic>
 #include <cstdint>
 #include <memory>
+#include <type_traits>
 #if defined(__AVX2__)
 #include <immintrin.h>
 #endif
@@ -983,40 +984,41 @@ static void huf_encode_4streams(const uint8_t* data, const size_t sizes[4],
       p += sizes[k];
     }
   }
-  // 4 symbols per stream per round: <= 7 + 4*12 = 55 bits in the 64-bit
-  // accumulator, one spill per round (half the pointer/spill overhead of
-  // the previous 2-symbol rounds)
-  size_t rounds = (sizes[3] < sizes[0] ? sizes[3] : sizes[0]) / 4;
-  for (size_t r = 0; r < rounds; r++) {
-    for (int k = 0; k < 4; k++) {
-      const uint8_t* s = sp[k];
-      uint64_t a = acc[k];
-      unsigned n = nb[k];
-      uint32_t e0 = vl[s[-1]];
-      a |= (uint64_t)(uint16_t)e0 << n;
-      n += e0 >> 16;
-      uint32_t e1 = vl[s[-2]];
-      a |= (uint64_t)(uint16_t)e1 << n;
-      n += e1 >> 16;
-      uint32_t e2 = vl[s[-3]];
-      a |= (uint64_t)(uint16_t)e2 << n;
-      n += e2 >> 16;
-      uint32_t e3 = vl[s[-4]];
-      a |= (uint64_t)(uint16_t)e3 << n;
-      n += e3 >> 16;
-      sp[k] = s - 4;
-      acc[k] = a;
-      nb[k] = n;
+  // R symbols per stream per round with one spill: needs 7 + R*tlog <= 63
+  // in the 64-bit accumulator.  Every live profile has tlog <= 11 (the
+  // per-chunk default caps at HUF_TABLELOG_DEFAULT=11; shared tables cap
+  // at 8), so R=5 is always safe and R=7 when tlog <= 8.
+  auto run_rounds = [&](auto rconst) {
+    constexpr int R = decltype(rconst)::value;
+    size_t rounds = (sizes[3] < sizes[0] ? sizes[3] : sizes[0]) / R;
+    for (size_t r = 0; r < rounds; r++) {
+      for (int k = 0; k < 4; k++) {
+        const uint8_t* s = sp[k];
+        uint64_t a = acc[k];
+        unsigned n = nb[k];
+        for (int j = 1; j <= R; j++) {
+          uint32_t e = vl[s[-j]];
+          a |= (uint64_t)(uint16_t)e << n;
+          n += e >> 16;
+        }
+        sp[k] = s - R;
+        acc[k] = a;
+        nb[k] = n;
+      }
+      for (int k = 0; k < 4; k++) {
+        write_u64_unaligned(op[k], acc[k]);
+        unsigned adv = nb[k] >> 3;
+        op[k] += adv;
+        acc[k] >>= adv * 8;
+        nb[k] &= 7;
+      }
     }
-    for (int k = 0; k < 4; k++) {
-      write_u64_unaligned(op[k], acc[k]);
-      unsigned adv = nb[k] >> 3;
-      op[k] += adv;
-      acc[k] >>= adv * 8;
-      nb[k] &= 7;
-    }
-  }
-  for (int k = 0; k < 4; k++) rem[k] -= 4 * rounds;
+    for (int k = 0; k < 4; k++) rem[k] -= R * rounds;
+  };
+  if (ct.table_log <= 8)
+    run_rounds(std::integral_constant<int, 7>{});
+  else
+    run_rounds(std::integral_constant<int, 5>{});
   for (int k = 0; k < 4; k++) {
     while (rem[k]) {  // tails: at most 3 symbols (segment size skew)
       uint8_t s = *--sp[k];
