@@ -392,6 +392,15 @@ def main():
         flush=True,
     )
 
+    # native runs early: late in the run the process holds multiple GB of
+    # live buffers and this VM's allocator slows measurably under pressure
+    import gc
+
+    gc.collect()
+    data64 = synth_bf16(min(SIZE, 64 * MB))
+    bench_native(data64, results)
+    print(f"[bench] native: {results['native']}", file=sys.stderr)
+
     bench_real_checkpoint(results)
     print(f"[bench] real_checkpoint: {results['real_checkpoint']}", file=sys.stderr)
 
@@ -411,8 +420,6 @@ def main():
     bench_tpu_fused_encode(data, comp, results)
     print(f"[bench] tpu_fused_encode: {results['tpu_fused_encode']}", file=sys.stderr)
 
-    bench_native(data[: min(SIZE, 64 * MB)], results)
-    print(f"[bench] native: {results['native']}", file=sys.stderr)
     return 0
 
 
