@@ -411,6 +411,14 @@ class _PCPlan:
         if not (pc.vmem_ok(max_len, g.seg, rate12)
                 and pc.vmem_ok(max_len, g.seg, True)):
             return None
+        import os  # noqa: PLC0415
+
+        if not rate12 and os.environ.get("ZIPNN_TPU_RATE12") == "1":
+            # operator knob: checkpoints with mixed text/weight chunks can
+            # starve the base class on segment-local bit-rate spikes that
+            # no stream-length statistic predicts; forcing the provisioned
+            # class up front skips the retry decode entirely
+            rate12 = True
         from ..stats import phase  # noqa: PLC0415
 
         try:
@@ -609,7 +617,10 @@ def _run_fast(plan, g: _Geom, out, to_device: bool):
     tiles = _tiles_call(plan.RT)(jnp.asarray(g.payload_np))
     flats: Optional[List] = [] if to_device else None
 
+    sticky12 = [False]  # a starved batch flips the rest of the container
+
     def submit(lo, hi, force12=False):
+        force12 = force12 or sticky12[0]
         host, meta = _batch_host(plan, lo, hi, caps, B)
         run = plan.fused_call(caps, B, force12)
         owords, pend = run(*_to_dev(plan, tiles, host))
@@ -622,7 +633,11 @@ def _run_fast(plan, g: _Geom, out, to_device: bool):
             _check_pend(pend, meta, meta["rate12"])
         except _PCStarved:
             # freak local bit-rate spike under base provisioning: redo this
-            # batch with the rate12 kernel class (same args, larger windows)
+            # batch with the rate12 kernel class (same args, larger
+            # windows), and keep the class for the container's remaining
+            # batches — mixed content repeats (a multi-batch checkpoint
+            # then pays the double decode once, not per batch)
+            sticky12[0] = True
             drain(submit(lo, hi, force12=True))
             return
         if to_device:
