@@ -491,3 +491,146 @@ def test_tpu_fp8_fused_decode_roundtrip():
     ).compress(data)
     got = ZipNN(engine="tpu").decompress(bytes(comp))
     assert bytes(got) == data
+
+
+# ---------------------------------------------------------------------------
+# starvation patch path (ops/jax_decode.py drain)
+# ---------------------------------------------------------------------------
+
+def _plan_with_meta(g):
+    from zipnn_tpu.ops import jax_decode
+
+    plan = jax_decode._PCPlan.build(g)
+    assert plan is not None
+    caps = jax_decode._batch_caps_range(g, 0, g.full)
+    host, meta = jax_decode._batch_host(plan, 0, g.full, caps, g.full)
+    return plan, caps, host, meta
+
+
+def _good_pend(meta):
+    S = meta["S_real"]
+    pend = np.zeros(
+        -(-max(S, 1) // 2048) * 2048, np.int64
+    )
+    pend[:S] = 8 * (np.asarray(meta["end_in_row"]) - np.asarray(meta["slens"]))
+    return pend
+
+
+def test_check_pend_reports_starved_cells():
+    """Starved lanes raise _PCStarved carrying the affected cell positions;
+    non-starved lanes are still validated exactly first."""
+    from zipnn_tpu.ops import jax_decode, pallas_huf_pc as pc
+
+    g, _d, _p = _pc_geom()
+    _plan, _caps, _host, meta = _plan_with_meta(g)
+    S = meta["S_real"]
+    assert S >= 8  # at least two HUF cells in the fixture
+    pend = _good_pend(meta)
+    want = pend.copy()
+    # starve cell 1 (lanes 4..7)
+    pend[4:8] = pc.STARVED + want[4:8]
+    with pytest.raises(jax_decode._PCStarved) as ei:
+        jax_decode._check_pend(pend, meta, False)
+    assert np.array_equal(ei.value.cells, [1])
+    # under rate12 provisioning the same flag is a kernel bug
+    with pytest.raises(RuntimeError, match="rate12"):
+        jax_decode._check_pend(pend, meta, True)
+    # a genuinely corrupt lane elsewhere wins over the starvation signal
+    pend2 = pend.copy()
+    pend2[0] = want[0] + 3
+    from zipnn_tpu.errors import CorruptChunkError
+
+    with pytest.raises(CorruptChunkError):
+        jax_decode._check_pend(pend2, meta, False)
+
+
+def test_host_decode_chunk_matches_golden():
+    from zipnn_tpu.ops import jax_decode
+
+    g, data, _p = _pc_geom()
+    for c in range(g.full):
+        got = jax_decode._host_decode_chunk(g, c)
+        assert np.array_equal(got, data[c * g.chunk_size : (c + 1) * g.chunk_size])
+
+
+def _fake_fast_run(monkeypatch, g, data, starve_plan):
+    """Drive _run_fast with a faked device layer.
+
+    ``starve_plan``: {batch_index: [absolute starved chunk ids]} — the fake
+    fused call marks those cells' lanes starved on the base-class attempt
+    (and garbles the chunk words), and decodes cleanly under force12.
+    Returns (out_bytes, calls) where calls records force12 per invocation.
+    """
+    from zipnn_tpu.ops import jax_decode, pallas_huf_pc as pc
+
+    plan = jax_decode._PCPlan.build(g)
+    assert plan is not None and not plan.rate12
+    monkeypatch.setattr(jax_decode, "_tiles_call", lambda RT: (lambda x: None))
+    monkeypatch.setattr(jax_decode, "_to_dev", lambda p, tiles, host: (host,))
+    monkeypatch.setattr(jax_decode, "_max_batch_chunks", lambda cs: 4)
+    orig_bh = jax_decode._batch_host
+
+    def bh(plan_, lo, hi, caps, B):
+        host, meta = orig_bh(plan_, lo, hi, caps, B)
+        host["_range"] = (lo, hi)
+        return host, meta
+
+    monkeypatch.setattr(jax_decode, "_batch_host", bh)
+    calls = []
+    words = np.frombuffer(data, "<u4").reshape(g.full, g.chunk_size // 4)
+
+    def fused_call(caps, B, force12=False):
+        def run(host):
+            lo, hi = host["_range"]
+            calls.append((lo, hi, force12))
+            _h, meta = orig_bh(plan, lo, hi, caps, B)
+            ow = np.zeros((B, g.chunk_size // 4), np.uint32)
+            ow[: hi - lo] = words[lo:hi]
+            pend = _good_pend(meta)
+            starved = starve_plan.get(lo // 4, [])
+            if not force12:
+                hbb, hcc = meta["cells"]
+                for sc in starved:
+                    lanes = np.nonzero(hcc == sc)[0]
+                    assert lanes.size  # the starved chunk must have a HUF cell
+                    for cell in lanes:
+                        pend[4 * cell : 4 * cell + 4] += pc.STARVED
+                        ow[sc - lo] ^= 0xDEADBEEF  # garbage output
+            return ow, pend
+
+        return run
+
+    plan.fused_call = fused_call
+    out = np.empty(g.orig_size, np.uint8)
+    res = jax_decode._run_fast(plan, g, out, False)
+    return bytes(res), calls
+
+
+def test_run_fast_starvation_patches_chunks(monkeypatch):
+    """A single starved chunk is re-decoded host-side and patched; no
+    rate12 re-submit of the batch happens."""
+    pytest.importorskip("zipnn_tpu.native")
+    from zipnn_tpu import native
+
+    try:
+        native._load()
+    except Exception:
+        pytest.skip("native engine unavailable")
+    g, data, _p = _pc_geom(n_chunks=12)
+    got, calls = _fake_fast_run(monkeypatch, g, data, {1: [6]})
+    assert got == data.tobytes()
+    assert all(not f for (_lo, _hi, f) in calls)
+
+
+def test_run_fast_starvation_widespread_falls_back_sticky(monkeypatch):
+    """When most of a batch starves, the whole batch re-runs under rate12
+    and the class sticks for batches submitted after the starved drain
+    (the depth-2 pipeline has already submitted the next batch base-class)."""
+    g, data, _p = _pc_geom(n_chunks=20)
+    # batch 1 = chunks 4..8: starve 3 of 4 (> B//8 threshold)
+    got, calls = _fake_fast_run(monkeypatch, g, data, {1: [4, 6, 7]})
+    assert got == data.tobytes()
+    lo_f12 = [lo for (lo, _hi, f) in calls if f]
+    # retry of batch 1, then sticky rate12 for batches 3 and 4 (batch 2
+    # was already in flight base-class when the starvation drained)
+    assert lo_f12 == [4, 12, 16]

@@ -56,7 +56,14 @@ def _platform_is_tpu() -> bool:
 
 class _PCStarved(Exception):
     """Internal: base-rate window provisioning starved on a local bit-rate
-    spike; the caller retries the batch with the rate12 kernel class."""
+    spike.  ``cells`` carries the batch-local HUF-cell positions whose
+    streams starved; the caller either patches those chunks host-side (the
+    common case: a handful of text-like chunks inside a weights container)
+    or retries the whole batch with the rate12 kernel class."""
+
+    def __init__(self, cells: Optional[np.ndarray] = None):
+        super().__init__("base-rate window starvation")
+        self.cells = cells
 
 
 # ---------------------------------------------------------------------------
@@ -563,20 +570,28 @@ def _to_dev(plan, tiles, host):
 
 
 def _check_pend(pend, meta, rate12_used: bool):
-    """Deferred per-stream final-position validation for one batch."""
+    """Deferred per-stream final-position validation for one batch.
+
+    Starved lanes (base-class window provisioning lost to a local bit-rate
+    spike) raise :class:`_PCStarved` carrying the affected cell positions;
+    every non-starved lane is still validated exactly first, so a genuinely
+    corrupt stream reports :class:`CorruptChunkError` deterministically
+    regardless of starvation elsewhere in the batch.
+    """
     S = meta["S_real"]
     if not S:
         return
     pend_np = np.asarray(pend)[:S].astype(np.int64)
-    if np.any(pend_np < -(1 << 29)):
-        if rate12_used:
-            raise RuntimeError(
-                "window starvation under rate12 provisioning (kernel bug)"
-            )
-        raise _PCStarved()
+    starved = np.nonzero(pend_np < -(1 << 29))[0]
+    if starved.size and rate12_used:
+        raise RuntimeError(
+            "window starvation under rate12 provisioning (kernel bug)"
+        )
     want_end = 8 * (np.asarray(meta["end_in_row"]) - np.asarray(meta["slens"]))
-    if not np.array_equal(pend_np, want_end):
-        bad = int(np.nonzero(pend_np != want_end)[0][0])
+    ok = np.ones(S, dtype=bool)
+    ok[starved] = False
+    if not np.array_equal(pend_np[ok], want_end[ok]):
+        bad = int(np.nonzero(ok & (pend_np != want_end))[0][0])
         raise CorruptChunkError(
             f"HUF stream not fully consumed: pos {int(pend_np[bad])} "
             f"!= {int(want_end[bad])}",
@@ -584,6 +599,67 @@ def _check_pend(pend, meta, rate12_used: bool):
             chunk=int(meta["cells"][1][bad // 4]),
             stream=bad % 4,
         )
+    if starved.size:
+        raise _PCStarved(np.unique(starved // 4))
+
+
+def _host_decode_chunk(g: _Geom, c: int) -> np.ndarray:
+    """Decode one full chunk entirely on the host (native HUF when built).
+
+    The starvation patch path: a freak text-like chunk inside a weights
+    container starves the base-rate kernel class on a segment-local
+    bit-rate spike; re-decoding just that chunk at host speed (native
+    engine, ~GB/s) is far cheaper than re-running the whole device batch
+    under rate12 provisioning.
+    """
+    planes: List[np.ndarray] = []
+    for b in range(g.num_buf):
+        o = int(g.cs[b, c])
+        szv = int(g.sz[b, c])
+        blob = g.payload_np[o : o + szv]
+        if g.types[b, c] == 0 or szv == g.plane_bytes:
+            planes.append(blob)
+        elif szv == 1:
+            planes.append(np.full(g.plane_bytes, blob[0], np.uint8))
+        else:
+            try:
+                try:
+                    from .. import native  # noqa: PLC0415
+
+                    plane = native.huf_decompress(bytes(blob), g.plane_bytes)
+                except (ImportError, OSError):
+                    plane = huf.decompress(bytes(blob), g.plane_bytes)
+            except (ValueError, RuntimeError) as exc:
+                raise CorruptChunkError(str(exc), plane=b, chunk=c) from exc
+            planes.append(np.asarray(plane))
+    outc = np.empty(g.chunk_size, np.uint8)
+    byte_group.combine(
+        planes, g.chunk_size, g.num_buf, g.byte_reorder, g.bit_reorder,
+        out=outc,
+    )
+    return outc
+
+
+def _starved_chunks(meta, cells: Optional[np.ndarray]):
+    """Map batch-local starved HUF-cell positions to absolute chunk ids."""
+    if cells is None or not cells.size:
+        return None
+    return np.unique(np.asarray(meta["cells"][1])[cells])
+
+
+def _patch_eligible(n_chunks: int, batch_chunks: int) -> bool:
+    """Patch host-side only when the native engine is built (the pure-Python
+    HUF decoder would be slower than a device batch retry) and the affected
+    set is a small fraction of the batch."""
+    if n_chunks > max(1, batch_chunks // 8):
+        return False
+    try:
+        from .. import native  # noqa: PLC0415
+
+        native._load()
+    except Exception:
+        return False
+    return True
 
 
 def _max_batch_chunks(chunk_size: int) -> int:
@@ -629,26 +705,43 @@ def _run_fast(plan, g: _Geom, out, to_device: bool):
 
     def drain(item):
         lo, hi, owords, pend, meta = item
+        patches = None
         try:
             _check_pend(pend, meta, meta["rate12"])
-        except _PCStarved:
-            # freak local bit-rate spike under base provisioning: redo this
-            # batch with the rate12 kernel class (same args, larger
-            # windows), and keep the class for the container's remaining
-            # batches — mixed content repeats (a multi-batch checkpoint
-            # then pays the double decode once, not per batch)
-            sticky12[0] = True
-            drain(submit(lo, hi, force12=True))
-            return
+        except _PCStarved as st:
+            # freak local bit-rate spike under base provisioning.  When the
+            # spike is confined to a few chunks (mixed json+weights content
+            # in an otherwise dense checkpoint), re-decode just those
+            # chunks host-side and patch the batch output.  Otherwise redo
+            # the batch with the rate12 kernel class (same args, larger
+            # windows) and keep the class for the container's remaining
+            # batches — widespread mixed content repeats (a multi-batch
+            # checkpoint then pays the double decode once, not per batch).
+            chunks = _starved_chunks(meta, st.cells)
+            if chunks is None or not _patch_eligible(chunks.size, hi - lo):
+                sticky12[0] = True
+                drain(submit(lo, hi, force12=True))
+                return
+            patches = {int(c): _host_decode_chunk(g, int(c)) for c in chunks}
         if to_device:
-            flats.append(
-                jax_transforms.u32_flat_to_u8(owords[: hi - lo].reshape(-1))
-            )
+            flat = jax_transforms.u32_flat_to_u8(owords[: hi - lo].reshape(-1))
+            if patches:
+                jnp_ = _jnp()
+                cs = g.chunk_size
+                for c, buf in patches.items():
+                    flat = flat.at[(c - lo) * cs : (c - lo + 1) * cs].set(
+                        jnp_.asarray(buf)
+                    )
+            flats.append(flat)
         else:
             host_np = np.asarray(owords[: hi - lo]).astype("<u4", copy=False)
             out[lo * g.chunk_size : hi * g.chunk_size] = (
                 host_np.reshape(-1).view(np.uint8)
             )
+            if patches:
+                cs = g.chunk_size
+                for c, buf in patches.items():
+                    out[c * cs : (c + 1) * cs] = buf
 
     inflight: List = []
     for lo, hi in batches:
