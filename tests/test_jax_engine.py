@@ -634,3 +634,51 @@ def test_run_fast_starvation_widespread_falls_back_sticky(monkeypatch):
     # retry of batch 1, then sticky rate12 for batches 3 and 4 (batch 2
     # was already in flight base-class when the starvation drained)
     assert lo_f12 == [4, 12, 16]
+
+
+@pytest.mark.tpu
+def test_tpu_starvation_patch_end_to_end(monkeypatch):
+    """A sustained local entropy spike inside one chunk of an otherwise
+    narrow-distribution container starves the base-rate kernel class for
+    exactly that chunk (verified deterministic in the schedule simulator);
+    the fused decode must patch it host-side — one device pass, no
+    whole-batch rate12 retry — and return bit-exact output."""
+    import jax
+
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("needs a real TPU")
+    from zipnn_tpu.ops import jax_decode
+
+    rng = np.random.default_rng(7)
+    chunk = 256 * 1024
+    n_chunks = 8
+    data = np.clip(rng.normal(128, 3, n_chunks * chunk), 0, 255).astype(np.uint8)
+    spike = 12_000
+    data[3 * chunk + 100_000 : 3 * chunk + 100_000 + spike] = rng.integers(
+        0, 256, spike, np.uint8
+    )
+    payload = codec.compress_payload_numpy(data, 2, 1, 10, chunk)
+    g = jax_decode._parse_geometry(payload, 2, chunk, data.size, 1, 10)
+    plan = jax_decode._PCPlan.build(g)
+    assert plan is not None and not plan.rate12  # base class must be chosen
+
+    patched = []
+    orig = jax_decode._host_decode_chunk
+
+    def counting(g_, c):
+        patched.append(c)
+        return orig(g_, c)
+
+    monkeypatch.setattr(jax_decode, "_host_decode_chunk", counting)
+    fused = []
+    orig_pc = jax_decode._fused_pc_decode
+
+    def counting_pc(*a):
+        fused.append(a[-1])  # rate12 flag
+        return orig_pc(*a)
+
+    monkeypatch.setattr(jax_decode, "_fused_pc_decode", counting_pc)
+    got = jax_codec.decompress_payload(payload, 2, 1, 10, chunk, data.size)
+    assert bytes(got) == data.tobytes()
+    assert patched == [3], "the starved chunk must be host-patched"
+    assert all(not f for f in fused), "no rate12 batch retry expected"

@@ -539,16 +539,26 @@ def _batch_host(plan, lo: int, hi: int, caps, B: int):
     }
     if plan.kind == "pc":
         tk = plan.tlog_k
-        cbnd = np.zeros((S_pad, tk - 1), dtype=np.int32)
-        if n_hf:
-            cbnd[: 4 * n_hf] = np.repeat(plan.bounds[hsel], 4, axis=0)
+        full_sel = n_hf == plan.pages.shape[0]  # batch covers every HUF cell
+        if full_sel and 4 * n_hf == S_pad:
+            cbnd = np.repeat(plan.bounds, 4, axis=0)
+        else:
+            cbnd = np.zeros((S_pad, tk - 1), dtype=np.int32)
+            if n_hf:
+                cbnd[: 4 * n_hf] = np.repeat(plan.bounds[hsel], 4, axis=0)
         host["cbnd"] = np.ascontiguousarray(
             cbnd.reshape(n_blocks, pallas_huf.SUBS, 128, tk - 1).transpose(0, 3, 1, 2)
         )
-        pages_pad = np.zeros((S_pad // 4, (1 << tk) // 4), dtype=np.uint32)
-        if n_hf:
-            pages_pad[:n_hf] = plan.pages[hsel]
-        host["pages"] = pages_pad
+        if full_sel and n_hf == S_pad // 4:
+            # single-batch whole-container case (the common serving load):
+            # the plan's page table is already exactly the kernel input —
+            # skip the 2^tlog_k-wide zero-fill + copy (6.3 MB at 768 MB)
+            host["pages"] = plan.pages
+        else:
+            pages_pad = np.zeros((S_pad // 4, (1 << tk) // 4), dtype=np.uint32)
+            if n_hf:
+                pages_pad[:n_hf] = plan.pages[hsel]
+            host["pages"] = pages_pad
     return host, meta
 
 
