@@ -682,3 +682,20 @@ def test_tpu_starvation_patch_end_to_end(monkeypatch):
     assert bytes(got) == data.tobytes()
     assert patched == [3], "the starved chunk must be host-patched"
     assert all(not f for f in fused), "no rate12 batch retry expected"
+
+
+def test_patch_eligibility_threshold():
+    """Patch host-side up to 1/8 of the batch; beyond that the rate12
+    batch retry is cheaper (and sticky for the container)."""
+    pytest.importorskip("zipnn_tpu.native")
+    from zipnn_tpu import native
+    from zipnn_tpu.ops import jax_decode
+
+    try:
+        native._load()
+    except Exception:
+        pytest.skip("native engine unavailable")
+    assert jax_decode._patch_eligible(1, 4)     # max(1, 0) floor
+    assert jax_decode._patch_eligible(4, 32)
+    assert not jax_decode._patch_eligible(5, 32)
+    assert not jax_decode._patch_eligible(2, 8)
