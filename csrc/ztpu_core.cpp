@@ -18,7 +18,9 @@
 #include <algorithm>
 #include <atomic>
 #include <cstdint>
+#include <cstdlib>
 #include <memory>
+#include <mutex>
 #include <type_traits>
 #if defined(__AVX2__)
 #include <immintrin.h>
@@ -28,6 +30,10 @@
 #include <queue>
 #include <thread>
 #include <vector>
+#if defined(__GLIBC__) || defined(__linux__)
+#include <malloc.h>
+#define ZTPU_HAVE_MALLOPT 1
+#endif
 
 namespace {
 
@@ -957,11 +963,14 @@ static void huf_encode_stream(const uint8_t* part, size_t n, const HufCTable& ct
 
 // encode all four segments in lockstep: four independent accumulator
 // chains give ~4x ILP over the serial single-stream writer (mirrors the
-// interleaved 4-stream decode loop below).  Output bytes are identical to
-// four huf_encode_stream calls.
+// interleaved 4-stream decode loop below).  Stream k is written at
+// scratch + k*stride (stride must be >= sizes[k]*1.5 + 16); sizes land in
+// ssize[4].  Output bytes are identical to four huf_encode_stream calls;
+// raw-pointer staging avoids the per-call vector zero-fill + copy that
+// used to cost ~1/3 of the encode wall time.
 static void huf_encode_4streams(const uint8_t* data, const size_t sizes[4],
-                                const HufCTable& ct,
-                                std::vector<uint8_t> streams[4]) {
+                                const HufCTable& ct, uint8_t* scratch,
+                                size_t stride, size_t ssize[4]) {
   const uint16_t* vals = ct.vals;
   const uint8_t* lens = ct.lengths;
   // merged (value, length) table: one load per symbol instead of two
@@ -977,8 +986,7 @@ static void huf_encode_4streams(const uint8_t* data, const size_t sizes[4],
   {
     const uint8_t* p = data;
     for (int k = 0; k < 4; k++) {
-      streams[k].resize(sizes[k] + (sizes[k] >> 1) + 16);
-      ob[k] = op[k] = streams[k].data();
+      ob[k] = op[k] = scratch + (size_t)k * stride;
       sp[k] = p + sizes[k];  // backward writer: encode from the segment end
       rem[k] = sizes[k];
       p += sizes[k];
@@ -1036,8 +1044,19 @@ static void huf_encode_4streams(const uint8_t* data, const size_t sizes[4],
     nb[k] += 1;
     write_u64_unaligned(op[k], acc[k]);
     op[k] += (nb[k] + 7) >> 3;
-    streams[k].resize((size_t)(op[k] - ob[k]));
+    ssize[k] = (size_t)(op[k] - ob[k]);
   }
+}
+
+// per-thread staging for the 4 encode streams (grow-only, uninitialized)
+static thread_local std::unique_ptr<uint8_t[]> t_enc_buf;
+static thread_local size_t t_enc_cap = 0;
+static inline uint8_t* enc_scratch(size_t need) {
+  if (need > t_enc_cap) {
+    t_enc_buf.reset(new uint8_t[need]);
+    t_enc_cap = need;
+  }
+  return t_enc_buf.get();
 }
 
 // decode one stream of exactly out_len symbols; returns false on corruption
@@ -1066,39 +1085,63 @@ static bool huf_decode_stream(const uint8_t* stream, size_t stream_len,
   return rd.exhausted_exactly();
 }
 
-// HUF-compress a block.  Result codes: >0 compressed size in out;
-// 0 => store raw; -1 => 1-byte RLE (out[0] set).
-static long long huf_compress_block(const uint8_t* data, size_t n,
-                                    std::vector<uint8_t>& out) {
-  if (n == 0 || n > HUF_BLOCKSIZE_MAX) return 0;
-  // 4 sub-histograms (consecutive equal symbols would otherwise serialize
-  // on store-to-load forwarding of the same counter slot), fed 8 bytes per
-  // u64 load to take pressure off the load ports
-  uint32_t cnt4[4][256] = {{0}};
-  size_t i4 = 0;
-  for (; i4 + 8 <= n; i4 += 8) {
-    uint64_t v;
-    std::memcpy(&v, data + i4, 8);
-    cnt4[0][v & 0xFF]++;
-    cnt4[1][(v >> 8) & 0xFF]++;
-    cnt4[2][(v >> 16) & 0xFF]++;
-    cnt4[3][(v >> 24) & 0xFF]++;
-    cnt4[0][(v >> 32) & 0xFF]++;
-    cnt4[1][(v >> 40) & 0xFF]++;
-    cnt4[2][(v >> 48) & 0xFF]++;
-    cnt4[3][v >> 56]++;
+// full-block byte histogram.  8 sub-histograms: consecutive equal symbols
+// would otherwise serialize on store-to-load forwarding of the same
+// counter slot (concentrated weight planes hit this hard); fed 16 bytes
+// per iteration via two u64 loads to take pressure off the load ports.
+static void hist_block(const uint8_t* data, size_t n, uint32_t* count,
+                       unsigned* max_sv_out, uint32_t* largest_out) {
+  uint32_t cnt8[8][256] = {{0}};
+  size_t i = 0;
+  for (; i + 16 <= n; i += 16) {
+    uint64_t v, w;
+    std::memcpy(&v, data + i, 8);
+    std::memcpy(&w, data + i + 8, 8);
+    cnt8[0][v & 0xFF]++;
+    cnt8[1][(v >> 8) & 0xFF]++;
+    cnt8[2][(v >> 16) & 0xFF]++;
+    cnt8[3][(v >> 24) & 0xFF]++;
+    cnt8[4][(v >> 32) & 0xFF]++;
+    cnt8[5][(v >> 40) & 0xFF]++;
+    cnt8[6][(v >> 48) & 0xFF]++;
+    cnt8[7][v >> 56]++;
+    cnt8[0][w & 0xFF]++;
+    cnt8[1][(w >> 8) & 0xFF]++;
+    cnt8[2][(w >> 16) & 0xFF]++;
+    cnt8[3][(w >> 24) & 0xFF]++;
+    cnt8[4][(w >> 32) & 0xFF]++;
+    cnt8[5][(w >> 40) & 0xFF]++;
+    cnt8[6][(w >> 48) & 0xFF]++;
+    cnt8[7][w >> 56]++;
   }
-  for (; i4 < n; i4++) cnt4[0][data[i4]]++;
-  uint32_t count[256];
+  for (; i < n; i++) cnt8[0][data[i]]++;
   unsigned max_sv = 0;
   uint32_t largest = 0;
   for (int s = 0; s < 256; s++) {
-    count[s] = cnt4[0][s] + cnt4[1][s] + cnt4[2][s] + cnt4[3][s];
-    if (count[s]) max_sv = s;
-    if (count[s] > largest) largest = count[s];
+    uint32_t t = cnt8[0][s];
+    for (int k = 1; k < 8; k++) t += cnt8[k][s];
+    count[s] = t;
+    if (t) max_sv = s;
+    if (t > largest) largest = t;
   }
+  *max_sv_out = max_sv;
+  *largest_out = largest;
+}
+
+// HUF-compress a block directly into dst (dst_cap >= n is sufficient:
+// anything larger than n-2 is rejected).  Result codes: >0 compressed
+// size written at dst; 0 => store raw (dst untouched); -1 => 1-byte RLE
+// (dst[0] set).
+static long long huf_compress_block(const uint8_t* data, size_t n,
+                                    uint8_t* dst, size_t dst_cap) {
+  if (n == 0 || n > HUF_BLOCKSIZE_MAX) return 0;
+  uint32_t count[256];
+  unsigned max_sv;
+  uint32_t largest;
+  hist_block(data, n, count, &max_sv, &largest);
   if (largest == n) {
-    out.assign(1, data[0]);
+    if (dst_cap < 1) return 0;
+    dst[0] = data[0];
     return -1;
   }
   if (largest <= (n >> 7) + 4) return 0;
@@ -1123,23 +1166,27 @@ static long long huf_compress_block(const uint8_t* data, size_t n,
 
   size_t seg = (n + 3) / 4;
   size_t sizes[4] = {seg, seg, seg, n - 3 * seg};
-  std::vector<uint8_t> streams[4];
-  huf_encode_4streams(data, sizes, ct, streams);
+  size_t stride = seg + (seg >> 1) + 16;
+  size_t ssize[4];
+  huf_encode_4streams(data, sizes, ct, enc_scratch(4 * stride), stride, ssize);
   for (int k = 0; k < 4; k++) {
-    if (streams[k].empty() || streams[k].size() > 65535) return 0;
+    if (ssize[k] == 0 || ssize[k] > 65535) return 0;
   }
-  out.clear();
-  out.reserve(header.size() + 6 + streams[0].size() + streams[1].size() +
-              streams[2].size() + streams[3].size());
-  out.insert(out.end(), header.begin(), header.end());
-  uint8_t jump[6];
-  write_le16(jump + 0, (uint16_t)streams[0].size());
-  write_le16(jump + 2, (uint16_t)streams[1].size());
-  write_le16(jump + 4, (uint16_t)streams[2].size());
-  out.insert(out.end(), jump, jump + 6);
-  for (int k = 0; k < 4; k++) out.insert(out.end(), streams[k].begin(), streams[k].end());
-  if (out.size() >= n - 1) return 0;
-  return (long long)out.size();
+  size_t total = header.size() + 6 + ssize[0] + ssize[1] + ssize[2] + ssize[3];
+  if (total >= n - 1 || total > dst_cap) return 0;
+  uint8_t* op = dst;
+  std::memcpy(op, header.data(), header.size());
+  op += header.size();
+  write_le16(op + 0, (uint16_t)ssize[0]);
+  write_le16(op + 2, (uint16_t)ssize[1]);
+  write_le16(op + 4, (uint16_t)ssize[2]);
+  op += 6;
+  const uint8_t* sbase = t_enc_buf.get();
+  for (int k = 0; k < 4; k++) {
+    std::memcpy(op, sbase + (size_t)k * stride, ssize[k]);
+    op += ssize[k];
+  }
+  return (long long)total;
 }
 
 // decompress one block (with raw/RLE conventions); returns false on error
@@ -1528,16 +1575,98 @@ static void combine_planes(uint8_t* const* plane_ptrs, const size_t* plane_lens,
 // ---------------------------------------------------------------------------
 
 struct ChunkResult {
-  std::vector<uint8_t> blob[4];
-  // raw planes keep their bytes in `planes` (no per-plane copy): blob[b]
-  // stays empty and assembly reads planes.get() + poff[b].  unique_ptr
-  // over new[]: uninitialized — a std::vector here would memset the whole
-  // input size per chunk (~40 ms/64 MB on slow-page-fault hosts)
-  std::unique_ptr<uint8_t[]> planes;
+  // blob[b]/planes point into the call's arena (see arena_acquire below):
+  // raw planes keep their bytes in the plane region (no per-plane copy,
+  // assembly reads planes + poff[b]); compressed blobs live in the blob
+  // region.  Pointer-based results mean zero per-chunk allocations.
+  const uint8_t* blob[4] = {nullptr, nullptr, nullptr, nullptr};
+  const uint8_t* planes = nullptr;
   size_t poff[4] = {0, 0, 0, 0};
   uint8_t type[4];
   uint64_t size[4];
 };
+
+// ---------------------------------------------------------------------------
+// compress arena: planes + blobs for a whole call in ONE reusable buffer.
+// Per-chunk new[] would fresh-fault ~2x the input size on every call —
+// ~2 GB/s on slow-page-fault hosts (nested virtualization pays ~2-14 us a
+// page) vs ~17 GB/s for warm writes.  The most recently released arena is
+// cached process-wide so steady-state compress calls run entirely on warm
+// pages; buffers above ZTPU_ARENA_KEEP_MAX bytes (default 768 MB) are not
+// retained.
+// ---------------------------------------------------------------------------
+
+struct ArenaLease {
+  std::unique_ptr<uint8_t[]> buf;  // uninitialized storage (new[])
+  size_t cap = 0;
+};
+static std::mutex g_arena_mu;
+static ArenaLease g_arena;
+
+static size_t arena_keep_max() {
+  static size_t v = [] {
+    const char* e = std::getenv("ZTPU_ARENA_KEEP_MAX");
+    return e ? (size_t)std::strtoull(e, nullptr, 10) : (size_t)(768ull << 20);
+  }();
+  return v;
+}
+
+static ArenaLease arena_acquire(size_t need) {
+  ArenaLease a;
+  {
+    std::lock_guard<std::mutex> lk(g_arena_mu);
+    if (g_arena.buf && g_arena.cap >= need) {
+      a.buf = std::move(g_arena.buf);
+      a.cap = g_arena.cap;
+      g_arena.cap = 0;
+    }
+  }
+  if (!a.buf || a.cap < need) {
+    a.buf.reset(new uint8_t[need]);
+    a.cap = need;
+  }
+  return a;
+}
+
+static void arena_release(ArenaLease a) {
+  if (a.cap > arena_keep_max()) return;
+  std::lock_guard<std::mutex> lk(g_arena_mu);
+  if (!g_arena.buf || a.cap > g_arena.cap) {
+    g_arena.buf = std::move(a.buf);
+    g_arena.cap = a.cap;
+  }
+}
+
+// The caller's input/output buffers (np.empty in the ctypes layer) are
+// tens of MB: above glibc's default mmap threshold every call gets fresh
+// mmap'd pages and pays the page-fault + kernel-zeroing tax on every
+// output byte (~2 GB/s on nested-virt hosts vs ~17 GB/s warm — it was
+// ~35% of compress wall time).  Raising the thresholds makes glibc reuse
+// freed heap warm across calls — the same policy the arena applies to
+// internal scratch.  Applied once, on the first native codec call, so
+// merely importing the library changes nothing; opt out with
+// ZTPU_NO_MALLOPT=1.
+static void tune_malloc_once() {
+#if defined(ZTPU_HAVE_MALLOPT)
+  static std::once_flag f;
+  std::call_once(f, [] {
+    if (std::getenv("ZTPU_NO_MALLOPT")) return;
+    mallopt(M_MMAP_THRESHOLD, 256 << 20);
+    mallopt(M_TRIM_THRESHOLD, 512 << 20);
+  });
+#endif
+}
+
+// per-thread fp32 bit-reorder scratch (grow-only, uninitialized)
+static thread_local std::unique_ptr<uint8_t[]> t_reorder_buf;
+static thread_local size_t t_reorder_cap = 0;
+static inline uint8_t* reorder_scratch(size_t need) {
+  if (need > t_reorder_cap) {
+    t_reorder_buf.reset(new uint8_t[need]);
+    t_reorder_cap = need;
+  }
+  return t_reorder_buf.get();
+}
 
 static void run_pool(unsigned threads, size_t n_items,
                      const std::function<void(size_t)>& fn) {
@@ -1690,6 +1819,7 @@ long long ztpu_splice_plane(uint8_t* out, const long long* starts,
                             const uint8_t* rows, long long row_stride,
                             const uint8_t* row_ok, long long full,
                             long long plane_bytes, int threads) {
+  tune_malloc_once();
   std::atomic<bool> failed{false};
   run_pool((unsigned)threads, (size_t)full, [&](size_t c) {
     uint8_t* o = out + starts[c];
@@ -1764,8 +1894,7 @@ static long long assemble_payload(std::vector<ChunkResult>& results,
   run_pool((unsigned)threads, n_chunks, [&](size_t c) {
     const ChunkResult& r = results[c];
     for (unsigned b = 0; b < num_buf; b++) {
-      const uint8_t* s =
-          r.type[b] ? r.blob[b].data() : r.planes.get() + r.poff[b];
+      const uint8_t* s = r.type[b] ? r.blob[b] : r.planes + r.poff[b];
       std::memcpy(dbase + plane_base[b] + cum_start[b][c], s, r.size[b]);
     }
   });
@@ -1778,57 +1907,62 @@ long long ztpu_compress(const uint8_t* data, size_t len, unsigned num_buf,
                         int bit_reorder, int byte_reorder, size_t chunk_size,
                         double threshold, int threads, uint8_t* out,
                         size_t out_cap) {
+  tune_malloc_once();
   (void)byte_reorder;  // plane count fully determines the live split modes
   if (num_buf != 1 && num_buf != 2 && num_buf != 4) return -1;
   size_t n_chunks = chunk_size ? (len + chunk_size - 1) / chunk_size : 0;
   std::vector<ChunkResult> results(n_chunks);
   std::atomic<bool> failed{false};
 
+  // one arena for every chunk's planes + blobs (see arena_acquire)
+  ArenaLease arena = arena_acquire(2 * n_chunks * chunk_size + 1);
+  uint8_t* planes_region = arena.buf.get();
+  uint8_t* blob_region = planes_region + n_chunks * chunk_size;
+
   run_pool((unsigned)threads, n_chunks, [&](size_t c) {
     if (failed.load(std::memory_order_relaxed)) return;
     size_t off = c * chunk_size;
     size_t clen = std::min(chunk_size, len - off);
-    // scratch only for the fp32 reorder path; the 2-plane split is fused
-    std::vector<uint8_t> reordered(bit_reorder && num_buf == 4 ? clen : 0);
-    std::unique_ptr<uint8_t[]> planes(new uint8_t[clen ? clen : 1]);
+    uint8_t* planes = planes_region + c * chunk_size;
+    uint8_t* blobd = blob_region + c * chunk_size;
     size_t plens[4];
     uint8_t* pptrs[4] = {nullptr, nullptr, nullptr, nullptr};
     plane_lengths(clen, num_buf, plens);
     size_t acc = 0;
     for (unsigned b = 0; b < num_buf; b++) {
-      pptrs[b] = planes.get() + acc;
+      pptrs[b] = planes + acc;
       acc += plens[b];
     }
-    split_planes(data + off, clen, num_buf, bit_reorder, reordered.data(), pptrs,
+    // scratch only for the fp32 reorder path; the 2-plane split is fused
+    uint8_t* reordered =
+        bit_reorder && num_buf == 4 ? reorder_scratch(clen) : nullptr;
+    split_planes(data + off, clen, num_buf, bit_reorder, reordered, pptrs,
                  plens);
     ChunkResult& r = results[c];
-    bool any_raw = false;
-    size_t acc2 = 0;
+    r.planes = planes;
+    size_t acc2 = 0, bcur = 0;
     for (unsigned b = 0; b < num_buf; b++) {
       r.poff[b] = acc2;
       acc2 += plens[b];
-      std::vector<uint8_t> comp;
-      long long cs = huf_compress_block(pptrs[b], plens[b], comp);
-      bool use_comp = false;
-      if (cs == -1) {
-        use_comp = ((double)comp.size() < (double)plens[b] * threshold);
-      } else if (cs > 0) {
-        use_comp = ((double)cs < (double)plens[b] * threshold);
-      }
-      if (use_comp) {
+      long long cs =
+          huf_compress_block(pptrs[b], plens[b], blobd + bcur, clen - bcur);
+      size_t csize = cs == -1 ? 1 : (cs > 0 ? (size_t)cs : 0);
+      if (csize && (double)csize < (double)plens[b] * threshold) {
         r.type[b] = 1;
-        r.size[b] = comp.size();
-        r.blob[b] = std::move(comp);
+        r.size[b] = csize;
+        r.blob[b] = blobd + bcur;
+        bcur += csize;
       } else {
         r.type[b] = 0;
         r.size[b] = plens[b];
-        any_raw = true;
       }
     }
-    if (any_raw) r.planes = std::move(planes);
   });
   if (failed.load()) return -1;
-  return assemble_payload(results, n_chunks, num_buf, threads, out, out_cap);
+  long long ret =
+      assemble_payload(results, n_chunks, num_buf, threads, out, out_cap);
+  arena_release(std::move(arena));
+  return ret;
 }
 
 // Shared-table profile compress (the TPU-optimal encode profile): one
@@ -1842,47 +1976,41 @@ long long ztpu_compress_shared(const uint8_t* data, size_t len,
                                int byte_reorder, size_t chunk_size,
                                double threshold, int threads, uint8_t* out,
                                size_t out_cap) {
+  tune_malloc_once();
   (void)byte_reorder;
   if (num_buf != 1 && num_buf != 2 && num_buf != 4) return -1;
   size_t n_chunks = chunk_size ? (len + chunk_size - 1) / chunk_size : 0;
 
-  // pass 1: per-(chunk, plane) histograms
+  // one arena for planes + blobs; planes written by pass 1 are REUSED by
+  // pass 2 (the old per-pass new[] + re-split paid a second full split
+  // pass plus fresh page faults both times)
+  ArenaLease arena = arena_acquire(2 * n_chunks * chunk_size + 1);
+  uint8_t* planes_region = arena.buf.get();
+  uint8_t* blob_region = planes_region + n_chunks * chunk_size;
+
+  // pass 1: split into the arena + per-(chunk, plane) histograms
   std::vector<uint32_t> hists((size_t)n_chunks * num_buf * 256, 0);
   run_pool((unsigned)threads, n_chunks, [&](size_t c) {
     size_t off = c * chunk_size;
     size_t clen = std::min(chunk_size, len - off);
-    std::vector<uint8_t> reordered(bit_reorder && num_buf == 4 ? clen : 0);
-    std::unique_ptr<uint8_t[]> planes(new uint8_t[clen ? clen : 1]);
+    uint8_t* planes = planes_region + c * chunk_size;
     size_t plens[4];
     uint8_t* pptrs[4] = {nullptr, nullptr, nullptr, nullptr};
     plane_lengths(clen, num_buf, plens);
     size_t acc = 0;
     for (unsigned b = 0; b < num_buf; b++) {
-      pptrs[b] = planes.get() + acc;
+      pptrs[b] = planes + acc;
       acc += plens[b];
     }
-    split_planes(data + off, clen, num_buf, bit_reorder, reordered.data(),
-                 pptrs, plens);
+    uint8_t* reordered =
+        bit_reorder && num_buf == 4 ? reorder_scratch(clen) : nullptr;
+    split_planes(data + off, clen, num_buf, bit_reorder, reordered, pptrs,
+                 plens);
     for (unsigned b = 0; b < num_buf; b++) {
       uint32_t* h = hists.data() + (c * num_buf + b) * 256;
-      uint32_t h4[4][256] = {{0}};
-      size_t i = 0;
-      const uint8_t* p = pptrs[b];
-      for (; i + 8 <= plens[b]; i += 8) {
-        uint64_t v;
-        std::memcpy(&v, p + i, 8);
-        h4[0][v & 0xFF]++;
-        h4[1][(v >> 8) & 0xFF]++;
-        h4[2][(v >> 16) & 0xFF]++;
-        h4[3][(v >> 24) & 0xFF]++;
-        h4[0][(v >> 32) & 0xFF]++;
-        h4[1][(v >> 40) & 0xFF]++;
-        h4[2][(v >> 48) & 0xFF]++;
-        h4[3][v >> 56]++;
-      }
-      for (; i < plens[b]; i++) h4[0][p[i]]++;
-      for (int s = 0; s < 256; s++)
-        h[s] = h4[0][s] + h4[1][s] + h4[2][s] + h4[3][s];
+      unsigned msv;
+      uint32_t lg;
+      hist_block(pptrs[b], plens[b], h, &msv, &lg);
     }
   });
 
@@ -1928,44 +2056,37 @@ long long ztpu_compress_shared(const uint8_t* data, size_t len,
     sh[b].ok = true;
   }
 
-  // pass 2: re-split and encode every cell with its plane's shared table
+  // pass 2: encode every cell (planes already split in the arena) with
+  // its plane's shared table
   std::vector<ChunkResult> results(n_chunks);
   run_pool((unsigned)threads, n_chunks, [&](size_t c) {
     size_t off = c * chunk_size;
     size_t clen = std::min(chunk_size, len - off);
-    std::vector<uint8_t> reordered(bit_reorder && num_buf == 4 ? clen : 0);
-    std::unique_ptr<uint8_t[]> planes(new uint8_t[clen ? clen : 1]);
+    uint8_t* planes = planes_region + c * chunk_size;
+    uint8_t* blobd = blob_region + c * chunk_size;
     size_t plens[4];
     uint8_t* pptrs[4] = {nullptr, nullptr, nullptr, nullptr};
     plane_lengths(clen, num_buf, plens);
     size_t acc = 0;
     for (unsigned b = 0; b < num_buf; b++) {
-      pptrs[b] = planes.get() + acc;
+      pptrs[b] = planes + acc;
       acc += plens[b];
     }
-    split_planes(data + off, clen, num_buf, bit_reorder, reordered.data(),
-                 pptrs, plens);
     ChunkResult& r = results[c];
-    bool any_raw = false;
-    size_t acc2 = 0;
+    r.planes = planes;
+    size_t acc2 = 0, bcur = 0;
     for (unsigned b = 0; b < num_buf; b++) {
       r.poff[b] = acc2;
       acc2 += plens[b];
       size_t n = plens[b];
       const uint32_t* h = hists.data() + (c * num_buf + b) * 256;
       uint32_t largest = 0;
-      uint8_t larg_sym = 0;
       for (int s = 0; s < 256; s++)
-        if (h[s] > largest) {
-          largest = h[s];
-          larg_sym = (uint8_t)s;
-        }
-      std::vector<uint8_t> comp;
-      bool have = false;
+        if (h[s] > largest) largest = h[s];
+      size_t csize = 0;  // 0 = no candidate blob
       if (n > 0 && largest == n) {
-        comp.assign(1, pptrs[b][0]);
-        (void)larg_sym;
-        have = true;
+        blobd[bcur] = pptrs[b][0];  // 1-byte RLE cell
+        csize = 1;
       } else if (n >= 12 && n <= HUF_BLOCKSIZE_MAX && sh[b].ok) {
         // sound lower bound from the cell histogram: the encoded cell is
         // at least header + jump + total_code_bits/8 bytes, so a cell
@@ -1980,46 +2101,52 @@ long long ztpu_compress_shared(const uint8_t* data, size_t len,
         if ((double)lower >= (double)n * threshold || lower >= n - 1) {
           r.type[b] = 0;
           r.size[b] = n;
-          any_raw = true;
           continue;
         }
         // compress_with_table: 4-stream encode with the fixed table
         size_t seg = (n + 3) / 4;
         size_t sizes[4] = {seg, seg, seg, n - 3 * seg};
-        std::vector<uint8_t> streams[4];
-        huf_encode_4streams(pptrs[b], sizes, sh[b].ct, streams);
+        size_t stride = seg + (seg >> 1) + 16;
+        size_t ssize[4];
+        huf_encode_4streams(pptrs[b], sizes, sh[b].ct,
+                            enc_scratch(4 * stride), stride, ssize);
         bool ok = true;
         for (int k = 0; k < 4; k++)
-          if (streams[k].empty() || streams[k].size() > 65535) ok = false;
-        if (ok) {
-          comp.clear();
-          comp.reserve(sh[b].header.size() + 6 + streams[0].size() +
-                       streams[1].size() + streams[2].size() +
-                       streams[3].size());
-          comp.insert(comp.end(), sh[b].header.begin(), sh[b].header.end());
-          uint8_t jump[6];
-          write_le16(jump + 0, (uint16_t)streams[0].size());
-          write_le16(jump + 2, (uint16_t)streams[1].size());
-          write_le16(jump + 4, (uint16_t)streams[2].size());
-          comp.insert(comp.end(), jump, jump + 6);
-          for (int k = 0; k < 4; k++)
-            comp.insert(comp.end(), streams[k].begin(), streams[k].end());
-          have = comp.size() < n - 1;  // compress_with_table size guard
+          if (ssize[k] == 0 || ssize[k] > 65535) ok = false;
+        size_t total =
+            sh[b].header.size() + 6 + ssize[0] + ssize[1] + ssize[2] + ssize[3];
+        // compress_with_table size guard + blob-region capacity
+        if (ok && total < n - 1 && total <= clen - bcur) {
+          uint8_t* op = blobd + bcur;
+          std::memcpy(op, sh[b].header.data(), sh[b].header.size());
+          op += sh[b].header.size();
+          write_le16(op + 0, (uint16_t)ssize[0]);
+          write_le16(op + 2, (uint16_t)ssize[1]);
+          write_le16(op + 4, (uint16_t)ssize[2]);
+          op += 6;
+          const uint8_t* sbase = t_enc_buf.get();
+          for (int k = 0; k < 4; k++) {
+            std::memcpy(op, sbase + (size_t)k * stride, ssize[k]);
+            op += ssize[k];
+          }
+          csize = total;
         }
       }
-      if (have && (double)comp.size() < (double)n * threshold) {
+      if (csize && (double)csize < (double)n * threshold) {
         r.type[b] = 1;
-        r.size[b] = comp.size();
-        r.blob[b] = std::move(comp);
+        r.size[b] = csize;
+        r.blob[b] = blobd + bcur;
+        bcur += csize;
       } else {
         r.type[b] = 0;
         r.size[b] = n;
-        any_raw = true;
       }
     }
-    if (any_raw) r.planes = std::move(planes);
   });
-  return assemble_payload(results, n_chunks, num_buf, threads, out, out_cap);
+  long long ret =
+      assemble_payload(results, n_chunks, num_buf, threads, out, out_cap);
+  arena_release(std::move(arena));
+  return ret;
 }
 
 // Decompress the table+planes payload into `out` (orig_size bytes).
@@ -2028,6 +2155,7 @@ long long ztpu_decompress(const uint8_t* payload, size_t payload_len,
                           unsigned num_buf, int bit_reorder, int byte_reorder,
                           size_t chunk_size, size_t orig_size, int threads,
                           uint8_t* out) {
+  tune_malloc_once();
   (void)byte_reorder;
   if (num_buf != 1 && num_buf != 2 && num_buf != 4) return -1;
   size_t n_chunks = chunk_size ? (orig_size + chunk_size - 1) / chunk_size : 0;
@@ -2096,13 +2224,10 @@ long long ztpu_decompress(const uint8_t* payload, size_t payload_len,
 // single-block entry points (for cross-validation tests)
 long long ztpu_huf_compress(const uint8_t* data, size_t n, uint8_t* out,
                             size_t out_cap) {
-  std::vector<uint8_t> comp;
-  long long r = huf_compress_block(data, n, comp);
+  long long r = huf_compress_block(data, n, out, out_cap);
   if (r == 0) return 0;
-  size_t sz = comp.size();
-  if (sz > out_cap) return -1;
-  std::memcpy(out, comp.data(), sz);
-  return (long long)sz;
+  if (r == -1) return out_cap < 1 ? -1 : 1;  // 1-byte RLE already in out[0]
+  return r;
 }
 
 long long ztpu_huf_decompress(const uint8_t* data, size_t c_size, uint8_t* out,
