@@ -162,8 +162,12 @@ def _decode_measured(payload, data, bit_reorder, results, key, extra=None):
     nfull = g.full * PC_CHUNK  # ragged tail (if any) decodes on host
     host_out = np.ascontiguousarray(owords).astype("<u4", copy=False)
     flat8 = host_out.reshape(-1).view(np.uint8)
-    for c, buf in patches.items():
-        flat8[c * PC_CHUNK : (c + 1) * PC_CHUNK] = buf
+    if patches:
+        # device arrays export read-only buffers; the library path writes
+        # into its own output buffer, the bench mirror copies (untimed)
+        flat8 = np.array(flat8)
+        for c, buf in patches.items():
+            flat8[c * PC_CHUNK : (c + 1) * PC_CHUNK] = buf
     assert bytes(flat8)[:nfull] == data[:nfull], (
         f"{key} decode mismatch"
     )
@@ -333,13 +337,24 @@ def bench_tpu_fused_encode(data: bytes, comp: bytes, results) -> None:
         cold = {}
         payload = assemble(*outs, timings=cold)
         assert payload == bytes(comp[HEADER_LEN:]), "fused encode payload mismatch"
-        # warm pass: same buffers sizes re-use freed pages — separates the
+        # warm pass: same buffer sizes re-use freed pages — separates the
         # splice's memcpy cost from this VM's ~14 us/page cold-fault
-        # pathology (a production host with THP pays the warm number)
-        warm = {}
+        # pathology (a production host with THP pays the warm number).
+        # Best of 3: this VM's single vCPU gets descheduled for tens of ms
+        # at a time, which a one-shot measurement can't distinguish from
+        # splice cost.
+        import gc
+
+        gc.collect()
         staging = np.empty(len(data) + 8 * MB, np.uint8)
         staging[::4096] = 0  # pre-faulted staging buffer, reused per call
+        warm = {}
         payload = assemble(*outs, timings=warm, out_buf=staging)
+        for _i in range(2):
+            t = {}
+            payload = assemble(*outs, timings=t, out_buf=staging)
+            if t.get("splice_s", 1e9) < warm.get("splice_s", 1e9):
+                warm = t
         best = float("inf")
         for _i in range(3):
             t0 = time.perf_counter()
@@ -365,25 +380,47 @@ def bench_tpu_fused_encode(data: bytes, comp: bytes, results) -> None:
         results["tpu_fused_encode"] = {"error": f"{type(exc).__name__}: {exc}"[:300]}
 
 
-def bench_native(data: bytes, results) -> None:
+_NATIVE_SUB = r"""
+import json, sys, time
+import numpy as np
+sys.path.insert(0, {repo!r})
+from zipnn_tpu import ZipNN
+MB = 1024 * 1024
+rng = np.random.default_rng(7)
+vals = (rng.standard_normal({nbytes} // 2) * 0.05).astype(np.float32)
+data = ((vals.view(np.uint32) >> 16).astype(np.uint16)).tobytes()
+z = ZipNN(engine="native")
+bc = bd = float("inf")
+for _ in range(3):
+    t0 = time.perf_counter(); comp = z.compress(data)
+    bc = min(bc, time.perf_counter() - t0)
+    t0 = time.perf_counter(); dec = z.decompress(comp)
+    bd = min(bd, time.perf_counter() - t0)
+assert bytes(dec) == data
+gb = len(data) / 1e9
+print(json.dumps({{"ratio": round(len(comp) / len(data), 4),
+                   "compress_GBps": round(gb / bc, 3),
+                   "decompress_GBps": round(gb / bd, 3)}}))
+"""
+
+
+def bench_native(nbytes: int, results) -> None:
+    """Native host engine, measured in a CLEAN subprocess: late in the
+    bench this process holds multiple GB of live buffers and this VM's
+    allocator slows measurably under that pressure (round-2 driver runs
+    recorded ~40% below same-code clean-process numbers)."""
+    import subprocess
+
     try:
-        z = ZipNN(engine="native")
-        bc = bd = float("inf")
-        comp = None
-        for _ in range(3):
-            t0 = time.perf_counter()
-            comp = z.compress(data)
-            bc = min(bc, time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            dec = z.decompress(comp)
-            bd = min(bd, time.perf_counter() - t0)
-        assert bytes(dec) == data
-        gb = len(data) / 1e9
-        results["native"] = {
-            "ratio": round(len(comp) / len(data), 4),
-            "compress_GBps": round(gb / bc, 3),
-            "decompress_GBps": round(gb / bd, 3),
-        }
+        repo = os.path.dirname(os.path.abspath(__file__))
+        script = _NATIVE_SUB.format(repo=repo, nbytes=nbytes)
+        out = subprocess.run(
+            [sys.executable, "-c", script], capture_output=True, text=True,
+            timeout=600, check=True,
+        )
+        results["native"] = json.loads(out.stdout.strip().splitlines()[-1])
+    except subprocess.CalledProcessError as exc:
+        results["native"] = {"error": (exc.stderr or "")[-200:]}
     except Exception as exc:
         results["native"] = {"error": str(exc)[:200]}
 
@@ -410,13 +447,7 @@ def main():
         flush=True,
     )
 
-    # native runs early: late in the run the process holds multiple GB of
-    # live buffers and this VM's allocator slows measurably under pressure
-    import gc
-
-    gc.collect()
-    data64 = synth_bf16(min(SIZE, 64 * MB))
-    bench_native(data64, results)
+    bench_native(min(SIZE, 64 * MB), results)
     print(f"[bench] native: {results['native']}", file=sys.stderr)
 
     bench_real_checkpoint(results)
