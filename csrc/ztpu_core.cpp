@@ -2014,16 +2014,21 @@ long long ztpu_compress_shared(const uint8_t* data, size_t len,
     }
   });
 
-  // shared table per plane from the plane-global histogram
+  // shared table per plane.  Format policy (codec.shared_sample_stride):
+  // at >= 512 chunks the table is built from every 8th chunk's histogram
+  // only, and a plane whose sampled expected code length cannot beat the
+  // threshold is "hopeless" — every cell raw (RLE still applies).
+  const size_t sample_stride = n_chunks >= 512 ? 8 : 1;
   struct SharedT {
     HufCTable ct;
     std::vector<uint8_t> header;
     bool ok = false;
+    bool live = true;
   };
   SharedT sh[4];
   for (unsigned b = 0; b < num_buf; b++) {
     uint64_t count64[256] = {0};
-    for (size_t c = 0; c < n_chunks; c++) {
+    for (size_t c = 0; c < n_chunks; c += sample_stride) {
       const uint32_t* h = hists.data() + (c * num_buf + b) * 256;
       for (int s = 0; s < 256; s++) count64[s] += h[s];
     }
@@ -2039,6 +2044,7 @@ long long ztpu_compress_shared(const uint8_t* data, size_t len,
         max_sv = s;
       }
     }
+    sh[b].live = sample_stride == 1;  // hopeless rule only when sampling
     if (total == 0 || n_present < 2) continue;  // no table (build returns None)
     HufCTable& ct = sh[b].ct;
     int max_len;
@@ -2054,6 +2060,13 @@ long long ztpu_compress_shared(const uint8_t* data, size_t len,
     if (!huf_write_ctable(ct, sh[b].header)) continue;
     canonical_values(ct);
     sh[b].ok = true;
+    if (sample_stride > 1) {
+      // identical IEEE-double expression as codec.shared_plane_hopeless
+      uint64_t sbits = 0;
+      for (int s = 0; s < 256; s++)
+        sbits += count64[s] * (uint64_t)ct.lengths[s];
+      sh[b].live = !((double)sbits >= threshold * 8.0 * (double)total);
+    }
   }
 
   // pass 2: encode every cell (planes already split in the arena) with
@@ -2087,18 +2100,24 @@ long long ztpu_compress_shared(const uint8_t* data, size_t len,
       if (n > 0 && largest == n) {
         blobd[bcur] = pptrs[b][0];  // 1-byte RLE cell
         csize = 1;
-      } else if (n >= 12 && n <= HUF_BLOCKSIZE_MAX && sh[b].ok) {
+      } else if (n >= 12 && n <= HUF_BLOCKSIZE_MAX && sh[b].ok && sh[b].live) {
         // sound lower bound from the cell histogram: the encoded cell is
         // at least header + jump + total_code_bits/8 bytes, so a cell
         // whose lower bound already fails the size/threshold guards is
         // raw without running the encoder (mantissa planes skip ~all
         // their encode work; decisions stay byte-exact because the true
-        // size can only be larger)
+        // size can only be larger).  A sampled table (stride > 1) may
+        // have no code for a byte the sample never saw — such a cell
+        // stores raw (codec.compress_cell_shared's guard).
         uint64_t bits = 0;
-        for (int s2 = 0; s2 < 256; s2++)
+        bool uncodeable = false;
+        for (int s2 = 0; s2 < 256; s2++) {
+          if (h[s2] && !sh[b].ct.lengths[s2]) uncodeable = true;
           bits += (uint64_t)h[s2] * sh[b].ct.lengths[s2];
+        }
         uint64_t lower = sh[b].header.size() + 6 + bits / 8;
-        if ((double)lower >= (double)n * threshold || lower >= n - 1) {
+        if (uncodeable || (double)lower >= (double)n * threshold ||
+            lower >= n - 1) {
           r.type[b] = 0;
           r.size[b] = n;
           continue;

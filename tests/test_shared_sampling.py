@@ -1,0 +1,187 @@
+"""Shared-table profile: sampled table build + hopeless-plane skip.
+
+Format policy (codec.py): at >= SHARED_SAMPLE_MIN_CHUNKS chunks the plane
+table is built from every SHARED_SAMPLE_STRIDE-th chunk only, a plane
+whose sampled expected code length cannot beat the threshold stores every
+cell raw (RLE still applies), and a cell containing a byte the sample
+never saw stores raw.  All engines must produce identical bytes under the
+policy; below the gate, bytes are the legacy exact build.
+"""
+import numpy as np
+import pytest
+
+from zipnn_tpu import codec
+from zipnn_tpu.ops.entropy import huf
+
+RNG = np.random.default_rng(42)
+
+CHUNK = 1024  # tiny chunks so >=512-chunk containers stay small
+NB = 2
+
+
+def _interleave(exp_cells, man_cells):
+    """Build bf16-shaped input whose byte planes are the given cells
+    (byte_reorder=10, bit_reorder=0: plane0 = even bytes, plane1 = odd)."""
+    n_chunks, half = exp_cells.shape
+    out = np.empty((n_chunks, half, 2), np.uint8)
+    out[:, :, 0] = man_cells
+    out[:, :, 1] = exp_cells
+    return out.reshape(-1)
+
+
+def _mk(n_chunks, rare_chunk=None):
+    """Compressible exponent plane + incompressible mantissa plane; when
+    ``rare_chunk`` is given, that chunk's exponent cell gets a byte value
+    that appears nowhere else (so a sampled table cannot code it)."""
+    half = CHUNK // 2
+    exp = np.clip(RNG.normal(128, 3, (n_chunks, half)), 0, 255).astype(np.uint8)
+    if rare_chunk is not None:
+        exp[rare_chunk, 7] = 251  # nowhere near N(128, 3)
+    man = RNG.integers(0, 256, (n_chunks, half), dtype=np.uint8)
+    return _interleave(exp, man), exp, man
+
+
+def _compress(data, threshold=0.95):
+    return codec.compress_payload_numpy(
+        data, NB, 0, 10, CHUNK, threshold, shared_tables=True
+    )
+
+
+def _types(payload, n_chunks):
+    types, _starts, _ds = codec.parse_tables(payload, NB, n_chunks)
+    return types
+
+
+def _roundtrip(payload, data):
+    back = codec.decompress_payload_numpy(payload, NB, 0, 10, CHUNK, data.size)
+    assert np.array_equal(back, data)
+
+
+def test_stride_gate_boundary():
+    assert codec.shared_sample_stride(511) == 1
+    assert codec.shared_sample_stride(512) == codec.SHARED_SAMPLE_STRIDE
+
+
+def test_below_gate_matches_legacy_exact_build():
+    """< 512 chunks: the table is the full-histogram build — container
+    bytes must equal a hand-built legacy encode."""
+    n_chunks = 24
+    data, exp, _man = _mk(n_chunks)
+    payload = _compress(data)
+    # legacy reference: full-plane table, every cell tried
+    count = np.bincount(exp.reshape(-1), minlength=256).astype(np.int64)
+    table = huf.build_shared_table(count)
+    blob = codec.compress_cell_shared(exp[0], table)
+    assert blob is not None and len(blob) < exp[0].size * 0.95
+    _roundtrip(payload, data)
+    types = _types(payload, n_chunks)
+    assert types[1].all() and not types[0].any()  # exp huf, man raw
+
+
+def test_sampled_table_and_hopeless_plane():
+    """>= 512 chunks: mantissa plane is hopeless (zero huf cells without
+    per-cell attempts), exponent plane compresses, roundtrip bit-exact."""
+    n_chunks = 520
+    data, _exp, _man = _mk(n_chunks)
+    payload = _compress(data)
+    types = _types(payload, n_chunks)
+    assert not types[0].any()  # hopeless mantissa plane: all raw
+    # nearly all exponent cells pass; the few misses are cells holding a
+    # tail byte the 1/8 sample never saw (tiny 512-byte cells exaggerate
+    # this — at MB-scale samples the miss rate is ~0)
+    assert types[1].sum() >= int(n_chunks * 0.95)
+    _roundtrip(payload, data)
+
+
+def test_uncodeable_cell_stores_raw():
+    """A cell whose rare byte the sample never saw must store raw — and
+    still roundtrip bit-exactly."""
+    n_chunks = 520
+    rare = 9  # 9 % 8 != 0 -> not sampled
+    assert rare % codec.SHARED_SAMPLE_STRIDE != 0
+    data, exp, _man = _mk(n_chunks, rare_chunk=rare)
+    # the rare byte really is absent from the sampled set
+    samp = exp[:: codec.SHARED_SAMPLE_STRIDE]
+    assert 251 not in samp
+    payload = _compress(data)
+    types = _types(payload, n_chunks)
+    assert types[1, rare] == 0  # uncodeable cell -> raw
+    assert types[1, rare - 1] == 1 and types[1, rare + 1] == 1
+    _roundtrip(payload, data)
+
+
+def test_rle_cells_survive_on_hopeless_plane():
+    n_chunks = 520
+    data, _exp, man = _mk(n_chunks)
+    man[33] = 77  # constant mantissa cell
+    data = _interleave(_exp_from(data, n_chunks), man)
+    payload = _compress(data)
+    types = _types(payload, n_chunks)
+    assert types[0, 33] == 1  # RLE block on the otherwise-raw plane
+    assert types[0, 32] == 0 and types[0, 34] == 0
+    _roundtrip(payload, data)
+
+
+def _exp_from(data, n_chunks):
+    return data.reshape(n_chunks, CHUNK // 2, 2)[:, :, 1].copy()
+
+
+def test_hopeless_rule_is_pure_double_math():
+    """The hopeless predicate is an exact IEEE expression both spec sides
+    must reproduce (engines are compared at the container level in
+    test_native.py; this pins the reference values)."""
+    count = np.zeros(256, np.int64)
+    count[:16] = 1000
+    lengths = np.full(256, 8, np.uint8)
+    lengths[:16] = 4
+    assert not codec.shared_plane_hopeless(count, lengths, 0.95)
+    assert codec.shared_plane_hopeless(count, lengths, 0.5 - 1e-9)
+    # boundary: bits exactly == threshold*8*total counts as hopeless
+    count2 = np.zeros(256, np.int64)
+    count2[0] = 100
+    count2[1] = 100
+    lengths2 = np.zeros(256, np.uint8)
+    lengths2[0] = lengths2[1] = 4
+    assert codec.shared_plane_hopeless(count2, lengths2, 0.5)
+
+
+@pytest.mark.parametrize("n_chunks", [511, 512, 513])
+def test_gate_boundary_roundtrips(n_chunks):
+    data, _e, _m = _mk(n_chunks)
+    payload = _compress(data)
+    _roundtrip(payload, data)
+
+
+def test_jax_engine_byte_identical_under_sampling():
+    """The tpu-engine (XLA fallback on CPU) compress must reproduce the
+    sampled-table policy byte-for-byte, including the tail-cell rule."""
+    from zipnn_tpu.ops import jax_codec
+
+    n_chunks = 514  # 513 full chunks + ragged tail
+    data, _e, _m = _mk(n_chunks, rare_chunk=9)
+    data = data[: 513 * CHUNK + 700]
+    p_np = codec.compress_payload_numpy(
+        data, NB, 0, 10, CHUNK, 0.95, shared_tables=True
+    )
+    p_jx = jax_codec.compress_payload(
+        data, NB, 0, 10, CHUNK, 0.95, shared_tables=True
+    )
+    assert bytes(p_jx) == p_np
+
+
+@pytest.mark.parametrize("n_chunks", [511, 513, 520])
+def test_native_byte_identical_under_sampling(n_chunks):
+    """The native engine must reproduce the sampled-table policy exactly
+    (same table, same hopeless skip, same uncodeable-cell raws)."""
+    native = pytest.importorskip("zipnn_tpu.native")
+    data, _e, _m = _mk(n_chunks, rare_chunk=9)
+    p_np = _compress(data)
+    p_nat = native.compress_payload_shared(data, NB, 0, 10, CHUNK, 0.95, 2)
+    assert bytes(memoryview(p_nat)) == p_np
+    # and with a bit_reorder=1 bf16-style container at a larger chunk
+    big = _mk(n_chunks)[0]
+    p_np2 = codec.compress_payload_numpy(
+        big, NB, 1, 10, CHUNK, 0.95, shared_tables=True
+    )
+    p_nat2 = native.compress_payload_shared(big, NB, 1, 10, CHUNK, 0.95, 2)
+    assert bytes(memoryview(p_nat2)) == p_np2

@@ -35,6 +35,38 @@ from .ops.entropy import huf
 DEFAULT_THRESHOLD = 0.95
 HUF_CAP = 128 * 1024  # HUF block limit; planes larger than this store raw
 
+# Shared-table profile: table-build sampling (format policy, all engines).
+# At >= 512 chunks the plane's Huffman table is built from every 8th
+# chunk's plane only, and a plane whose sampled expected code length
+# cannot beat the threshold is skipped wholesale ("hopeless": every cell
+# raw, RLE still applies).  Below 512 chunks behavior is the legacy exact
+# build, so small-container bytes are unchanged.  Rationale: at GB scale
+# the table from a 1/8 chunk sample is statistically identical, and the
+# device encoder then never needs full per-stream histograms (PERF.md).
+SHARED_SAMPLE_MIN_CHUNKS = 512
+SHARED_SAMPLE_STRIDE = 8
+
+
+def shared_sample_stride(n_chunks: int) -> int:
+    """Chunk stride for the shared-table histogram (1 = every chunk)."""
+    return SHARED_SAMPLE_STRIDE if n_chunks >= SHARED_SAMPLE_MIN_CHUNKS else 1
+
+
+def shared_plane_hopeless(
+    count: np.ndarray, lengths: np.ndarray, threshold: float
+) -> bool:
+    """Plane-level skip rule, applied only when sampling is active.
+
+    True when the sampled expected code length >= 8 * threshold bits per
+    symbol — such a plane cannot produce cells that beat the threshold.
+    All engines evaluate the identical IEEE-double expression so the
+    decision (and therefore the container bytes) is engine-independent.
+    """
+    c = count.astype(np.int64)
+    bits = float(int((c * lengths.astype(np.int64)).sum()))
+    total = float(int(c.sum()))
+    return bits >= threshold * 8.0 * total
+
 
 def effective_chunk(compression_chunk: int, num_buf: int) -> int:
     """fp8 (single-plane) chunks are capped at the 128 KB HUF block limit
@@ -87,20 +119,27 @@ def compress_payload_numpy(
             all_planes[b].append(planes[b])
 
     shared = [None] * num_buf
+    live = [True] * num_buf
     if shared_tables:
+        stride = shared_sample_stride(n_chunks)
         for b in range(num_buf):
             count = np.zeros(256, dtype=np.int64)
-            for plane in all_planes[b]:
+            for c in range(0, n_chunks, stride):
+                plane = all_planes[b][c]
                 if plane.size:
                     count += np.bincount(plane, minlength=256)
             if count.sum():
                 shared[b] = huf.build_shared_table(count)
+            if stride > 1:
+                live[b] = shared[b] is not None and not shared_plane_hopeless(
+                    count, shared[b][0], threshold
+                )
 
     for c in range(n_chunks):
         for b in range(num_buf):
             plane = all_planes[b][c]
             if shared_tables:
-                comp = compress_cell_shared(plane, shared[b])
+                comp = compress_cell_shared(plane, shared[b] if live[b] else None)
             else:
                 comp = huf.compress(plane)
             if comp is not None and len(comp) < plane.size * threshold:
@@ -131,6 +170,10 @@ def compress_cell_shared(plane: np.ndarray, table) -> Optional[bytes]:
     if table is None:
         return None
     lengths, vals, header, _ = table
+    if int(lengths[plane].min()) == 0:
+        # sampled table (shared_sample_stride > 1): the cell contains a
+        # byte the sample never saw, so the table has no code for it
+        return None
     return huf.compress_with_table(plane, lengths, vals, header)
 
 

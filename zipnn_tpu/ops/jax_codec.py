@@ -275,6 +275,8 @@ def compress_payload(
         )
 
     plane_host = None
+    shared = [None] * num_buf
+    live = [True] * num_buf
     if full:
         # device: split planes + per-cell histograms
         words = data[: full * chunk_size].view("<u4").reshape(full, chunk_size // 4)
@@ -289,14 +291,28 @@ def compress_payload(
         ).reshape(full, num_buf, 256)
 
         # host: per-cell coding plan
-        shared = [None] * num_buf
+        from ..codec import (  # noqa: PLC0415
+            shared_plane_hopeless, shared_sample_stride,
+        )
+
+        stride = shared_sample_stride(n_chunks)
         if shared_tables:
             for b in range(num_buf):
-                count = hist[:, b].sum(axis=0).astype(np.int64)
-                if tail_planes is not None and tail_planes[b].size:
+                # format policy: table from every stride-th chunk (the
+                # tail cell samples when its index, == full, is on stride)
+                count = hist[::stride, b].sum(axis=0).astype(np.int64)
+                if (
+                    tail_planes is not None
+                    and full % stride == 0
+                    and tail_planes[b].size
+                ):
                     count += np.bincount(tail_planes[b], minlength=256)
                 if count.sum():
                     shared[b] = huf.build_shared_table(count)
+                if stride > 1:
+                    live[b] = shared[b] is not None and not shared_plane_hopeless(
+                        count, shared[b][0], threshold
+                    )
 
         plans = [[None] * num_buf for _ in range(full)]
         enc_cells: List[Tuple[int, int]] = []
@@ -306,7 +322,10 @@ def compress_payload(
                 if shared_tables:
                     if int(cnt.max()) == plane_bytes:
                         plan = ("rle", int(np.nonzero(cnt)[0][0]))
-                    elif shared[b] is None:
+                    elif shared[b] is None or not live[b]:
+                        plan = ("raw",)
+                    elif int(cnt[shared[b][0] == 0].sum()) > 0:
+                        # sampled table has no code for a byte of this cell
                         plan = ("raw",)
                     else:
                         lengths, vals, header, _tl = shared[b]
@@ -439,7 +458,7 @@ def compress_payload(
             if shared_tables:
                 from ..codec import compress_cell_shared  # noqa: PLC0415
 
-                comp = compress_cell_shared(plane, shared[b])
+                comp = compress_cell_shared(plane, shared[b] if live[b] else None)
             else:
                 comp = huf.compress(plane)
             if comp is not None and len(comp) < plane.size * threshold:
