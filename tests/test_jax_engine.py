@@ -337,6 +337,8 @@ def test_fused_encode_assembly_with_mocked_kernel(monkeypatch):
                 syms = wh[s].view(np.uint8)
                 blob = _huf.encode_stream(syms, vals, lens)
                 bits[s] = int(lens[syms].astype(np.int64).sum()) + 1
+                if (lens[syms] == 0).any():  # kernel bit-30 uncodeable flag
+                    bits[s] |= 1 << 30
                 bv = np.frombuffer(blob, np.uint8)
                 r8 = rows[s].view(np.uint8)
                 n = min(bv.size, r8.size)

@@ -59,8 +59,11 @@ def sim_encode(syms_rev, lengths, vals, SW):
             w8[k] = np.where(dump, U(0), w8[k])
         return np.where(dump, base2 + 4, base2), w8
 
+    bad = np.zeros(S, bool)  # mirrors kernel total bit 30 (uncodeable)
+
     def append(val, nb):
-        nonlocal acc_lo, acc_hi, nbits, total
+        nonlocal acc_lo, acc_hi, nbits, total, bad
+        bad |= nb == 0
         nbu = nbits.astype(U)
         lo_add = np.where(nbits < 32, (val << (nbu & U(31))).astype(U), U(0))
         hi_sh = np.where(nbits >= 32, nbits - 32, 0).astype(U)
@@ -122,7 +125,7 @@ def sim_encode(syms_rev, lengths, vals, SW):
     for k in range(8):
         r = np.minimum(c2 * 4 + k, SW - 1)
         out[idx, r] = np.where(kk0 > k, w8[k], out[idx, r])
-    return out, total
+    return out, total | (bad.astype(np.int64) << 30)
 
 
 @pytest.mark.parametrize("seg", [256, 1024])
@@ -155,6 +158,25 @@ def test_sim_encode_max_rate():
         nbytes = (int(total[i]) + 7) // 8
         got = out[i].astype("<u4").view(np.uint8)[:nbytes]
         assert np.array_equal(got, np.frombuffer(want, np.uint8)), i
+
+
+def test_sim_encode_bit30_uncodeable_flag():
+    """A symbol with a zero-length table entry must latch bit 30 of the
+    stream's bit count (the sampled-table uncodeable marker) without
+    disturbing the low bits; streams without such symbols stay clean."""
+    seg = 256
+    datas = np.clip(RNG.normal(60, 4, size=(3, seg)), 0, 255).astype(np.uint8)
+    lengths, vals = make_table(datas)
+    hole = int(np.nonzero(lengths == 0)[0][-1])
+    poisoned = datas.copy()
+    poisoned[1, 17] = hole
+    SW = max(96, -(-(seg + 128) // 128) * 32)
+    _out, clean = sim_encode(datas[:, ::-1].copy(), lengths, vals, SW)
+    _out, total = sim_encode(poisoned[:, ::-1].copy(), lengths, vals, SW)
+    assert not (clean >> 30).any()
+    assert (total[1] >> 30) & 1 == 1
+    assert not (total[[0, 2]] >> 30).any()
+    assert total[0] & 0x3FFFFFFF == clean[0]
 
 
 def test_sim_encode_low_entropy():
@@ -219,6 +241,46 @@ def test_tpu_plan_fast_encode_matches_numpy_spec():
         data, 2, 1, 10, 32768, shared_tables=True
     )
     assert payload == bytes(want)
+
+
+@pytest.mark.tpu
+def test_tpu_plan_fast_encode_sampled_profile():
+    """>= 512 chunks: the sampled fused pipeline (sampled MXU histogram,
+    const-scan kernel for RLE, encode-kernel bit-30 uncodeable flags)
+    must match the numpy spec byte for byte — including an RLE cell on
+    the hopeless mantissa plane and a cell whose rare byte the 1/8
+    sample never saw."""
+    import jax
+
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("needs a real TPU")
+    from zipnn_tpu import codec as host_codec
+    from zipnn_tpu.ops import jax_codec
+
+    rng = np.random.default_rng(11)
+    chunk = 32768
+    n_chunks = 520
+    half = chunk // 2
+    exp = np.clip(rng.normal(128, 3, (n_chunks, half)), 0, 255).astype(np.uint8)
+    samp = exp[::8]
+    rare = next(v for v in range(255, -1, -1) if v not in samp)
+    exp[9, 7] = rare  # chunk 9 is not sampled -> uncodeable cell
+    man = rng.integers(0, 256, (n_chunks, half), dtype=np.uint8)
+    man[33] = 77  # RLE cell on the raw plane
+    data = np.empty((n_chunks, half, 2), np.uint8)
+    data[:, :, 0] = man
+    data[:, :, 1] = exp
+    data = data.reshape(-1)
+    plan = jax_codec.plan_fast_encode(data, 2, 0, 10, chunk)
+    assert plan is not None
+    run, words_dev, assemble = plan
+    payload = assemble(*run(words_dev))
+    want = host_codec.compress_payload_numpy(
+        data, 2, 0, 10, chunk, shared_tables=True
+    )
+    assert payload == bytes(want)
+    types, _s, _d = host_codec.parse_tables(bytes(payload), 2, n_chunks)
+    assert types[1, 9] == 0 and types[0, 33] == 1
 
 
 @pytest.mark.tpu

@@ -169,6 +169,87 @@ def test_jax_engine_byte_identical_under_sampling():
     assert bytes(p_jx) == p_np
 
 
+def _fake_plane_call(seg, sw):
+    """Contract-faithful numpy stand-in for the Pallas encode kernel
+    (exact blob bytes + exact bit counts incl. the sentinel)."""
+    import jax.numpy as jnp
+
+    def run(w, t):
+        wh = np.ascontiguousarray(w).astype("<u4", copy=False)
+        tb = np.asarray(t).astype(np.uint32)
+        ent = np.zeros(256, np.uint32)
+        ent[0::2] = tb[0, :128] & 0xFFFF
+        ent[1::2] = tb[0, :128] >> 16
+        vals = (ent & 0xFF).astype(np.uint16)
+        lens = ((ent >> 8) & 0xFF).astype(np.uint8)
+        S = wh.shape[0]
+        rows = np.zeros((S, sw), "<u4")
+        bits = np.zeros(S, np.int64)
+        for s in range(S):
+            syms = wh[s].view(np.uint8)
+            blob = huf.encode_stream(syms, vals, lens)
+            bits[s] = int(lens[syms].astype(np.int64).sum()) + 1
+            if (lens[syms] == 0).any():  # kernel bit-30 uncodeable flag
+                bits[s] |= 1 << 30
+            bv = np.frombuffer(blob, np.uint8)
+            r8 = rows[s].view(np.uint8)
+            n = min(bv.size, r8.size)
+            r8[:n] = bv[:n]
+        return jnp.asarray(rows.view("<u4")), jnp.asarray(bits)
+
+    return run
+
+
+@pytest.mark.parametrize("n_chunks,rare", [(520, 9), (512, 100), (513, None)])
+def test_fused_encode_sampled_path(monkeypatch, n_chunks, rare):
+    """plan_fast_encode's sampled pipeline (sampled MXU histogram, kernel
+    bit counts, elementwise RLE + uncodeable sweeps) must assemble a
+    payload byte-identical to the numpy spec — with only the Pallas
+    kernel faked; the sampled split/hist and uncodeable-scan dispatches
+    run for real as XLA-on-CPU."""
+    from zipnn_tpu.ops import jax_codec
+
+    monkeypatch.setattr(jax_codec, "FORCE_DEVICE_PATH", True)
+    monkeypatch.setattr(jax_codec, "_fused_encode_plane_call", _fake_plane_call)
+
+    data, _exp, man = _mk(n_chunks, rare_chunk=rare)
+    man[33] = 77  # RLE cell on the hopeless mantissa plane
+    data = _interleave(_exp_from(data, n_chunks), man)
+    want = _compress(data)
+    plan = jax_codec.plan_fast_encode(data, NB, 0, 10, CHUNK)
+    assert plan is not None
+    run, words_dev, assemble = plan
+    payload = assemble(*run(words_dev))
+    assert bytes(payload) == want
+    _roundtrip(bytes(payload), data)
+
+
+def test_fused_encode_sampled_path_fp32(monkeypatch):
+    """Same, 4-plane fp32 (mode 220) with sign rotation."""
+    from zipnn_tpu.ops import jax_codec
+
+    monkeypatch.setattr(jax_codec, "FORCE_DEVICE_PATH", True)
+    monkeypatch.setattr(jax_codec, "_fused_encode_plane_call", _fake_plane_call)
+
+    n_chunks = 516
+    vals = (RNG.standard_normal(n_chunks * CHUNK // 4) * 0.05).astype(
+        np.float32
+    )
+    data = np.frombuffer(vals.tobytes(), np.uint8)
+    want = codec.compress_payload_numpy(
+        data, 4, 1, 220, CHUNK, 0.95, shared_tables=True
+    )
+    plan = jax_codec.plan_fast_encode(data, 4, 1, 220, CHUNK)
+    assert plan is not None
+    run, words_dev, assemble = plan
+    payload = assemble(*run(words_dev))
+    assert bytes(payload) == want
+    back = codec.decompress_payload_numpy(
+        bytes(payload), 4, 1, 220, CHUNK, data.size
+    )
+    assert np.array_equal(back, data)
+
+
 @pytest.mark.parametrize("n_chunks", [511, 513, 520])
 def test_native_byte_identical_under_sampling(n_chunks):
     """The native engine must reproduce the sampled-table policy exactly

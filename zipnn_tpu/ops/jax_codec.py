@@ -116,6 +116,10 @@ from functools import lru_cache
 # the kernels' INTERPRET flags so CPU CI drives the fused pipelines.
 FORCE_DEVICE_PATH = False
 
+# Sentinel marking a plan_fast_encode result from the sampled pipeline
+# (decision arrays still on device; materialized at assembly).
+_SAMPLED = object()
+
 
 def _platform_is_tpu() -> bool:
     if FORCE_DEVICE_PATH:
@@ -223,7 +227,11 @@ def _encode_shared_pallas(planes_words, enc_cells, shared, num_buf, seg, phist):
         for j, i in enumerate(sel):
             for k in range(4):
                 s = 4 * j + k
-                if (int(bits_h[s]) + 31) // 32 + 8 > sw:  # row overflowed
+                # mask the kernel's bit-30 uncodeable flag; it cannot fire
+                # here (the caller's plan stores cells with uncodeable
+                # bytes raw before ever reaching the kernel)
+                nbits = int(bits_h[s]) & 0x3FFFFFFF
+                if (nbits + 31) // 32 + 8 > sw:  # row overflowed
                     cw = np.ascontiguousarray(
                         planes_words[enc_cells[i][0], b]
                     ).astype("<u4", copy=False)
@@ -231,7 +239,7 @@ def _encode_shared_pallas(planes_words, enc_cells, shared, num_buf, seg, phist):
                     blob = huf.encode_stream(syms, vals, lengths)
                     byte_rows[4 * i + k] = np.frombuffer(blob, np.uint8)
                     continue
-                nbytes = (int(bits_h[s]) + 7) // 8
+                nbytes = (nbits + 7) // 8
                 byte_rows[4 * i + k] = bv[s, :nbytes]
     return byte_rows
 
@@ -519,6 +527,62 @@ def _fused_split_hist_call(full, chunk_words, num_buf, byte_reorder, bit_reorder
 
 
 @lru_cache(maxsize=None)
+def _fused_split_hist_sampled_call(
+    full, chunk_words, num_buf, byte_reorder, bit_reorder, stride
+):
+    """Dispatch 1 for sampled containers (>= 512 chunks).
+
+    The shared-table format policy (codec.shared_sample_stride) builds
+    each plane's table from every ``stride``-th chunk only — so this
+    variant histograms just the sampled chunks (1/stride of the MXU
+    histogram work, the encode pipeline's wall) and replaces the
+    full-histogram RLE detection with :func:`pallas_gather.
+    const_scan_rows` (one streaming VMEM pass).  Exact per-stream bit
+    counts and uncodeable-byte flags come from the encode kernel itself
+    (``total_bits`` bit 30), so no full histogram is needed anywhere.
+
+    The sampled chunks are sliced WITHOUT a strided row gather (XLA
+    lowers one to a serial ~3 us/row loop): group ``stride`` chunks per
+    row by reshape, then take the leading aligned columns.
+    """
+    import jax  # noqa: PLC0415
+
+    from . import pallas_gather  # noqa: PLC0415
+
+    jnp = _jnp()
+    plane_bytes = chunk_words * 4 // num_buf
+    seg = plane_bytes // 4
+    pw = num_buf * seg  # words per chunk across planes
+
+    def run(words):  # uint32 [full * chunk_words]
+        planes = jax_transforms.split_device(
+            words.reshape(full, chunk_words), num_buf, byte_reorder, bit_reorder
+        )  # [full, num_buf, plane_words]
+        g = full // stride
+        hists = []
+        if g:
+            main = planes[: g * stride].reshape(g, stride * pw)[:, :pw]
+            hists.append(
+                jax_entropy.histogram_rows_words(
+                    main.reshape(g * num_buf * 4, seg // 4)
+                ).reshape(g, num_buf, 4, 256).sum(axis=(0, 2))
+            )
+        if g * stride < full:  # one sampled chunk in the ragged group
+            hists.append(
+                jax_entropy.histogram_rows_words(
+                    planes[g * stride].reshape(num_buf * 4, seg // 4)
+                ).reshape(num_buf, 4, 256).sum(axis=1)
+            )
+        phist_s = hists[0] if len(hists) == 1 else hists[0] + hists[1]
+        flags = pallas_gather.const_scan_rows(
+            planes.reshape(full * num_buf, seg)
+        ).reshape(full, num_buf)
+        return planes, phist_s, flags
+
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=None)
 def _screen_call(full, num_buf, plane_bytes, th_bound):
     """Dispatch 2: exact per-stream bit counts + every cell's coding
     decision, all ON DEVICE — the host receives only per-plane scalars
@@ -611,7 +675,6 @@ def plan_fast_encode(
         return None
     full = n // chunk_size
     chunk_words = chunk_size // 4
-    sh = _fused_split_hist_call(full, chunk_words, num_buf, byte_reorder, bit_reorder)
     words_dev = jnp.asarray(data.view("<u4"))
 
     import math  # noqa: PLC0415
@@ -620,6 +683,60 @@ def plan_fast_encode(
     th_bound = int(t) if float(t).is_integer() else math.ceil(t)
 
     from ..stats import phase  # noqa: PLC0415
+    from ..codec import (  # noqa: PLC0415
+        shared_plane_hopeless, shared_sample_stride,
+    )
+
+    stride = shared_sample_stride(full)  # aligned input: n_chunks == full
+
+    if stride > 1:
+        # Sampled container (>= 512 chunks): histogram only every
+        # stride-th chunk (format policy — and 1/stride of the encode
+        # pipeline's MXU-histogram wall), take exact per-stream bit
+        # counts from the encode kernel, and detect RLE / uncodeable
+        # cells with elementwise sweeps.  Decisions reproduce
+        # codec.compress_payload_numpy's sampled profile byte-for-byte.
+        shs = _fused_split_hist_sampled_call(
+            full, chunk_words, num_buf, byte_reorder, bit_reorder, stride
+        )
+
+        def run_sampled(words):
+            with phase("encode:split+hist"):
+                planes, phist_s, flags_d = shs(words)
+                ph = np.asarray(phist_s)  # nb x 256 ints: first host sync
+            shared = [None] * num_buf
+            live = [False] * num_buf
+            for b in range(num_buf):
+                cnt = ph[b].astype(np.int64)
+                if cnt.sum():
+                    shared[b] = _huf.build_shared_table(cnt)
+                live[b] = shared[b] is not None and not shared_plane_hopeless(
+                    cnt, shared[b][0], threshold
+                )
+            outs = [None] * num_buf
+            sws = [0] * num_buf
+            kbits = [None] * num_buf
+            with phase("encode:kernel"):
+                for b in range(num_buf):
+                    if not live[b]:
+                        continue
+                    lengths, vals, _header, _tl = shared[b]
+                    exp = _expected_bits(ph[b].astype(np.int64), lengths)
+                    tbl = jnp.asarray(pallas_huf_enc.pack_etable8(vals, lengths))
+                    sw = pallas_huf_enc.sw_for_expected(seg, exp)
+                    enc = _fused_encode_plane_call(seg, sw)
+                    rows, kb = enc(planes[:, b].reshape(full * 4, seg // 4), tbl)
+                    outs[b] = rows
+                    sws[b] = sw
+                    kbits[b] = kb
+            # decisions are materialized at ASSEMBLY (one deferred fetch,
+            # exactly like the legacy screen dispatch): kbits / flags stay
+            # on device here so the timed device pipeline pays no extra
+            # host round-trips
+            return (planes, shared, outs, tuple(sws), kbits, flags_d,
+                    tuple(live), _SAMPLED)
+
+    sh = _fused_split_hist_call(full, chunk_words, num_buf, byte_reorder, bit_reorder)
 
     def run(words):
         with phase("encode:split+hist"):
@@ -696,17 +813,45 @@ def plan_fast_encode(
 
         jnp = _jnp()
         t0 = _time.perf_counter()
-        bits = np.asarray(bits_d).astype(np.int64)
-        huf_ok = np.asarray(huf_ok_d)
-        rle = np.asarray(rle_d)
-        carg_h = np.asarray(carg_d).reshape(full, num_buf)
-        sbytes = (bits + 7) // 8  # [full, nb, 4]
         hlen = np.asarray(
             [len(shared[b][2]) if shared[b] is not None else 0
              for b in range(num_buf)],
             dtype=np.int64,
         )
-        comp_len = hlen[None, :] + 6 + sbytes.sum(axis=2)  # [full, nb]
+        if carg_d is _SAMPLED:
+            # sampled pipeline: exact bit counts from the encode kernel
+            # (bit 30 = uncodeable byte seen -> the cell stores raw, the
+            # codec.compress_cell_shared guard), RLE flags from the
+            # const-scan kernel; decision formulas identical to the
+            # legacy screen dispatch
+            kbits, flags_d, live = bits_d, huf_ok_d, rle_d
+            bits = np.zeros((full, num_buf, 4), np.int64)
+            uncode = np.zeros((full, num_buf), dtype=bool)
+            for b in range(num_buf):
+                if kbits[b] is not None:
+                    kb = np.asarray(kbits[b]).astype(np.int64).reshape(full, 4)
+                    bits[:, b, :] = kb & 0x3FFFFFFF
+                    uncode[:, b] = (kb >> 30).any(axis=1)
+            f = np.asarray(flags_d)  # const_scan_rows: b0 | is_const << 8
+            rle = (f >> 8).astype(bool)
+            carg_h = f & 0xFF  # RLE symbol = the cell's first byte
+            sbytes = (bits + 7) // 8  # [full, nb, 4]
+            comp_len = hlen[None, :] + 6 + sbytes.sum(axis=2)  # [full, nb]
+            huf_ok = (
+                np.asarray(live)[None, :]
+                & ~rle
+                & ~uncode
+                & np.all((sbytes >= 1) & (sbytes <= 65535), axis=2)
+                & (comp_len < plane_bytes - 1)
+                & (comp_len < th_bound)
+            )
+        else:
+            bits = np.asarray(bits_d).astype(np.int64)
+            huf_ok = np.asarray(huf_ok_d)
+            rle = np.asarray(rle_d)
+            carg_h = np.asarray(carg_d).reshape(full, num_buf)
+            sbytes = (bits + 7) // 8  # [full, nb, 4]
+            comp_len = hlen[None, :] + 6 + sbytes.sum(axis=2)  # [full, nb]
         chunk_types = (rle | huf_ok).T.astype(np.uint8)  # [nb, full]
         chunk_sizes = np.where(
             rle, 1, np.where(huf_ok, comp_len, plane_bytes)
@@ -847,4 +992,4 @@ def plan_fast_encode(
         return memoryview(out)  # zero-copy: a tobytes here would re-touch
         # (and on this rig re-fault) every payload page
 
-    return run, words_dev, assemble
+    return (run_sampled if stride > 1 else run), words_dev, assemble

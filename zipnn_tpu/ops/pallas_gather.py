@@ -216,6 +216,83 @@ def align_rows(rows, word_shifts, bit_shifts=None):
     return out.reshape(n_pad, (row_tiles - 1) * LANE)[:n]
 
 
+CONST_SCAN_ROWS = 32
+
+
+@lru_cache(maxsize=None)
+def _const_scan_call_cached(n_blocks: int, W: int, R: int, interpret: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    U = jnp.uint32
+
+    def kernel(in_ref, out_ref):
+        w = in_ref[0]  # [R, W] uint32
+        b0 = w[:, 0:1] & U(0xFF)
+        ok = jnp.all(w == b0 * U(0x01010101), axis=1, keepdims=True)
+        flag = (b0.astype(jnp.int32) | (ok.astype(jnp.int32) << 8))
+        out_ref[0] = jnp.broadcast_to(flag, (R, LANE))
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((1, R, W), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (1, R, LANE), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n_blocks, R, LANE), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )
+    return call
+
+
+def const_scan_rows(rows):
+    """Per-row constant-cell scan: [N, W] uint32 -> [N] int32 flags.
+
+    Flag layout: bits 0-7 = the row's first byte, bit 8 = the whole row is
+    that byte replicated (an RLE cell).  One streaming VMEM pass at HBM
+    rate — the XLA ``jnp.all(row == splat)`` formulation measured ~12 GB/s
+    on v5e (it re-reads the materialized planes without fusing), ~8x
+    slower than this kernel.  Used by the sampled fused-encode pipeline
+    (jax_codec._fused_split_hist_sampled_call) where the full-container
+    MXU histogram that used to provide RLE detection no longer runs.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    N, W = rows.shape
+    U = jnp.uint32
+    R = CONST_SCAN_ROWS
+    outs = []
+    nb_main = N // R
+    # the kernel needs a real TPU (or interpret mode); the XLA fallback
+    # below is exact, just slower — CPU tests drive the fused pipeline
+    # through it (jax_codec.FORCE_DEVICE_PATH)
+    on_tpu = INTERPRET or jax.devices()[0].platform == "tpu"
+    if on_tpu and W % LANE == 0 and nb_main:
+        main = _const_scan_call_cached(nb_main, W, R, INTERPRET)(
+            rows[: nb_main * R].reshape(nb_main, R, W)
+        )
+        outs.append(main[:, :, 0].reshape(-1))
+        tail = rows[nb_main * R :]
+    else:
+        tail = rows
+    if tail.shape[0]:
+        b0 = tail[:, 0:1] & U(0xFF)
+        ok = jnp.all(tail == b0 * U(0x01010101), axis=1, keepdims=True)
+        outs.append(
+            (b0.astype(jnp.int32) | (ok.astype(jnp.int32) << 8))[:, 0]
+        )
+    return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
+
+
 def to_tiles(region_u8):
     """Pad a flat uint8 payload to [X, 128] uint32 tiles (device)."""
     import jax.numpy as jnp

@@ -146,6 +146,13 @@ def _build_kernel(SW: int, SEG: int):
                         na = ea >> U(8)  # <= 8
                         val2 = (ea & U(0xFF)) | ((eb & U(0xFF)) << na)
                         nb2 = (na + (eb >> U(8))).astype(I)
+                        # uncodeable byte (table entry nb == 0 <=> entry
+                        # < 256, only possible for a symbol absent from a
+                        # SAMPLED table build): latch bit 30 of the bit
+                        # count.  Low bits stay < 2^16 so the adds below
+                        # never carry into it.
+                        bad = (ea < U(256)) | (eb < U(256))
+                        total = total | jnp.where(bad, I(1) << 30, zero)
                         acc_lo, acc_hi, nbits, total = append(
                             acc_lo, acc_hi, nbits, total, val2, nb2
                         )
@@ -290,6 +297,12 @@ def encode_words(rows_words, tbl8e, seg: int, sw=None):
     worst-case output width (see :func:`sw_for_expected`); a stream whose
     (exact) bit count exceeds ``sw*32`` has truncated row data and must be
     re-encoded by the caller.
+
+    ``total_bits`` bit 30 is the UNCODEABLE flag: set when any symbol of
+    the stream had a zero-length table entry (possible only under the
+    sampled table build, codec.shared_sample_stride); such a stream's
+    output is invalid and the cell must store raw.  Mask with
+    ``& 0x3FFFFFFF`` for the bit count.
     """
     import jax.numpy as jnp
 
