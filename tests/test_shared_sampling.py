@@ -224,6 +224,80 @@ def test_fused_encode_sampled_path(monkeypatch, n_chunks, rare):
     _roundtrip(bytes(payload), data)
 
 
+@pytest.mark.parametrize("n_chunks,extra", [
+    (24, 317),    # legacy exact build + ragged tail
+    (519, 700),   # sampled build, tail index 519 NOT on stride
+    (520, 96),    # sampled build, tail index 520 on stride (tail sampled)
+])
+def test_fused_encode_ragged_tail(monkeypatch, n_chunks, extra):
+    """plan_fast_encode now accepts non-chunk-aligned input: the ragged
+    tail cell runs through the numpy golden model at assembly and the
+    table histogram includes the tail exactly when the spec says so
+    (always below the gate; at >= 512 chunks only when its index is on
+    the sample stride)."""
+    from zipnn_tpu.ops import jax_codec
+
+    monkeypatch.setattr(jax_codec, "FORCE_DEVICE_PATH", True)
+    monkeypatch.setattr(jax_codec, "_fused_encode_plane_call", _fake_plane_call)
+
+    data, _e, _m = _mk(n_chunks + 1, rare_chunk=9 if n_chunks > 512 else None)
+    data = data[: n_chunks * CHUNK + extra]
+    want = _compress(data)
+    plan = jax_codec.plan_fast_encode(data, NB, 0, 10, CHUNK)
+    assert plan is not None
+    run, words_dev, assemble = plan
+    payload = assemble(*run(words_dev))
+    assert bytes(payload) == want
+    _roundtrip(bytes(payload), data)
+
+
+def test_fused_encode_prefix_len(monkeypatch):
+    """prefix_len reserves caller-filled header space at the front of one
+    contiguous buffer (the zero-join convention ZipNN uses)."""
+    from zipnn_tpu.ops import jax_codec
+
+    monkeypatch.setattr(jax_codec, "FORCE_DEVICE_PATH", True)
+    monkeypatch.setattr(jax_codec, "_fused_encode_plane_call", _fake_plane_call)
+
+    data, _e, _m = _mk(24)
+    want = _compress(data)
+    run, words_dev, assemble = jax_codec.plan_fast_encode(data, NB, 0, 10, CHUNK)
+    out = assemble(*run(words_dev), prefix_len=17)
+    assert isinstance(out, np.ndarray) and out.size == 17 + len(want)
+    assert bytes(out[17:].tobytes()) == want
+
+
+def test_zipnn_tpu_engine_routes_through_fused_encode(monkeypatch):
+    """ZipNN(engine='tpu', huffman_table='shared') compress must take the
+    fused plan_fast_encode pipeline when eligible (it was bench-only
+    before) and still emit numpy-spec bytes, ragged tail included."""
+    from zipnn_tpu import ZipNN
+    from zipnn_tpu.ops import jax_codec
+
+    monkeypatch.setattr(jax_codec, "FORCE_DEVICE_PATH", True)
+    monkeypatch.setattr(jax_codec, "_fused_encode_plane_call", _fake_plane_call)
+    seen = {}
+    orig = jax_codec.plan_fast_encode
+
+    def spy(*a, **kw):
+        plan = orig(*a, **kw)
+        seen["plan"] = plan is not None
+        return plan
+
+    monkeypatch.setattr(jax_codec, "plan_fast_encode", spy)
+
+    data, _e, _m = _mk(30)
+    data = np.ascontiguousarray(data[: 29 * CHUNK + 500]).tobytes()
+    kw = dict(input_format="byte", bytearray_dtype="bfloat16",
+              compression_chunk=CHUNK, huffman_table="shared")
+    want = bytes(ZipNN(engine="numpy", **kw).compress(data))
+    got = bytes(ZipNN(engine="tpu", **kw).compress(data))
+    assert seen.get("plan") is True
+    assert got == want
+    back = ZipNN(engine="numpy", **kw).decompress(got)
+    assert bytes(back) == data
+
+
 def test_fused_encode_sampled_path_fp32(monkeypatch):
     """Same, 4-plane fp32 (mode 220) with sign rotation."""
     from zipnn_tpu.ops import jax_codec

@@ -167,7 +167,7 @@ def compress_cell_shared(plane: np.ndarray, table) -> Optional[bytes]:
     count = np.bincount(plane, minlength=256)
     if int(count.max()) == n:
         return bytes(plane[:1])  # 1-byte RLE block
-    if table is None:
+    if table is None or plane.size == 0:
         return None
     lengths, vals, header, _ = table
     if int(lengths[plane].min()) == 0:
@@ -346,6 +346,17 @@ def compress_payload(
     if engine == "tpu":
         from .ops import jax_codec  # noqa: PLC0415
 
+        if shared_tables:
+            # fused device pipeline (split + sampled MXU histogram +
+            # Pallas lockstep encode + native splice) when eligible:
+            # real TPU, no ambient mesh, >= 1 full chunk, seg <= 4096
+            plan = jax_codec.plan_fast_encode(
+                data, num_buf, bit_reorder, byte_reorder, chunk_size,
+                threshold,
+            )
+            if plan is not None:
+                run, words_dev, assemble = plan
+                return assemble(*run(words_dev), prefix_len=prefix_len)
         payload = jax_codec.compress_payload(
             data, num_buf, bit_reorder, byte_reorder, chunk_size, threshold,
             shared_tables=shared_tables,

@@ -656,10 +656,13 @@ def plan_fast_encode(
     294-390) with the host reduced to serial table work.
 
     Returns (run, words_dev, assemble) or None when not eligible (needs a
-    TPU, chunk-aligned input, and seg <= 4096 for the encode kernel's VMEM
-    budget).  ``run(words_dev)`` executes the device pipeline and returns
+    TPU, at least one full chunk, seg <= 4096 for the encode kernel's
+    VMEM budget, and n <= 4 GB so the ~2x working set fits HBM).
+    ``run(words_dev)`` executes the device pipeline and returns
     intermediates; ``assemble(*run(...))`` builds the container payload
     bytes, byte-identical to the numpy golden model's shared profile.
+    The ragged tail chunk (at most one) runs through the numpy golden
+    model on the host at assembly, like the generic device path.
     """
     from .entropy import huf as _huf  # noqa: PLC0415
     from . import pallas_huf_enc  # noqa: PLC0415
@@ -667,7 +670,8 @@ def plan_fast_encode(
     jnp = _jnp()
     data = np.ascontiguousarray(data, dtype=np.uint8).reshape(-1)
     n = data.size
-    if n == 0 or n % chunk_size or not _platform_is_tpu() or _mesh() is not None:
+    if (n < chunk_size or n > 4 << 30 or not _platform_is_tpu()
+            or _mesh() is not None):
         return None
     plane_bytes = chunk_size // num_buf
     seg = plane_bytes // 4
@@ -675,7 +679,13 @@ def plan_fast_encode(
         return None
     full = n // chunk_size
     chunk_words = chunk_size // 4
-    words_dev = jnp.asarray(data.view("<u4"))
+    tail_planes = None
+    if n % chunk_size:
+        tail_planes = byte_group.split(
+            data[full * chunk_size :], num_buf, byte_reorder, bit_reorder
+        )
+    n_chunks = full + (1 if tail_planes is not None else 0)
+    words_dev = jnp.asarray(data[: full * chunk_size].view("<u4"))
 
     import math  # noqa: PLC0415
 
@@ -687,7 +697,7 @@ def plan_fast_encode(
         shared_plane_hopeless, shared_sample_stride,
     )
 
-    stride = shared_sample_stride(full)  # aligned input: n_chunks == full
+    stride = shared_sample_stride(n_chunks)
 
     if stride > 1:
         # Sampled container (>= 512 chunks): histogram only every
@@ -706,8 +716,18 @@ def plan_fast_encode(
                 ph = np.asarray(phist_s)  # nb x 256 ints: first host sync
             shared = [None] * num_buf
             live = [False] * num_buf
+            cnts = [None] * num_buf
             for b in range(num_buf):
                 cnt = ph[b].astype(np.int64)
+                # format policy: the tail cell (index == full) is sampled
+                # when its index is on stride
+                if (
+                    tail_planes is not None
+                    and full % stride == 0
+                    and tail_planes[b].size
+                ):
+                    cnt = cnt + np.bincount(tail_planes[b], minlength=256)
+                cnts[b] = cnt
                 if cnt.sum():
                     shared[b] = _huf.build_shared_table(cnt)
                 live[b] = shared[b] is not None and not shared_plane_hopeless(
@@ -721,7 +741,7 @@ def plan_fast_encode(
                     if not live[b]:
                         continue
                     lengths, vals, _header, _tl = shared[b]
-                    exp = _expected_bits(ph[b].astype(np.int64), lengths)
+                    exp = _expected_bits(cnts[b], lengths)
                     tbl = jnp.asarray(pallas_huf_enc.pack_etable8(vals, lengths))
                     sw = pallas_huf_enc.sw_for_expected(seg, exp)
                     enc = _fused_encode_plane_call(seg, sw)
@@ -747,6 +767,10 @@ def plan_fast_encode(
         hlen = np.zeros(num_buf, np.int32)
         for b in range(num_buf):
             cnt = ph[b].astype(np.int64)
+            # stride == 1: the table histogram covers every chunk
+            # including the ragged tail (codec.compress_payload_numpy)
+            if tail_planes is not None and tail_planes[b].size:
+                cnt = cnt + np.bincount(tail_planes[b], minlength=256)
             if cnt.sum():
                 shared[b] = _huf.build_shared_table(cnt)
             if shared[b] is not None:
@@ -790,15 +814,16 @@ def plan_fast_encode(
         return planes, shared, outs, tuple(sws), bits_d, huf_ok_d, rle_d, carg
 
     def assemble(planes, shared, outs, sws, bits_d, huf_ok_d, rle_d, carg_d,
-                 timings=None, out_buf=None):
+                 timings=None, out_buf=None, prefix_len=0):
         from ..stats import phase as _phase  # noqa: PLC0415
 
         with _phase("encode:assemble"):
             return _assemble(planes, shared, outs, sws, bits_d, huf_ok_d,
-                             rle_d, carg_d, timings=timings, out_buf=out_buf)
+                             rle_d, carg_d, timings=timings, out_buf=out_buf,
+                             prefix_len=prefix_len)
 
     def _assemble(planes, shared, outs, sws, bits_d, huf_ok_d, rle_d, carg_d,
-                  timings=None, out_buf=None):
+                  timings=None, out_buf=None, prefix_len=0):
         # All sizes/offsets are known up front (exact histogram-derived bit
         # counts), so the payload is built by direct memcpy into one
         # preallocated buffer.  Device->host moves are kept to exactly what
@@ -856,13 +881,38 @@ def plan_fast_encode(
         chunk_sizes = np.where(
             rle, 1, np.where(huf_ok, comp_len, plane_bytes)
         ).T.astype(np.uint64)
+        # ragged tail cell: numpy golden model on the host (same rule as
+        # the generic device path; codec.compress_payload_numpy tail)
+        tail_blobs = None
+        if tail_planes is not None:
+            from ..codec import compress_cell_shared  # noqa: PLC0415
+
+            live_t = live if carg_d is _SAMPLED else (True,) * num_buf
+            tt = np.zeros((num_buf, 1), np.uint8)
+            ts = np.zeros((num_buf, 1), np.uint64)
+            tail_blobs = []
+            for b in range(num_buf):
+                plane = tail_planes[b]
+                comp = compress_cell_shared(
+                    plane, shared[b] if live_t[b] else None
+                )
+                if comp is not None and len(comp) < plane.size * threshold:
+                    tt[b, 0] = 1
+                    blob = comp
+                else:
+                    blob = plane.tobytes()
+                ts[b, 0] = len(blob)
+                tail_blobs.append(np.frombuffer(blob, np.uint8))
+            chunk_types = np.concatenate([chunk_types, tt], axis=1)
+            chunk_sizes = np.concatenate([chunk_sizes, ts], axis=1)
+        nch = chunk_sizes.shape[1]
         cumulative = np.cumsum(chunk_sizes, axis=1, dtype=np.uint64)
-        starts = np.zeros((num_buf, full + 1), dtype=np.int64)
+        starts = np.zeros((num_buf, nch + 1), dtype=np.int64)
         starts[:, 1:] = cumulative
         tbl_len = chunk_types.nbytes + cumulative.astype("<u8").nbytes
         plane_base = np.zeros(num_buf, dtype=np.int64)
         for b in range(1, num_buf):
-            plane_base[b] = plane_base[b - 1] + starts[b - 1, full]
+            plane_base[b] = plane_base[b - 1] + starts[b - 1, nch]
         # kernel rows cover a stream only when its plane ran the kernel
         # AND its exact bit count fits the heuristic row width (8 spill
         # words of clamp margin, as in the kernel); anything else is
@@ -904,13 +954,17 @@ def plan_fast_encode(
 
         # ---- host splice -------------------------------------------------
         t0 = _time.perf_counter()
-        total_len = tbl_len + int(plane_base[-1] + starts[-1, full])
-        if out_buf is not None and out_buf.nbytes >= total_len:
+        total_len = tbl_len + int(plane_base[-1] + starts[-1, nch])
+        if out_buf is not None and out_buf.nbytes >= prefix_len + total_len:
             # serving pipelines reuse a staging buffer across checkpoints:
             # skips the per-call page-fault cost of a fresh allocation
-            out = out_buf[:total_len]
+            out_full = out_buf[: prefix_len + total_len]
         else:
-            out = np.empty(total_len, np.uint8)
+            out_full = np.empty(prefix_len + total_len, np.uint8)
+        # ``prefix_len`` reserves caller-filled header space at the front
+        # (the reference C core's python_header convention,
+        # zipnn_core.c:105-121) with zero join copies
+        out = out_full[prefix_len:] if prefix_len else out_full
         out[: chunk_types.nbytes] = np.ascontiguousarray(chunk_types).reshape(-1)
         out[chunk_types.nbytes : tbl_len] = np.ascontiguousarray(
             cumulative.astype("<u8")
@@ -967,6 +1021,9 @@ def plan_fast_encode(
                             o += n
                     else:
                         out[o : o + plane_bytes] = raw_rows[raw_idx[b, c]]
+            if tail_blobs is not None:
+                o = base + int(starts[b, full])
+                out[o : o + tail_blobs[b].size] = tail_blobs[b]
             # exact host re-encode of streams the kernel rows don't cover
             miss = np.nonzero(huf_ok[:, b, None] & ~fits[:, b, :])
             if miss[0].size:
@@ -989,6 +1046,8 @@ def plan_fast_encode(
             timings.update(
                 plan_s=plan_s, fetch_s=fetch_s, splice_s=splice_s
             )
+        if prefix_len:
+            return out_full  # caller fills the reserved header prefix
         return memoryview(out)  # zero-copy: a tobytes here would re-touch
         # (and on this rig re-fault) every payload page
 
