@@ -324,6 +324,50 @@ def test_fused_encode_sampled_path_fp32(monkeypatch):
     assert np.array_equal(back, data)
 
 
+@pytest.mark.parametrize("trial", range(8))
+def test_fused_encode_fuzz_vs_numpy_spec(monkeypatch, trial):
+    """Randomized shapes/dtypes/payload kinds through the fused pipeline
+    (fake kernel) vs the numpy spec — gate boundaries, ragged tails,
+    RLE runs, rare bytes, constant planes.  A 60-trial sweep of this
+    generator ran clean before the bound was committed."""
+    from zipnn_tpu.ops import jax_codec
+
+    monkeypatch.setattr(jax_codec, "FORCE_DEVICE_PATH", True)
+    monkeypatch.setattr(jax_codec, "_fused_encode_plane_call", _fake_plane_call)
+
+    rng = np.random.default_rng(1000 + trial)
+    nb, br, byr = [(1, 1, 10), (2, 0, 10), (2, 1, 10), (4, 1, 220)][trial % 4]
+    chunk = int(rng.choice([256, 512, 1024])) * nb
+    n_chunks = int(rng.choice([3, 24, 511, 512, 520]))
+    extra = int(rng.integers(0, chunk)) if rng.random() < 0.6 else 0
+    n = n_chunks * chunk + extra
+    kind = trial % 4
+    if kind == 0:
+        data = rng.integers(0, 256, n, dtype=np.uint8)
+    elif kind == 1:
+        data = np.clip(rng.normal(128, 2, n), 0, 255).astype(np.uint8)
+        idx = rng.integers(0, n, 8)
+        data[idx] = rng.integers(0, 256, 8)  # rare bytes
+    elif kind == 2:
+        data = np.clip(rng.normal(100, 6, n), 0, 255).astype(np.uint8)
+        for _ in range(4):  # constant runs -> RLE cells
+            i = int(rng.integers(0, max(1, n - chunk)))
+            data[i : i + int(rng.integers(1, chunk))] = int(rng.integers(0, 256))
+    else:
+        data = np.full(n, 7, np.uint8)
+        idx = rng.integers(0, n, max(1, n // 1000))
+        data[idx] = rng.integers(0, 256, idx.size)
+    want = codec.compress_payload_numpy(
+        data, nb, br, byr, chunk, 0.95, shared_tables=True
+    )
+    plan = jax_codec.plan_fast_encode(data, nb, br, byr, chunk, 0.95)
+    assert plan is not None
+    run, wd, asm = plan
+    assert bytes(asm(*run(wd))) == want
+    back = codec.decompress_payload_numpy(want, nb, br, byr, chunk, n)
+    assert np.array_equal(back, data)
+
+
 @pytest.mark.parametrize("n_chunks", [511, 513, 520])
 def test_native_byte_identical_under_sampling(n_chunks):
     """The native engine must reproduce the sampled-table policy exactly
