@@ -100,12 +100,17 @@ def _warm_host_plan():
         jax_decode._batch_host(plan, 0, g.full, caps, g.full)
     # first device contact pays ~4 min of per-process backend/tunnel init
     # regardless of size (measured: 4 MB first = 235 s, everything after =
-    # ~34 MB/s); warm it here so upload_s reports actual transfer
+    # ~34 MB/s); warm it here so upload_s reports actual transfer.  The
+    # init also leaves background work that steals the single vCPU from
+    # the next ~100 ms of host code (measured: the 768 MB plan right
+    # after a 1 MB contact = 37-90 ms vs 9 ms steady-state) — a larger
+    # blocking round-trip drains it before any timed section runs.
     try:
         import jax.numpy as jnp
 
-        dev = jnp.asarray(np.zeros(1 * MB, np.uint8))
-        _ = np.asarray(dev[:1])
+        for _i in range(2):
+            dev = jnp.asarray(np.zeros(32 * MB, np.uint8))
+            _ = np.asarray(dev[:1])
     except Exception:
         pass
 
