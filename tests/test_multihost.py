@@ -23,12 +23,13 @@ jax.config.update("jax_platforms", "cpu")
 from zipnn_tpu.parallel import multihost
 
 port, pid, nproc, in_path, out_path, dec_path, chunk = sys.argv[1:8]
+profile = sys.argv[8] if len(sys.argv) > 8 else "per_chunk"
 multihost.initialize(f"localhost:{port}", int(nproc), int(pid))
 assert jax.process_count() == int(nproc)
 assert len(jax.devices()) == 4 * int(nproc), jax.devices()
 multihost.compress_file_multihost(
     in_path, out_path, bytearray_dtype="bfloat16",
-    compression_chunk=int(chunk), engine="numpy",
+    compression_chunk=int(chunk), engine="numpy", huffman_table=profile,
 )
 multihost.decompress_file_multihost(out_path, dec_path)
 """
@@ -86,6 +87,80 @@ def test_two_process_compress_matches_single_host(tmp_path, size):
     got = (tmp_path / "out.znn").read_bytes()
     assert got == golden, "multi-process container differs from single-host"
     assert (tmp_path / "dec.bin").read_bytes() == data
+
+
+@pytest.mark.parametrize("size,chunk", [
+    (256 * 1024 * 3, 128 * 1024),   # 6 chunks: legacy exact table build
+    (1024 * 540 + 333, 1024),       # 541 chunks: SAMPLED build + ragged tail
+])
+def test_two_process_shared_profile_matches_single_host(tmp_path, size, chunk):
+    """huffman_table='shared' across 2 real processes: the sampled plane
+    histograms are all-reduced, every host builds the identical global
+    table, and the container is byte-identical to a single-host shared
+    compress — including a rare byte (in process 1's range, absent from
+    the global sample) that must store its cell raw on both sides."""
+    data = bytearray(_bf16(size, seed=29))
+    if size // chunk >= 512:
+        data[(size // chunk - 3) * chunk + 11] = 251  # near the end: proc 1
+    data = bytes(data)
+    in_path = tmp_path / "weights.bin"
+    in_path.write_bytes(data)
+    golden = ZipNN(
+        engine="numpy", bytearray_dtype="bfloat16", compression_chunk=chunk,
+        huffman_table="shared",
+    ).compress(data)
+
+    port = _free_port()
+    script = tmp_path / "worker.py"
+    script.write_text(WORKER)
+    procs = []
+    for pid in range(2):
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=4",
+            PYTHONPATH=str(Path(__file__).resolve().parent.parent),
+        )
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable, str(script), str(port), str(pid), "2",
+                    str(in_path), str(tmp_path / "out.znn"),
+                    str(tmp_path / "dec.bin"), str(chunk), "shared",
+                ],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            )
+        )
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err.decode()[-2000:]
+
+    got = (tmp_path / "out.znn").read_bytes()
+    assert got == bytes(golden), "shared-profile multihost container differs"
+    assert (tmp_path / "dec.bin").read_bytes() == data
+
+
+def test_single_process_shared_degenerates(tmp_path):
+    """n=1 shared-profile path through the same collective code."""
+    from zipnn_tpu.parallel import multihost
+
+    chunk = 1024
+    data = _bf16(1024 * 520 + 77, seed=31)
+    in_path = tmp_path / "w.bin"
+    in_path.write_bytes(data)
+    multihost.compress_file_multihost(
+        str(in_path), str(tmp_path / "o.znn"), bytearray_dtype="bfloat16",
+        compression_chunk=chunk, engine="numpy", huffman_table="shared",
+    )
+    golden = ZipNN(
+        engine="numpy", bytearray_dtype="bfloat16", compression_chunk=chunk,
+        huffman_table="shared",
+    ).compress(data)
+    assert (tmp_path / "o.znn").read_bytes() == bytes(golden)
+    multihost.decompress_file_multihost(
+        str(tmp_path / "o.znn"), str(tmp_path / "d.bin")
+    )
+    assert (tmp_path / "d.bin").read_bytes() == data
 
 
 def test_single_process_degenerates(tmp_path):

@@ -84,6 +84,56 @@ def num_chunks_for(length: int, chunk_size: int) -> int:
 # compress
 # ---------------------------------------------------------------------------
 
+def sampled_plane_counts(
+    data: np.ndarray,
+    num_buf: int,
+    bit_reorder: int,
+    byte_reorder: int,
+    chunk_size: int,
+    global_chunk0: int = 0,
+    stride: int = 1,
+) -> np.ndarray:
+    """Per-plane byte histograms of the SAMPLED chunks in ``data``.
+
+    ``data`` holds chunks whose global indices start at ``global_chunk0``;
+    a chunk is sampled when its GLOBAL index is 0 mod ``stride`` (the
+    shared-table format policy).  Returns int64 [num_buf, 256].  Multihost
+    shared-profile compress all-reduces these across processes to build
+    the identical global table on every host (parallel/multihost.py).
+    """
+    data = np.ascontiguousarray(data, dtype=np.uint8).reshape(-1)
+    n = data.size
+    n_chunks = num_chunks_for(n, chunk_size)
+    counts = np.zeros((num_buf, 256), dtype=np.int64)
+    first = (-global_chunk0) % stride
+    for c in range(first, n_chunks, stride):
+        chunk = data[c * chunk_size : min((c + 1) * chunk_size, n)]
+        planes = byte_group.split(chunk, num_buf, byte_reorder, bit_reorder)
+        for b in range(num_buf):
+            if planes[b].size:
+                counts[b] += np.bincount(planes[b], minlength=256)
+    return counts
+
+
+def shared_tables_from_counts(counts: np.ndarray, threshold: float, stride: int):
+    """Build the per-plane shared tables + live flags from global counts.
+
+    The (tables, live) pair is the ``preset_shared`` accepted by the
+    compress paths: passing the same counts on every host yields
+    byte-identical containers regardless of process count.
+    """
+    shared, live = [], []
+    for count in counts:
+        count = count.astype(np.int64)
+        t = huf.build_shared_table(count) if count.sum() else None
+        alive = t is not None
+        if alive and stride > 1:
+            alive = not shared_plane_hopeless(count, t[0], threshold)
+        shared.append(t)
+        live.append(alive)
+    return shared, live
+
+
 def compress_payload_numpy(
     data: np.ndarray,
     num_buf: int,
@@ -92,6 +142,7 @@ def compress_payload_numpy(
     chunk_size: int,
     threshold: float = DEFAULT_THRESHOLD,
     shared_tables: bool = False,
+    preset_shared=None,
 ) -> bytes:
     """Compress a flat uint8 buffer into the table+planes payload (no header).
 
@@ -120,7 +171,12 @@ def compress_payload_numpy(
 
     shared = [None] * num_buf
     live = [True] * num_buf
-    if shared_tables:
+    if shared_tables and preset_shared is not None:
+        # externally built tables (e.g. the multihost global-histogram
+        # tables): decisions below are identical, so the bytes match a
+        # single-host compress that built the same tables
+        shared, live = preset_shared
+    elif shared_tables:
         stride = shared_sample_stride(n_chunks)
         for b in range(num_buf):
             count = np.zeros(256, dtype=np.int64)
@@ -167,7 +223,7 @@ def compress_cell_shared(plane: np.ndarray, table) -> Optional[bytes]:
     count = np.bincount(plane, minlength=256)
     if int(count.max()) == n:
         return bytes(plane[:1])  # 1-byte RLE block
-    if table is None or plane.size == 0:
+    if table is None:
         return None
     lengths, vals, header, _ = table
     if int(lengths[plane].min()) == 0:
@@ -318,6 +374,7 @@ def compress_payload(
     engine: str = "auto",
     shared_tables: bool = False,
     prefix_len: int = 0,
+    preset_shared=None,
 ):
     """Engine-dispatched payload compress.
 
@@ -325,10 +382,12 @@ def compress_payload(
     reference C core's python_header convention, zipnn_core.c:105-121);
     with it the return is a uint8 array whose first ``prefix_len`` bytes
     the caller fills — the native engine builds header + payload in one
-    buffer with zero join copies.
+    buffer with zero join copies.  ``preset_shared`` supplies externally
+    built shared tables + live flags (see shared_tables_from_counts);
+    engines without preset support fall back to the numpy spec path.
     """
     engine = resolve_engine(engine, shared_tables)
-    if engine == "native":
+    if engine == "native" and preset_shared is None:
         nat = _native()
         if shared_tables:
             try:
@@ -346,7 +405,7 @@ def compress_payload(
     if engine == "tpu":
         from .ops import jax_codec  # noqa: PLC0415
 
-        if shared_tables:
+        if shared_tables and preset_shared is None:
             # fused device pipeline (split + sampled MXU histogram +
             # Pallas lockstep encode + native splice) when eligible:
             # real TPU, no ambient mesh, >= 1 full chunk, seg <= 4096
@@ -359,12 +418,12 @@ def compress_payload(
                 return assemble(*run(words_dev), prefix_len=prefix_len)
         payload = jax_codec.compress_payload(
             data, num_buf, bit_reorder, byte_reorder, chunk_size, threshold,
-            shared_tables=shared_tables,
+            shared_tables=shared_tables, preset_shared=preset_shared,
         )
     elif engine in ("numpy", "native"):
         payload = compress_payload_numpy(
             data, num_buf, bit_reorder, byte_reorder, chunk_size, threshold,
-            shared_tables=shared_tables,
+            shared_tables=shared_tables, preset_shared=preset_shared,
         )
     else:
         raise ValueError(f"unknown engine {engine!r}")

@@ -252,12 +252,15 @@ def compress_payload(
     chunk_size: int,
     threshold: float = DEFAULT_THRESHOLD,
     shared_tables: bool = False,
+    preset_shared=None,
 ) -> bytes:
     """Compress flat bytes into the table+planes payload (device pipeline).
 
     ``shared_tables=True`` emits the TPU-optimal profile (one <=8-bit table
     per plane; see codec.compress_payload_numpy, the byte-level spec this
-    implementation must match exactly).
+    implementation must match exactly).  ``preset_shared`` = externally
+    built (tables, live) — used by multihost shared-profile compress,
+    where the table comes from an all-reduced global histogram.
     """
     jnp = _jnp()
     data = np.ascontiguousarray(data, dtype=np.uint8).reshape(-1)
@@ -304,7 +307,9 @@ def compress_payload(
         )
 
         stride = shared_sample_stride(n_chunks)
-        if shared_tables:
+        if shared_tables and preset_shared is not None:
+            shared, live = preset_shared
+        elif shared_tables:
             for b in range(num_buf):
                 # format policy: table from every stride-th chunk (the
                 # tail cell samples when its index, == full, is on stride)
@@ -453,7 +458,7 @@ def compress_payload(
             planes = byte_group.split(
                 data[c * chunk_size : n], num_buf, byte_reorder, bit_reorder
             )
-        if shared_tables and full == 0:
+        if shared_tables and full == 0 and preset_shared is None:
             # no full chunks: build the shared tables from the tail alone
             shared = [None] * num_buf
             for b in range(num_buf):

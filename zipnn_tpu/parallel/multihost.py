@@ -97,16 +97,23 @@ def compress_file_multihost(
     threshold: float = codec.DEFAULT_THRESHOLD,
     engine: str = "auto",
     threads: int = 0,
+    huffman_table: str = "per_chunk",
 ) -> None:
     """Compress ``in_path`` into a single ``.znn`` container cooperatively.
 
     Every process reads and compresses only its chunk range; process 0
-    additionally writes the header + global tables.  With a per-chunk-table
-    profile (the default of every engine here) the output is byte-identical
-    to a single-host ``ZipNN(...).compress`` of the whole file (asserted by
-    tests/test_multihost.py) — a shared-table profile would build its table
-    from each process's local histogram and is deliberately not offered on
-    this API.
+    additionally writes the header + global tables.  The output is
+    byte-identical to a single-host ``ZipNN(...).compress`` of the whole
+    file (asserted by tests/test_multihost.py) for BOTH profiles:
+
+    * ``huffman_table="per_chunk"`` (the reference default): chunks are
+      fully independent, nothing to agree on;
+    * ``huffman_table="shared"`` (the TPU-optimal decode profile): each
+      process histograms only its SAMPLED chunks (the format's
+      shared_sample_stride policy — global chunk index 0 mod stride),
+      one extra collective all-reduces the [num_buf, 256] counts, and
+      every host builds the identical global table + hopeless-plane
+      flags before encoding its range (codec.shared_tables_from_counts).
     """
     import jax
 
@@ -124,15 +131,34 @@ def compress_file_multihost(
 
     # ---- local compress (contiguous chunk range -> local payload) --------
     local_n = hi - lo
+    data = np.zeros(0, dtype=np.uint8)
     if local_n:
         with open(in_path, "rb") as f:
             f.seek(lo * chunk)
             data = np.frombuffer(
                 f.read(min(hi * chunk, total) - lo * chunk), dtype=np.uint8
             )
+
+    shared_tables = huffman_table == "shared"
+    preset = None
+    if shared_tables:
+        # the shared-profile collective: all-reduce the sampled per-plane
+        # histograms (num_buf x 256 ints over DCN) so every process
+        # builds the identical global table — bytes then match a
+        # single-host shared compress exactly
+        stride = codec.shared_sample_stride(n_chunks)
+        local_counts = codec.sampled_plane_counts(
+            data, num_buf, bit_reorder, byte_reorder, chunk,
+            global_chunk0=lo, stride=stride,
+        )
+        gcounts = _allgather_i64(local_counts).sum(axis=0)
+        preset = codec.shared_tables_from_counts(gcounts, threshold, stride)
+
+    if local_n:
         payload = codec.compress_payload(
             data, num_buf, bit_reorder, byte_reorder, chunk,
             threshold=threshold, threads=threads, engine=engine,
+            shared_tables=shared_tables, preset_shared=preset,
         )
         ltypes, lstarts, ldata_start = codec.parse_tables(
             payload, num_buf, local_n
@@ -145,7 +171,7 @@ def compress_file_multihost(
         lsizes = np.zeros((num_buf, 0), np.int64)
         ldata_start = 0
 
-    # ---- the only collective: types+sizes, padded to a common width ------
+    # ---- collective: types+sizes, padded to a common width ---------------
     packed = np.full((2, num_buf, max_local), -1, dtype=np.int64)
     packed[0, :, :local_n] = ltypes
     packed[1, :, :local_n] = lsizes
