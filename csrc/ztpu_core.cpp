@@ -1971,10 +1971,18 @@ long long ztpu_compress(const uint8_t* data, size_t len, unsigned num_buf,
 // to codec.compress_payload_numpy(shared_tables=True), the profile's
 // specification.  Returns payload size, -1 on error, or -2 when a plane
 // histogram overflows uint32 (caller falls back to the numpy engine).
+//
+// preset_lengths (nullable): num_buf x 256 externally built code lengths
+// (all-zero row = no table for that plane) with preset_live[num_buf]
+// hopeless flags — the multihost shared profile passes the global-
+// histogram table so every process emits identical bytes
+// (codec.shared_tables_from_counts).
 long long ztpu_compress_shared(const uint8_t* data, size_t len,
                                unsigned num_buf, int bit_reorder,
                                int byte_reorder, size_t chunk_size,
-                               double threshold, int threads, uint8_t* out,
+                               double threshold, int threads,
+                               const uint8_t* preset_lengths,
+                               const uint8_t* preset_live, uint8_t* out,
                                size_t out_cap) {
   tune_malloc_once();
   (void)byte_reorder;
@@ -2027,6 +2035,29 @@ long long ztpu_compress_shared(const uint8_t* data, size_t len,
   };
   SharedT sh[4];
   for (unsigned b = 0; b < num_buf; b++) {
+    if (preset_lengths) {
+      HufCTable& ct = sh[b].ct;
+      const uint8_t* pl = preset_lengths + (size_t)b * 256;
+      int max_len = 0;
+      unsigned max_sv = 0, n_present = 0;
+      for (int s = 0; s < 256; s++) {
+        ct.lengths[s] = pl[s];
+        if (pl[s]) {
+          n_present++;
+          max_sv = s;
+          if (pl[s] > max_len) max_len = pl[s];
+        }
+      }
+      sh[b].live = preset_live && preset_live[b];
+      if (n_present == 0) continue;     // no table for this plane
+      if (n_present < 2 || max_len > 8) return -1;  // invalid preset
+      ct.table_log = max_len;
+      ct.max_sv = max_sv;
+      if (!huf_write_ctable(ct, sh[b].header)) return -1;
+      canonical_values(ct);
+      sh[b].ok = true;
+      continue;
+    }
     uint64_t count64[256] = {0};
     for (size_t c = 0; c < n_chunks; c += sample_stride) {
       const uint32_t* h = hists.data() + (c * num_buf + b) * 256;

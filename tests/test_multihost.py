@@ -24,12 +24,13 @@ from zipnn_tpu.parallel import multihost
 
 port, pid, nproc, in_path, out_path, dec_path, chunk = sys.argv[1:8]
 profile = sys.argv[8] if len(sys.argv) > 8 else "per_chunk"
+engine = sys.argv[9] if len(sys.argv) > 9 else "numpy"
 multihost.initialize(f"localhost:{port}", int(nproc), int(pid))
 assert jax.process_count() == int(nproc)
 assert len(jax.devices()) == 4 * int(nproc), jax.devices()
 multihost.compress_file_multihost(
     in_path, out_path, bytearray_dtype="bfloat16",
-    compression_chunk=int(chunk), engine="numpy", huffman_table=profile,
+    compression_chunk=int(chunk), engine=engine, huffman_table=profile,
 )
 multihost.decompress_file_multihost(out_path, dec_path)
 """
@@ -89,11 +90,14 @@ def test_two_process_compress_matches_single_host(tmp_path, size):
     assert (tmp_path / "dec.bin").read_bytes() == data
 
 
-@pytest.mark.parametrize("size,chunk", [
-    (256 * 1024 * 3, 128 * 1024),   # 6 chunks: legacy exact table build
-    (1024 * 540 + 333, 1024),       # 541 chunks: SAMPLED build + ragged tail
+@pytest.mark.parametrize("size,chunk,engine", [
+    (256 * 1024 * 3, 128 * 1024, "numpy"),   # 6 chunks: legacy exact build
+    (1024 * 540 + 333, 1024, "numpy"),       # 541 chunks: SAMPLED + tail
+    (1024 * 540 + 333, 1024, "native"),      # native preset-table path
 ])
-def test_two_process_shared_profile_matches_single_host(tmp_path, size, chunk):
+def test_two_process_shared_profile_matches_single_host(
+    tmp_path, size, chunk, engine
+):
     """huffman_table='shared' across 2 real processes: the sampled plane
     histograms are all-reduced, every host builds the identical global
     table, and the container is byte-identical to a single-host shared
@@ -126,7 +130,7 @@ def test_two_process_shared_profile_matches_single_host(tmp_path, size, chunk):
                 [
                     sys.executable, str(script), str(port), str(pid), "2",
                     str(in_path), str(tmp_path / "out.znn"),
-                    str(tmp_path / "dec.bin"), str(chunk), "shared",
+                    str(tmp_path / "dec.bin"), str(chunk), "shared", engine,
                 ],
                 env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             )

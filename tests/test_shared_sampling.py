@@ -368,6 +368,40 @@ def test_fused_encode_fuzz_vs_numpy_spec(monkeypatch, trial):
     assert np.array_equal(back, data)
 
 
+def test_preset_tables_cross_engine():
+    """Externally built (multihost-style) preset tables: numpy and native
+    must emit identical bytes when compressing a LOCAL RANGE with a table
+    built from the GLOBAL sampled histogram — incl. a hopeless plane, an
+    uncodeable rare byte, and a global stride larger than the local
+    container's own gate would pick."""
+    native = pytest.importorskip("zipnn_tpu.native")
+    data, _e, man = _mk(540, rare_chunk=9)
+    man[33] = 77
+    data = _interleave(_exp_from(data, 540), man).reshape(-1)
+    data = data[: 539 * CHUNK + 700]
+    stride = codec.shared_sample_stride(codec.num_chunks_for(data.size, CHUNK))
+    assert stride > 1
+    counts = codec.sampled_plane_counts(data, NB, 0, 10, CHUNK, 0, stride)
+    preset = codec.shared_tables_from_counts(counts, 0.95, stride)
+    piece = np.ascontiguousarray(data[: 200 * CHUNK])  # "process 0's range"
+    p_np = codec.compress_payload_numpy(
+        piece, NB, 0, 10, CHUNK, 0.95, shared_tables=True, preset_shared=preset
+    )
+    p_nat = native.compress_payload_shared(
+        piece, NB, 0, 10, CHUNK, 0.95, 1, preset=preset
+    )
+    assert bytes(memoryview(p_nat)) == p_np
+    # the piece decodes standalone (cells are self-describing)
+    back = codec.decompress_payload_numpy(p_np, NB, 0, 10, CHUNK, piece.size)
+    assert np.array_equal(back, piece)
+    # dispatcher routing: engine='native' honors preset_shared
+    d = codec.compress_payload(
+        piece, NB, 0, 10, CHUNK, 0.95, engine="native",
+        shared_tables=True, preset_shared=preset,
+    )
+    assert bytes(d) == p_np
+
+
 @pytest.mark.parametrize("n_chunks", [511, 513, 520])
 def test_native_byte_identical_under_sampling(n_chunks):
     """The native engine must reproduce the sampled-table policy exactly

@@ -387,13 +387,14 @@ def compress_payload(
     engines without preset support fall back to the numpy spec path.
     """
     engine = resolve_engine(engine, shared_tables)
-    if engine == "native" and preset_shared is None:
+    if engine == "native":
         nat = _native()
         if shared_tables:
             try:
                 return nat.compress_payload_shared(
                     data, num_buf, bit_reorder, byte_reorder, chunk_size,
                     threshold, threads, prefix_len=prefix_len,
+                    preset=preset_shared,
                 )
             except nat.SharedOverflow:
                 pass  # numpy fallback below

@@ -67,7 +67,13 @@ def _load():
             ctypes.c_size_t,
         ]
         lib.ztpu_compress_shared.restype = ctypes.c_longlong
-        lib.ztpu_compress_shared.argtypes = list(lib.ztpu_compress.argtypes)
+        # = ztpu_compress's signature + nullable (preset_lengths,
+        # preset_live) pointers before (out, out_cap)
+        lib.ztpu_compress_shared.argtypes = (
+            list(lib.ztpu_compress.argtypes)[:-2]
+            + [ctypes.c_void_p, ctypes.c_void_p]
+            + list(lib.ztpu_compress.argtypes)[-2:]
+        )
         lib.ztpu_decompress.restype = ctypes.c_longlong
         lib.ztpu_decompress.argtypes = [
             ctypes.c_void_p,
@@ -209,16 +215,32 @@ def compress_payload_shared(
     threshold: float,
     threads: int,
     prefix_len: int = 0,
+    preset=None,
 ):
     """Shared-table (TPU-optimal) profile via the C++ core; byte-identical
     to codec.compress_payload_numpy(shared_tables=True).  ``prefix_len``
-    as in :func:`compress_payload`."""
+    as in :func:`compress_payload`.  ``preset`` = externally built
+    (tables, live) as produced by codec.shared_tables_from_counts — the
+    multihost global-table path; only the code LENGTHS cross the ABI (the
+    core rebuilds header/values deterministically, same as the spec)."""
     lib = _load()
     data = np.ascontiguousarray(data, dtype=np.uint8).reshape(-1)
     n = data.size
     n_chunks = (n + chunk_size - 1) // chunk_size
     cap = n + n_chunks * num_buf * 9 + 4096 + (n_chunks + 1) * 64
     out = np.empty(prefix_len + cap, dtype=np.uint8)
+    pl_ptr = live_ptr = None
+    if preset is not None:
+        tables, live = preset
+        pl = np.zeros((num_buf, 256), dtype=np.uint8)
+        lv = np.zeros(num_buf, dtype=np.uint8)
+        for b in range(num_buf):
+            if tables[b] is not None:
+                pl[b] = np.asarray(tables[b][0], dtype=np.uint8)[:256]
+            lv[b] = 1 if live[b] else 0
+        pl = np.ascontiguousarray(pl)
+        lv = np.ascontiguousarray(lv)
+        pl_ptr, live_ptr = pl.ctypes.data, lv.ctypes.data
     r = lib.ztpu_compress_shared(
         data.ctypes.data,
         n,
@@ -228,6 +250,8 @@ def compress_payload_shared(
         chunk_size,
         threshold,
         threads or os.cpu_count() or 1,
+        pl_ptr,
+        live_ptr,
         out.ctypes.data + prefix_len,
         cap,
     )
