@@ -207,8 +207,11 @@ jax.config.update("jax_platforms", "cpu")
 from zipnn_tpu.parallel import multihost
 
 port, pid, nproc, in_path, out_path, engine = sys.argv[1:7]
+profile = sys.argv[7] if len(sys.argv) > 7 else "per_chunk"
 multihost.initialize(f"localhost:{port}", int(nproc), int(pid))
-multihost.compress_safetensors_multihost(in_path, out_path, engine=engine)
+multihost.compress_safetensors_multihost(
+    in_path, out_path, engine=engine, huffman_table=profile
+)
 """
 
 WORKER_TPU_MESH = r"""
@@ -304,6 +307,31 @@ def test_two_process_safetensors_compress(tmp_path):
                 ), name
             else:
                 assert torch.equal(got, want), name
+
+
+def test_two_process_safetensors_shared_profile(tmp_path):
+    """Per-tensor shared profile cooperatively: no table collective needed
+    (each tensor is compressed whole by one process); output matches the
+    1-process run and loads through SafeOpen."""
+    import torch
+
+    from zipnn_tpu.parallel import multihost
+    from zipnn_tpu.plugins.safetensors import SafeOpen
+
+    src = tmp_path / "model.safetensors"
+    tensors = _make_st_file(src)
+    out2 = tmp_path / "m2.znn.safetensors"
+    _run_two(tmp_path, WORKER_ST, [str(src), str(out2), "numpy", "shared"])
+    out1 = tmp_path / "m1.znn.safetensors"
+    multihost.compress_safetensors_multihost(
+        str(src), str(out1), engine="numpy", huffman_table="shared"
+    )
+    assert out1.read_bytes() == out2.read_bytes()
+    with SafeOpen(str(out2), "pt", "cpu") as f:
+        got = f.get_tensor("w.attn")
+        assert torch.equal(
+            got.view(torch.uint16), tensors["w.attn"].view(torch.uint16)
+        )
 
 
 def test_two_process_tpu_engine_with_mesh(tmp_path):

@@ -226,6 +226,7 @@ def compress_safetensors_multihost(
     *,
     engine: str = "auto",
     method: str = "HUFFMAN",
+    huffman_table: str = "per_chunk",
 ) -> None:
     """Per-tensor compress a safetensors file cooperatively into ONE
     ``.znn.safetensors`` output (SURVEY.md §2.3 bullet 3).
@@ -239,8 +240,10 @@ def compress_safetensors_multihost(
     header — reference ``znn_compressed_vectors`` schema
     (zipnn/util_safetensors.py:9-58), loadable by
     ``plugins.safetensors.SafeOpen`` — and pwrites its tensors' bytes in
-    place.  Per-chunk-table profiles (every engine's default) make the
-    compressed bytes independent of the process count.
+    place.  Bytes are independent of the process count for any profile:
+    each tensor is compressed whole by exactly one process, so
+    ``huffman_table="shared"`` needs no cross-process table agreement
+    here (unlike :func:`compress_file_multihost`).
     """
     import json  # noqa: PLC0415
 
@@ -270,7 +273,8 @@ def compress_safetensors_multihost(
             from ..zipnn import ZipNN  # noqa: PLC0415
 
             blob = ZipNN(
-                input_format="torch", method=method, engine=engine
+                input_format="torch", method=method, engine=engine,
+                huffman_table=huffman_table,
             ).compress(t)
             if blob is not None and len(blob) < raw_n:
                 comp = bytes(blob)
