@@ -54,6 +54,26 @@ def test_corruption_located_per_cell(container, engine):
     assert "plane 1" in str(ei.value) and "chunk 3" in str(ei.value)
 
 
+def test_sentinel_kill_wrapped_by_generic_tpu_path(container):
+    """Destroying a stream's sentinel byte must surface as
+    CorruptChunkError WITH chunk context from the tpu engine's generic
+    (XLA) path too — the per-cell parser wraps the bare ValueError
+    (regression: it used to escape unwrapped)."""
+    data, comp, chunk = container
+    payload = bytearray(comp[HEADER_LEN:])
+    n_chunks = codec.num_chunks_for(len(data), chunk)
+    types, starts, data_start = codec.parse_tables(payload, 2, n_chunks)
+    assert types[1, 3] == 1
+    plane_base = int(starts[0, n_chunks])
+    hi = data_start + plane_base + int(starts[1, 4])
+    payload[hi - 1] = 0  # kill the last stream's sentinel byte
+    bad = bytes(comp[:HEADER_LEN]) + bytes(payload)
+    for engine in ("numpy", "tpu"):
+        with pytest.raises(CorruptChunkError) as ei:
+            ZipNN(engine=engine).decompress(bad)
+        assert ei.value.plane == 1 and ei.value.chunk == 3, engine
+
+
 def test_corruption_located_tail_chunk(container):
     data, comp, chunk = container
     last = codec.num_chunks_for(len(data), chunk) - 1

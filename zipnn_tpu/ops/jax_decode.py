@@ -922,30 +922,50 @@ def _decode_generic(g: _Geom, out, to_device: bool):
             for i in range(n_huf):
                 o = int(hcs[i])
                 data = bytes(g.payload_np[o : o + int(hsz[i])])
-                weights, rank_stats, tlog, _, consumed = huf.read_stats(data)
-                sym_t, nb_t = huf.build_dtable(weights, rank_stats, tlog)
+                try:
+                    weights, rank_stats, tlog, _, consumed = huf.read_stats(
+                        data
+                    )
+                    sym_t, nb_t = huf.build_dtable(weights, rank_stats, tlog)
+                    rest = data[consumed:]
+                    if len(rest) < 6:
+                        raise ValueError(
+                            "corrupt HUF block (missing jump table)"
+                        )
+                    l1 = int.from_bytes(rest[0:2], "little")
+                    l2 = int.from_bytes(rest[2:4], "little")
+                    l3 = int.from_bytes(rest[4:6], "little")
+                    l4 = len(rest) - 6 - l1 - l2 - l3
+                    if l4 <= 0:
+                        raise ValueError(
+                            "corrupt HUF block (jump table overruns input)"
+                        )
+                    cell_streams = []
+                    off = 6
+                    for ln in (l1, l2, l3, l4):
+                        s = rest[off : off + ln]
+                        if not s:
+                            raise ValueError(
+                                "corrupt HUF block (empty stream)"
+                            )
+                        cell_streams.append(
+                            (s, jax_entropy.sentinel_bits(s), tlog)
+                        )
+                        off += ln
+                except ValueError as exc:
+                    # every engine reports structural corruption as
+                    # CorruptChunkError with (plane, chunk) context
+                    raise CorruptChunkError(
+                        str(exc), plane=int(huf_b[i]), chunk=int(huf_c[i])
+                    ) from exc
                 ent = np.zeros(_DTABLE_PAD, dtype=np.int32)
                 ent[: sym_t.size] = sym_t.astype(np.int32) | (
                     nb_t.astype(np.int32) << 8
                 )
-                rest = data[consumed:]
-                if len(rest) < 6:
-                    raise ValueError("corrupt HUF block (missing jump table)")
-                l1 = int.from_bytes(rest[0:2], "little")
-                l2 = int.from_bytes(rest[2:4], "little")
-                l3 = int.from_bytes(rest[4:6], "little")
-                l4 = len(rest) - 6 - l1 - l2 - l3
-                if l4 <= 0:
-                    raise ValueError("corrupt HUF block (jump table overruns input)")
-                off = 6
-                for ln in (l1, l2, l3, l4):
-                    s = rest[off : off + ln]
-                    if not s:
-                        raise ValueError("corrupt HUF block (empty stream)")
+                for s, sb, tl in cell_streams:
                     stream_blobs.append(s)
-                    stream_bits.append(jax_entropy.sentinel_bits(s))
-                    stream_tlog.append(tlog)
-                    off += ln
+                    stream_bits.append(sb)
+                    stream_tlog.append(tl)
                 dtables.append(ent)
             wpr = _round_words(max(len(s) for s in stream_blobs))
             words = jax_entropy.pack_streams_np(stream_blobs, wpr)
