@@ -244,6 +244,35 @@ def test_tpu_plan_fast_encode_matches_numpy_spec():
 
 
 @pytest.mark.tpu
+def test_tpu_batched_fused_encode():
+    """GB-scale encode batching on hardware at small scale: 48 MB through
+    16 MB batches (3 batches, real kernels, global sampled table) must
+    match the numpy spec byte for byte."""
+    import jax
+
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("needs a real TPU")
+    from zipnn_tpu import codec as host_codec
+    from zipnn_tpu.ops import jax_codec
+
+    rng = np.random.default_rng(17)
+    n = 48 * 1024 * 1024 + 12345
+    vals = (rng.standard_normal(n // 2 + 1) * 0.05).astype(np.float32)
+    data = np.frombuffer(
+        ((vals.view(np.uint32) >> 16).astype(np.uint16)).tobytes()[:n],
+        np.uint8,
+    )
+    got = jax_codec.fast_encode_payload_batched(
+        data, 2, 1, 10, 32768, batch_bytes=16 * 1024 * 1024
+    )
+    assert got is not None
+    want = host_codec.compress_payload_numpy(
+        data, 2, 1, 10, 32768, shared_tables=True
+    )
+    assert bytes(got.tobytes()) == want
+
+
+@pytest.mark.tpu
 def test_tpu_plan_fast_encode_sampled_profile():
     """>= 512 chunks: the sampled fused pipeline (sampled MXU histogram,
     const-scan kernel for RLE, encode-kernel bit-30 uncodeable flags)

@@ -368,6 +368,59 @@ def test_fused_encode_fuzz_vs_numpy_spec(monkeypatch, trial):
     assert np.array_equal(back, data)
 
 
+@pytest.mark.parametrize("n_chunks,extra,bb", [
+    (540, 700, 128 * 1024),   # 5 batches incl. a ragged-tail final batch
+    (540, 0, 64 * 1024),      # aligned, more batches
+    (30, 500, 8 * 1024),      # below the sampling gate (stride 1)
+    (513, 999, 512 * 1024),   # single batch degenerate
+])
+def test_batched_fused_encode_matches_spec(monkeypatch, n_chunks, extra, bb):
+    """fast_encode_payload_batched (global sampled table -> preset-table
+    fused batches -> multihost-style stitch) must be byte-identical to
+    the numpy spec at any size/batch split."""
+    from zipnn_tpu.ops import jax_codec
+
+    monkeypatch.setattr(jax_codec, "FORCE_DEVICE_PATH", True)
+    monkeypatch.setattr(jax_codec, "_fused_encode_plane_call", _fake_plane_call)
+
+    data, _e, man = _mk(n_chunks, rare_chunk=9)
+    man[min(33, n_chunks - 1)] = 77
+    data = _interleave(_exp_from(data, n_chunks), man).reshape(-1)
+    data = data[: (n_chunks - 1) * CHUNK + (extra if extra else CHUNK)]
+    want = _compress(data)
+    got = jax_codec.fast_encode_payload_batched(
+        data, NB, 0, 10, CHUNK, 0.95, batch_bytes=bb
+    )
+    assert got is not None
+    assert bytes(got.tobytes()) == want
+    _roundtrip(want, data)
+
+
+def test_dispatcher_falls_back_to_batched_encode(monkeypatch):
+    """When the single-shot fused plan declines (HBM cap), the tpu-engine
+    dispatcher takes the batched path and still emits spec bytes."""
+    from zipnn_tpu.ops import jax_codec
+
+    monkeypatch.setattr(jax_codec, "FORCE_DEVICE_PATH", True)
+    monkeypatch.setattr(jax_codec, "_fused_encode_plane_call", _fake_plane_call)
+    orig = jax_codec.plan_fast_encode
+
+    def gate(data, *a, **kw):
+        if kw.get("preset_shared") is None:
+            return None  # pretend every single-shot call is over the cap
+        return orig(data, *a, **kw)
+
+    monkeypatch.setattr(jax_codec, "plan_fast_encode", gate)
+    monkeypatch.setenv("ZIPNN_TPU_ENC_BATCH_MB", "1")
+
+    data, _e, _m = _mk(540)
+    want = _compress(data)
+    got = codec.compress_payload(
+        data, NB, 0, 10, CHUNK, 0.95, engine="tpu", shared_tables=True
+    )
+    assert bytes(got.tobytes()) == want
+
+
 def test_preset_tables_cross_engine():
     """Externally built (multihost-style) preset tables: numpy and native
     must emit identical bytes when compressing a LOCAL RANGE with a table

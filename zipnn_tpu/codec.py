@@ -406,17 +406,26 @@ def compress_payload(
     if engine == "tpu":
         from .ops import jax_codec  # noqa: PLC0415
 
-        if shared_tables and preset_shared is None:
+        if shared_tables:
             # fused device pipeline (split + sampled MXU histogram +
             # Pallas lockstep encode + native splice) when eligible:
             # real TPU, no ambient mesh, >= 1 full chunk, seg <= 4096
             plan = jax_codec.plan_fast_encode(
                 data, num_buf, bit_reorder, byte_reorder, chunk_size,
-                threshold,
+                threshold, preset_shared=preset_shared,
             )
             if plan is not None:
                 run, words_dev, assemble = plan
                 return assemble(*run(words_dev), prefix_len=prefix_len)
+            if preset_shared is None:
+                # over the single-shot HBM cap: bounded-memory chunk-range
+                # batches with a global sampled table
+                out = jax_codec.fast_encode_payload_batched(
+                    data, num_buf, bit_reorder, byte_reorder, chunk_size,
+                    threshold, prefix_len=prefix_len,
+                )
+                if out is not None:
+                    return out
         payload = jax_codec.compress_payload(
             data, num_buf, bit_reorder, byte_reorder, chunk_size, threshold,
             shared_tables=shared_tables, preset_shared=preset_shared,

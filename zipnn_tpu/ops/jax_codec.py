@@ -650,8 +650,17 @@ def plan_fast_encode(
     byte_reorder: int,
     chunk_size: int,
     threshold: float = DEFAULT_THRESHOLD,
+    preset_shared=None,
 ):
     """Fused device compress for the shared-table profile.
+
+    ``preset_shared`` = externally built (tables, live) — the multihost /
+    batched-encode global tables.  With a preset the table build is
+    skipped and the SAMPLED pipeline machinery runs unconditionally
+    (kernel bit-30 handles bytes the global table cannot code, the
+    const-scan kernel provides RLE), so per-cell decisions stay
+    byte-identical to the spec with GLOBAL tables regardless of this
+    call's local chunk count.
 
     The whole-buffer byte work runs in two device dispatches — (1) byte-
     group split + per-cell MXU histogram, (2) per-plane Pallas lockstep
@@ -704,7 +713,7 @@ def plan_fast_encode(
 
     stride = shared_sample_stride(n_chunks)
 
-    if stride > 1:
+    if stride > 1 or preset_shared is not None:
         # Sampled container (>= 512 chunks): histogram only every
         # stride-th chunk (format policy — and 1/stride of the encode
         # pipeline's MXU-histogram wall), take exact per-stream bit
@@ -732,7 +741,12 @@ def plan_fast_encode(
                     and tail_planes[b].size
                 ):
                     cnt = cnt + np.bincount(tail_planes[b], minlength=256)
-                cnts[b] = cnt
+                cnts[b] = cnt  # local sample: sw heuristic only w/ preset
+                if preset_shared is not None:
+                    shared[b], live[b] = (
+                        preset_shared[0][b], preset_shared[1][b]
+                    )
+                    continue
                 if cnt.sum():
                     shared[b] = _huf.build_shared_table(cnt)
                 live[b] = shared[b] is not None and not shared_plane_hopeless(
@@ -1056,4 +1070,159 @@ def plan_fast_encode(
         return memoryview(out)  # zero-copy: a tobytes here would re-touch
         # (and on this rig re-fault) every payload page
 
-    return (run_sampled if stride > 1 else run), words_dev, assemble
+    return (
+        (run_sampled if stride > 1 or preset_shared is not None else run),
+        words_dev,
+        assemble,
+    )
+
+
+@lru_cache(maxsize=None)
+def _sample_hist_call(ns, chunk_words, num_buf, byte_reorder, bit_reorder):
+    """jitted: split ``ns`` (host-gathered, contiguous) sampled chunks and
+    return their per-plane byte histograms [num_buf, 256] int32."""
+    import jax  # noqa: PLC0415
+
+    plane_words = chunk_words // num_buf
+    seg = plane_words
+
+    def run(words):  # uint32 [ns * chunk_words]
+        planes = jax_transforms.split_device(
+            words.reshape(ns, chunk_words), num_buf, byte_reorder, bit_reorder
+        )
+        h = jax_entropy.histogram_rows_words(
+            planes.reshape(ns * num_buf * 4, seg // 4)
+        )
+        return h.reshape(ns, num_buf, 4, 256).sum(axis=(0, 2))
+
+    return jax.jit(run)
+
+
+def fast_encode_payload_batched(
+    data: np.ndarray,
+    num_buf: int,
+    bit_reorder: int,
+    byte_reorder: int,
+    chunk_size: int,
+    threshold: float = DEFAULT_THRESHOLD,
+    prefix_len: int = 0,
+    batch_bytes: Optional[int] = None,
+):
+    """GB-scale fused compress: bounded device memory via chunk-range
+    batches (the encode twin of decompress_payload's batching).
+
+    Two passes, byte-identical to the numpy spec at ANY size:
+
+    1. the global table: host-gather every stride-th chunk (one memcpy of
+       n/stride bytes), ONE device split+histogram over the sample, then
+       codec.shared_tables_from_counts — identical rules to the
+       single-shot build;
+    2. per chunk-aligned batch (stride-aligned so every batch starts on a
+       sampled chunk): the regular fused plan with ``preset_shared``, so
+       per-cell decisions (kernel bit counts, bit-30 uncodeable, RLE
+       const-scan) are spec-exact under the GLOBAL table; the local
+       payloads are then stitched like parallel/multihost.py assembles
+       per-process payloads (types/sizes concatenated, plane regions
+       copied at globally cumulative offsets).
+
+    Device working set is ~2.5x batch_bytes (``ZIPNN_TPU_ENC_BATCH_MB``,
+    default 512); host holds input + local payloads + output (the same
+    ~2x class as the reference C core).  Returns a uint8 array with
+    ``prefix_len`` reserved bytes at the front, or None when ineligible.
+    """
+    import os  # noqa: PLC0415
+
+    from ..codec import (  # noqa: PLC0415
+        num_chunks_for, parse_tables, shared_sample_stride,
+        shared_tables_from_counts,
+    )
+
+    jnp = _jnp()
+    data = np.ascontiguousarray(data, dtype=np.uint8).reshape(-1)
+    n = data.size
+    if n < chunk_size or not _platform_is_tpu() or _mesh() is not None:
+        return None
+    plane_bytes = chunk_size // num_buf
+    seg = plane_bytes // 4
+    if seg % 64 or seg > 4096:
+        return None
+    full = n // chunk_size
+    n_chunks = num_chunks_for(n, chunk_size)
+    stride = shared_sample_stride(n_chunks)
+    if batch_bytes is None:
+        batch_bytes = int(os.environ.get("ZIPNN_TPU_ENC_BATCH_MB", "512")) << 20
+    bchunks = max(stride, batch_bytes // (chunk_size * stride) * stride)
+
+    # ---- pass 1: global sampled histogram -> preset tables -------------
+    sample_idx = np.arange(0, full, stride)
+    sample = np.ascontiguousarray(
+        data[: full * chunk_size].reshape(full, chunk_size)[sample_idx]
+    ).reshape(-1)
+    hist = _sample_hist_call(
+        sample_idx.size, chunk_size // 4, num_buf, byte_reorder, bit_reorder
+    )(jnp.asarray(sample.view("<u4")))
+    counts = np.asarray(hist).astype(np.int64)
+    del sample
+    if n % chunk_size and full % stride == 0:
+        # the tail cell (index == full) is on stride: sampled
+        tail = byte_group.split(
+            data[full * chunk_size :], num_buf, byte_reorder, bit_reorder
+        )
+        for b in range(num_buf):
+            if tail[b].size:
+                counts[b] += np.bincount(tail[b], minlength=256)
+    preset = shared_tables_from_counts(counts, threshold, stride)
+
+    # ---- pass 2: fused encode per batch with the global preset ---------
+    pieces: List[Tuple[np.ndarray, int]] = []  # (payload bytes, k_chunks)
+    for lo in range(0, full, bchunks):
+        hi = min(lo + bchunks, full)
+        end = n if hi == full else hi * chunk_size
+        plan = plan_fast_encode(
+            data[lo * chunk_size : end], num_buf, bit_reorder, byte_reorder,
+            chunk_size, threshold, preset_shared=preset,
+        )
+        if plan is None:
+            return None
+        run, words_dev, assemble = plan
+        pay = np.frombuffer(assemble(*run(words_dev)), np.uint8)
+        k = (hi - lo) + (1 if end == n and n % chunk_size else 0)
+        pieces.append((pay, k))
+        del plan, run, words_dev, assemble  # free the batch's device bufs
+
+    # ---- stitch local payloads into the global container ---------------
+    metas = []
+    for pay, k in pieces:
+        types, starts, ds = parse_tables(pay, num_buf, k)
+        metas.append((types, starts, ds))
+    types_g = np.concatenate([m[0] for m in metas], axis=1)
+    sizes_g = np.concatenate(
+        [(m[1][:, 1:] - m[1][:, :-1]).astype(np.uint64) for m in metas],
+        axis=1,
+    )
+    cumulative = np.cumsum(sizes_g, axis=1, dtype=np.uint64)
+    tbl_len = types_g.nbytes + cumulative.astype("<u8").nbytes
+    plane_totals = cumulative[:, -1].astype(np.int64)
+    plane_base = np.zeros(num_buf, dtype=np.int64)
+    for b in range(1, num_buf):
+        plane_base[b] = plane_base[b - 1] + plane_totals[b - 1]
+    starts_g = np.zeros((num_buf, n_chunks + 1), dtype=np.int64)
+    starts_g[:, 1:] = cumulative
+    total_len = tbl_len + int(plane_totals.sum())
+    out = np.empty(prefix_len + total_len, np.uint8)
+    pv = out[prefix_len:]
+    pv[: types_g.nbytes] = np.ascontiguousarray(types_g).reshape(-1)
+    pv[types_g.nbytes : tbl_len] = (
+        np.ascontiguousarray(cumulative.astype("<u8"))
+        .view(np.uint8).reshape(-1)
+    )
+    clo = 0
+    for (pay, k), (types, starts, ds) in zip(pieces, metas):
+        src_base = ds
+        for b in range(num_buf):
+            ln = int(starts[b, k])
+            dst = tbl_len + int(plane_base[b]) + int(starts_g[b, clo])
+            pv[dst : dst + ln] = pay[src_base : src_base + ln]
+            src_base += ln
+        clo += k
+    return out
