@@ -1689,9 +1689,63 @@ static void run_pool(unsigned threads, size_t n_items,
   }
   for (auto& th : pool) th.join();
 }
+// Shared-table sampling policy — MUST equal codec.SHARED_SAMPLE_MIN_CHUNKS
+// / SHARED_SAMPLE_STRIDE; native.py asserts equality at load via
+// ztpu_sample_policy so a tune on either side fails loudly instead of
+// silently breaking cross-engine byte-identity.
+static const size_t kSharedSampleMinChunks = 512;
+static const size_t kSharedSampleStride = 8;
 }  // namespace
 
 extern "C" {
+
+void ztpu_sample_policy(unsigned* min_chunks, unsigned* stride) {
+  *min_chunks = (unsigned)kSharedSampleMinChunks;
+  *stride = (unsigned)kSharedSampleStride;
+}
+
+// Per-plane byte histograms of the SAMPLED chunks (global chunk index
+// 0 mod stride; ``global_chunk0`` is the global index of data's first
+// chunk).  out = int64 [num_buf * 256].  The multihost shared profile
+// uses this for its table all-reduce (codec.sampled_plane_counts).
+long long ztpu_sampled_counts(const uint8_t* data, size_t len,
+                              unsigned num_buf, int bit_reorder,
+                              int byte_reorder, size_t chunk_size,
+                              size_t global_chunk0, size_t stride,
+                              long long* out) {
+  (void)byte_reorder;
+  if (num_buf != 1 && num_buf != 2 && num_buf != 4) return -1;
+  if (!stride) return -1;
+  size_t n_chunks = chunk_size ? (len + chunk_size - 1) / chunk_size : 0;
+  for (size_t i = 0; i < (size_t)num_buf * 256; i++) out[i] = 0;
+  std::vector<uint8_t> planes(chunk_size);
+  size_t first = (stride - global_chunk0 % stride) % stride;
+  for (size_t c = first; c < n_chunks; c += stride) {
+    size_t off = c * chunk_size;
+    size_t clen = std::min(chunk_size, len - off);
+    size_t plens[4];
+    uint8_t* pptrs[4] = {nullptr, nullptr, nullptr, nullptr};
+    plane_lengths(clen, num_buf, plens);
+    size_t acc = 0;
+    for (unsigned b = 0; b < num_buf; b++) {
+      pptrs[b] = planes.data() + acc;
+      acc += plens[b];
+    }
+    uint8_t* reordered =
+        bit_reorder && num_buf == 4 ? reorder_scratch(clen) : nullptr;
+    split_planes(data + off, clen, num_buf, bit_reorder, reordered, pptrs,
+                 plens);
+    for (unsigned b = 0; b < num_buf; b++) {
+      uint32_t h[256];
+      unsigned msv;
+      uint32_t lg;
+      hist_block(pptrs[b], plens[b], h, &msv, &lg);
+      long long* o = out + (size_t)b * 256;
+      for (int s = 0; s < 256; s++) o[s] += h[s];
+    }
+  }
+  return 0;
+}
 
 // Batch-parse HUF weight headers into decode tables for the TPU per-cell
 // fast path's host prep (a Python-loop parse of a Llama-scale container's
@@ -2023,10 +2077,13 @@ long long ztpu_compress_shared(const uint8_t* data, size_t len,
   });
 
   // shared table per plane.  Format policy (codec.shared_sample_stride):
-  // at >= 512 chunks the table is built from every 8th chunk's histogram
-  // only, and a plane whose sampled expected code length cannot beat the
-  // threshold is "hopeless" — every cell raw (RLE still applies).
-  const size_t sample_stride = n_chunks >= 512 ? 8 : 1;
+  // above the gate the table is built from every stride-th chunk's
+  // histogram only, and a plane whose sampled expected code length
+  // cannot beat the threshold is "hopeless" — every cell raw (RLE still
+  // applies).  The constants are asserted against the Python spec's at
+  // library load (native.py reads ztpu_sample_policy).
+  const size_t sample_stride =
+      n_chunks >= kSharedSampleMinChunks ? kSharedSampleStride : 1;
   struct SharedT {
     HufCTable ct;
     std::vector<uint8_t> header;

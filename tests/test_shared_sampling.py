@@ -421,6 +421,62 @@ def test_dispatcher_falls_back_to_batched_encode(monkeypatch):
     assert bytes(got.tobytes()) == want
 
 
+def test_preset_applies_to_tail_only_input():
+    """full == 0 (a lone ragged tail chunk — a multihost process's local
+    range can be exactly this) must still honor preset_shared in the jax
+    generic path; regression: the preset was silently ignored and the
+    tail stored raw."""
+    from zipnn_tpu.ops import jax_codec
+
+    data, _e, _m = _mk(600)
+    stride = codec.shared_sample_stride(600)
+    counts = codec.sampled_plane_counts(data, NB, 0, 10, CHUNK, 0, stride)
+    preset = codec.shared_tables_from_counts(counts, 0.95, stride)
+    tail = np.ascontiguousarray(data[: CHUNK // 2])  # < one chunk
+    want = codec.compress_payload_numpy(
+        tail, NB, 0, 10, CHUNK, 0.95, shared_tables=True,
+        preset_shared=preset,
+    )
+    got = jax_codec.compress_payload(
+        tail, NB, 0, 10, CHUNK, 0.95, shared_tables=True,
+        preset_shared=preset,
+    )
+    assert bytes(got) == want
+    types, _s, _d = codec.parse_tables(want, NB, 1)
+    assert types[1, 0] == 1  # the preset actually compressed the cell
+
+
+def test_native_sampled_counts_parity():
+    """The C++ sampled-histogram twin must produce the exact integers of
+    the python sweep for every grouping / stride / global offset,
+    including ragged tails and empty local ranges."""
+    native = pytest.importorskip("zipnn_tpu.native")
+    rng = np.random.default_rng(8)
+    for nb, br, byr in ((1, 1, 10), (2, 1, 10), (4, 1, 220)):
+        chunk = 1024 * nb
+        for n in (chunk * 21 + 555, 100, 0):
+            data = rng.integers(0, 256, n, dtype=np.uint8)
+            for g0, stride in ((0, 1), (5, 8), (13, 4)):
+                a = native.sampled_counts(
+                    data, nb, br, byr, chunk, g0, stride
+                )
+                counts = np.zeros((nb, 256), dtype=np.int64)
+                n_chunks = codec.num_chunks_for(n, chunk)
+                from zipnn_tpu.ops import byte_group
+
+                for c in range((-g0) % stride, n_chunks, stride):
+                    planes = byte_group.split(
+                        data[c * chunk : min((c + 1) * chunk, n)],
+                        nb, byr, br,
+                    )
+                    for b in range(nb):
+                        if planes[b].size:
+                            counts[b] += np.bincount(
+                                planes[b], minlength=256
+                            )
+                assert np.array_equal(a, counts), (nb, n, g0, stride)
+
+
 def test_preset_tables_cross_engine():
     """Externally built (multihost-style) preset tables: numpy and native
     must emit identical bytes when compressing a LOCAL RANGE with a table

@@ -104,6 +104,14 @@ def sampled_plane_counts(
     data = np.ascontiguousarray(data, dtype=np.uint8).reshape(-1)
     n = data.size
     n_chunks = num_chunks_for(n, chunk_size)
+    nat = _native()
+    if nat is not None:
+        # C++ twin (split + 8-way histograms per sampled chunk): exact
+        # same integers, ~10x the python sweep
+        return nat.sampled_counts(
+            data, num_buf, bit_reorder, byte_reorder, chunk_size,
+            global_chunk0, stride,
+        )
     counts = np.zeros((num_buf, 256), dtype=np.int64)
     first = (-global_chunk0) % stride
     for c in range(first, n_chunks, stride):

@@ -150,6 +150,35 @@ def _load():
             ctypes.c_longlong,  # plane_bytes
             ctypes.c_int,
         ]
+        lib.ztpu_sample_policy.restype = None
+        lib.ztpu_sample_policy.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+        lib.ztpu_sampled_counts.restype = ctypes.c_longlong
+        lib.ztpu_sampled_counts.argtypes = [
+            ctypes.c_void_p,
+            ctypes.c_size_t,
+            ctypes.c_uint,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_size_t,
+            ctypes.c_size_t,  # global_chunk0
+            ctypes.c_size_t,  # stride
+            ctypes.c_void_p,  # out i64[num_buf*256]
+        ]
+        # the sampling format policy is engine-shared: a drifted constant
+        # would silently break cross-engine byte-identity, so fail loudly
+        from . import codec as _codec  # noqa: PLC0415
+
+        mc, st = ctypes.c_uint(), ctypes.c_uint()
+        lib.ztpu_sample_policy(ctypes.byref(mc), ctypes.byref(st))
+        if (mc.value, st.value) != (
+            _codec.SHARED_SAMPLE_MIN_CHUNKS, _codec.SHARED_SAMPLE_STRIDE
+        ):
+            raise RuntimeError(
+                "native sampling policy "
+                f"({mc.value}, {st.value}) != codec policy "
+                f"({_codec.SHARED_SAMPLE_MIN_CHUNKS}, "
+                f"{_codec.SHARED_SAMPLE_STRIDE})"
+            )
         _LIB = lib
         return lib
 
@@ -199,6 +228,36 @@ def compress_payload(
     if prefix_len == 0:
         return out[:r].tobytes()
     return out[: prefix_len + r]
+
+
+def sampled_counts(
+    data: np.ndarray,
+    num_buf: int,
+    bit_reorder: int,
+    byte_reorder: int,
+    chunk_size: int,
+    global_chunk0: int = 0,
+    stride: int = 1,
+) -> np.ndarray:
+    """Per-plane byte histograms of the SAMPLED chunks (C++ core twin of
+    codec.sampled_plane_counts; exact same integer result)."""
+    lib = _load()
+    data = np.ascontiguousarray(data, dtype=np.uint8).reshape(-1)
+    out = np.zeros((num_buf, 256), dtype=np.int64)
+    r = lib.ztpu_sampled_counts(
+        data.ctypes.data,
+        data.size,
+        num_buf,
+        bit_reorder,
+        byte_reorder,
+        chunk_size,
+        global_chunk0,
+        stride,
+        out.ctypes.data,
+    )
+    if r < 0:
+        raise RuntimeError(f"native sampled_counts failed: {r}")
+    return out
 
 
 class SharedOverflow(RuntimeError):

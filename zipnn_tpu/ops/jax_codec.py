@@ -288,6 +288,11 @@ def compress_payload(
     plane_host = None
     shared = [None] * num_buf
     live = [True] * num_buf
+    if shared_tables and preset_shared is not None:
+        # externally built global tables apply to EVERY cell, including a
+        # tail-only (full == 0) input — a multihost process's local range
+        # can be a lone ragged tail chunk
+        shared, live = preset_shared
     if full:
         # device: split planes + per-cell histograms
         words = data[: full * chunk_size].view("<u4").reshape(full, chunk_size // 4)
@@ -303,29 +308,26 @@ def compress_payload(
 
         # host: per-cell coding plan
         from ..codec import (  # noqa: PLC0415
-            shared_plane_hopeless, shared_sample_stride,
+            shared_sample_stride, shared_tables_from_counts,
         )
 
         stride = shared_sample_stride(n_chunks)
-        if shared_tables and preset_shared is not None:
-            shared, live = preset_shared
-        elif shared_tables:
-            for b in range(num_buf):
-                # format policy: table from every stride-th chunk (the
-                # tail cell samples when its index, == full, is on stride)
-                count = hist[::stride, b].sum(axis=0).astype(np.int64)
-                if (
-                    tail_planes is not None
-                    and full % stride == 0
-                    and tail_planes[b].size
-                ):
-                    count += np.bincount(tail_planes[b], minlength=256)
-                if count.sum():
-                    shared[b] = huf.build_shared_table(count)
-                if stride > 1:
-                    live[b] = shared[b] is not None and not shared_plane_hopeless(
-                        count, shared[b][0], threshold
-                    )
+        if shared_tables and preset_shared is None:
+            # format policy: table from every stride-th chunk (the tail
+            # cell samples when its index, == full, is on stride)
+            counts = hist[::stride].sum(axis=0).astype(np.int64)
+            if (
+                tail_planes is not None
+                and full % stride == 0
+            ):
+                for b in range(num_buf):
+                    if tail_planes[b].size:
+                        counts[b] += np.bincount(
+                            tail_planes[b], minlength=256
+                        )
+            shared, live = shared_tables_from_counts(
+                counts, threshold, stride
+            )
 
         plans = [[None] * num_buf for _ in range(full)]
         enc_cells: List[Tuple[int, int]] = []
@@ -708,7 +710,7 @@ def plan_fast_encode(
 
     from ..stats import phase  # noqa: PLC0415
     from ..codec import (  # noqa: PLC0415
-        shared_plane_hopeless, shared_sample_stride,
+        shared_sample_stride, shared_tables_from_counts,
     )
 
     stride = shared_sample_stride(n_chunks)
@@ -728,8 +730,6 @@ def plan_fast_encode(
             with phase("encode:split+hist"):
                 planes, phist_s, flags_d = shs(words)
                 ph = np.asarray(phist_s)  # nb x 256 ints: first host sync
-            shared = [None] * num_buf
-            live = [False] * num_buf
             cnts = [None] * num_buf
             for b in range(num_buf):
                 cnt = ph[b].astype(np.int64)
@@ -742,15 +742,11 @@ def plan_fast_encode(
                 ):
                     cnt = cnt + np.bincount(tail_planes[b], minlength=256)
                 cnts[b] = cnt  # local sample: sw heuristic only w/ preset
-                if preset_shared is not None:
-                    shared[b], live[b] = (
-                        preset_shared[0][b], preset_shared[1][b]
-                    )
-                    continue
-                if cnt.sum():
-                    shared[b] = _huf.build_shared_table(cnt)
-                live[b] = shared[b] is not None and not shared_plane_hopeless(
-                    cnt, shared[b][0], threshold
+            if preset_shared is not None:
+                shared, live = preset_shared
+            else:
+                shared, live = shared_tables_from_counts(
+                    np.stack(cnts), threshold, stride
                 )
             outs = [None] * num_buf
             sws = [0] * num_buf
@@ -1154,15 +1150,24 @@ def fast_encode_payload_batched(
     bchunks = max(stride, batch_bytes // (chunk_size * stride) * stride)
 
     # ---- pass 1: global sampled histogram -> preset tables -------------
+    # sliced so (a) the sample upload respects the batch HBM budget and
+    # (b) a slice's per-symbol count stays < 2^31 (the device histogram
+    # reduces in int32; the int64 accumulation happens here on the host —
+    # the C++ engine guards the same uint32 hazard with its -2 fallback)
     sample_idx = np.arange(0, full, stride)
-    sample = np.ascontiguousarray(
-        data[: full * chunk_size].reshape(full, chunk_size)[sample_idx]
-    ).reshape(-1)
-    hist = _sample_hist_call(
-        sample_idx.size, chunk_size // 4, num_buf, byte_reorder, bit_reorder
-    )(jnp.asarray(sample.view("<u4")))
-    counts = np.asarray(hist).astype(np.int64)
-    del sample
+    data2d = data[: full * chunk_size].reshape(full, chunk_size)
+    sl_chunks = max(
+        1, min(batch_bytes // chunk_size, (1 << 30) // plane_bytes)
+    )
+    counts = np.zeros((num_buf, 256), np.int64)
+    for s0 in range(0, sample_idx.size, sl_chunks):
+        idx = sample_idx[s0 : s0 + sl_chunks]
+        sample = np.ascontiguousarray(data2d[idx]).reshape(-1)
+        h = _sample_hist_call(
+            idx.size, chunk_size // 4, num_buf, byte_reorder, bit_reorder
+        )(jnp.asarray(sample.view("<u4")))
+        counts += np.asarray(h).astype(np.int64)
+        del sample, h
     if n % chunk_size and full % stride == 0:
         # the tail cell (index == full) is on stride: sampled
         tail = byte_group.split(
