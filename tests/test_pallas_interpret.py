@@ -133,3 +133,27 @@ def test_fused_encode_overflow_reencode_interpret(interpret_kernels):
     comp = z_tpu.compress(data)
     assert comp == golden
     assert bytes(z_tpu.decompress(comp)) == data
+
+
+def test_const_scan_kernel_interpret(interpret_kernels):
+    """pallas_gather.const_scan_rows (the sampled fused-encode RLE scan)
+    through the Pallas interpreter: packed flags must match the direct
+    numpy formulation, including the non-multiple-of-block tail rows."""
+    rng = np.random.default_rng(3)
+    N, W = 70, 128  # 2 full 32-row blocks + a 6-row XLA tail
+    rows = rng.integers(0, 2**32, (N, W), dtype=np.uint32)
+    rows[5] = np.uint32(0x2A2A2A2A)   # constant byte 0x2A
+    rows[41] = np.uint32(0)           # constant byte 0
+    rows[69] = np.uint32(0x11111111)  # constant in the tail part
+    rows[7, 64] ^= np.uint32(0xFF)    # almost-constant: not RLE
+    rows[7, :64] = np.uint32(0x33333333)
+    rows[7, 65:] = np.uint32(0x33333333)
+    import jax.numpy as jnp
+
+    from zipnn_tpu.ops import pallas_gather as pg
+
+    flags = np.asarray(pg.const_scan_rows(jnp.asarray(rows)))
+    b0 = rows[:, 0] & 0xFF
+    ok = (rows == (b0 * np.uint32(0x01010101))[:, None]).all(axis=1)
+    want = (b0.astype(np.int32) | (ok.astype(np.int32) << 8))
+    assert np.array_equal(flags, want)
