@@ -408,7 +408,7 @@ def _decode_call_cached(
             pl.BlockSpec(
                 (1, TLOG - 1, SUBS, 128), lambda b, t: (b, 0, 0, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # sbuf stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # sbuf stays in HBM
         ],
         out_specs=[
             pl.BlockSpec(
