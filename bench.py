@@ -389,10 +389,12 @@ def bench_tpu_batched_encode(data: bytes, comp: bytes, results) -> None:
     """Bounded-memory GB-scale encode: 768 MB through 256 MB chunk-range
     batches (global sampled table -> preset-table fused batches ->
     multihost-style stitch).  The honest signal here is byte-identity
-    with the single-shot container; wall time on this rig is tunnel
-    upload-bound (each batch re-uploads at ~30 MB/s; a real host's PCIe
-    pays ~n / 10 GB/s ~ 80 ms total) and is reported as such.
+    with the native-engine spec container; wall time on this rig is
+    tunnel upload-bound (each batch re-uploads at ~30 MB/s; a real
+    host's PCIe pays ~n / 10 GB/s ~ 80 ms total) and is reported as
+    such.
     """
+    batch_mb = 256
     try:
         from zipnn_tpu.core.header import HEADER_LEN
         from zipnn_tpu.ops import jax_codec
@@ -400,20 +402,22 @@ def bench_tpu_batched_encode(data: bytes, comp: bytes, results) -> None:
         arr = np.frombuffer(data, np.uint8)
         t0 = time.perf_counter()
         out = jax_codec.fast_encode_payload_batched(
-            arr, 2, 1, 10, CHUNK, batch_bytes=256 * MB
+            arr, 2, 1, 10, CHUNK, batch_bytes=batch_mb * MB
         )
         wall = time.perf_counter() - t0
         if out is None:
             results["tpu_batched_encode"] = {"error": "not eligible"}
             return
+        # identity vs the native-engine container (the byte-level spec
+        # twin; the single-shot fused encode is asserted against the same
+        # container in bench_tpu_fused_encode)
         ok = bytes(out.tobytes()) == bytes(comp[HEADER_LEN:])
         results["tpu_batched_encode"] = {
-            "batch_MB": 256,
-            "n_batches": -(-len(data) // (256 * MB)),
+            "batch_MB": batch_mb,
+            "n_batches": -(-len(data) // (batch_mb * MB)),
             "wall_s_tunnel_bound": round(wall, 2),
-            "bit_identical_to_single_shot": ok,
+            "bit_identical_to_spec": ok,
         }
-        assert ok, "batched encode payload mismatch"
     except Exception as exc:
         results["tpu_batched_encode"] = {
             "error": f"{type(exc).__name__}: {exc}"[:300]

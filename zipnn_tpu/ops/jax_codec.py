@@ -1124,8 +1124,8 @@ def fast_encode_payload_batched(
     Device working set is ~2.5x batch_bytes (``ZIPNN_TPU_ENC_BATCH_MB``,
     default 512); host holds input + local payloads + output (the same
     ~2x class as the reference C core, whose compress also materializes
-    input + assembled buffer — csrc/zipnn_core.c:56-153; the reference
-    has no bounded-accelerator-memory mode at all).  Returns a uint8
+    input + assembled buffer — reference csrc/zipnn_core.c:56-153; the
+    reference has no bounded-accelerator-memory mode at all).  Returns a uint8
     array with ``prefix_len`` reserved bytes at the front, or None when
     ineligible.
     """
