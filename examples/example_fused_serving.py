@@ -62,3 +62,20 @@ def forward(x, w):
 
 y = forward(x, restored)
 print("forward OK:", y.shape, y.dtype)
+
+# --- whole-model flow: the compressed pytree checkpoint API ---------------
+# save_pytree writes one reference-schema .znn.safetensors per-tensor
+# container; load_pytree decompresses and places each leaf on a sharding
+# (here: the default device; pass NamedShardings for a multi-chip mesh).
+from zipnn_tpu.io import load_pytree, save_pytree
+
+params = {"dense": {"kernel": restored, "bias": jnp.zeros(2048, jnp.float32)}}
+ckpt = "/tmp/example_serving_ckpt.znn.safetensors"
+save_pytree(ckpt, params, huffman_table="shared")
+params2 = load_pytree(ckpt, like=params)
+assert bool(jnp.all(
+    params2["dense"]["kernel"].view(jnp.uint16)
+    == params["dense"]["kernel"].view(jnp.uint16)
+))
+y2 = forward(x, params2["dense"]["kernel"])
+print("pytree checkpoint roundtrip OK:", _os.path.getsize(ckpt), "bytes")

@@ -116,6 +116,16 @@ def test_like_mismatch_errors(tmp_path):
         load_pytree(p, like={"step": tree["step"]})  # extra leaves on disk
 
 
+def test_shared_profile_roundtrip(tmp_path):
+    """huffman_table='shared' (the TPU-optimal decode profile) per tensor:
+    the container self-describes, so load needs no knob."""
+    tree = _tree()
+    p = str(tmp_path / "ckpt.znn.safetensors")
+    compressed = save_pytree(p, tree, huffman_table="shared")
+    assert compressed["params/dense/kernel"] is True
+    _assert_tree_equal(tree, load_pytree(p, like=tree))
+
+
 def test_single_leaf_tree(tmp_path):
     x = jnp.asarray(np.arange(512, dtype=np.float32))
     p = str(tmp_path / "one.znn.safetensors")
