@@ -304,6 +304,28 @@ def test_jax_device_output_fp32_ragged():
     assert np.array_equal(np.asarray(back), x)
 
 
+def test_tiny_chunk_compress_delegates_to_host():
+    """compression_chunk < 512 B: the device transforms need 128-word
+    tiles, so the tpu engine must delegate compress to the numpy golden
+    model instead of crashing (the reference allows any power-of-2
+    chunk; regression: reshape error for 256 B chunks)."""
+    from zipnn_tpu import ZipNN
+
+    data = np.clip(
+        RNG.normal(128, 3, 7 * 256), 0, 255
+    ).astype(np.uint8).tobytes()
+    for shared in (False, True):
+        kw = dict(
+            input_format="byte", bytearray_dtype="bfloat16",
+            compression_chunk=256,
+            huffman_table="shared" if shared else "per_chunk",
+        )
+        want = bytes(ZipNN(engine="numpy", **kw).compress(data))
+        got = bytes(ZipNN(engine="tpu", **kw).compress(data))
+        assert got == want
+        assert bytes(ZipNN(engine="tpu").decompress(got)) == data
+
+
 def test_fused_encode_assembly_with_mocked_kernel(monkeypatch):
     """The fused-encode host logic — exact histogram-derived bit counts,
     the RLE/raw/threshold decisions they drive, the skip-raw-plane rule,

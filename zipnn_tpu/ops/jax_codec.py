@@ -262,6 +262,18 @@ def compress_payload(
     built (tables, live) — used by multihost shared-profile compress,
     where the table comes from an all-reduced global histogram.
     """
+    if chunk_size % 512:
+        # the device transforms work in 512-byte (128-word) tiles
+        # (jax_transforms.u32_flat_to_u8); sub-512 B chunks are a host
+        # workload — the reference allows any power-of-2 chunk, so
+        # delegate to the byte-identical numpy golden model
+        from ..codec import compress_payload_numpy  # noqa: PLC0415
+
+        return compress_payload_numpy(
+            data, num_buf, bit_reorder, byte_reorder, chunk_size,
+            threshold, shared_tables=shared_tables,
+            preset_shared=preset_shared,
+        )
     jnp = _jnp()
     data = np.ascontiguousarray(data, dtype=np.uint8).reshape(-1)
     n = data.size
