@@ -104,6 +104,25 @@ def test_streaming_frames(streaming_chunk):
     assert bytes(zp2.decompress(c)) == data
 
 
+@pytest.mark.parametrize("huffman_table", ["per_chunk", "shared"])
+def test_streaming_tpu_engine_parity(huffman_table):
+    """Streaming frames through the tpu engine: byte-identical to numpy
+    for both profiles (each frame is an independent container, so the
+    per-frame chunk count stays below the sampling gate) and the ragged
+    final frame decodes bit-exactly."""
+    data = bf16_bytes(1500 * KB)[: 2_999_111]
+    kw = dict(
+        input_format="byte", bytearray_dtype="bfloat16",
+        is_streaming=True, streaming_chunk=1 << 20,
+        compression_chunk=32768, huffman_table=huffman_table,
+    )
+    c_np = bytes(ZipNN(engine="numpy", **kw).compress(data))
+    c_tp = bytes(ZipNN(engine="tpu", **kw).compress(data))
+    assert c_tp == c_np
+    back = ZipNN(engine="tpu", is_streaming=True).decompress(c_np)
+    assert bytes(back) == data
+
+
 def test_delta_byte_roundtrip():
     base = bf16_bytes(100 * KB)
     mod = bytearray(base)
