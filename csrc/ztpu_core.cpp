@@ -1957,10 +1957,20 @@ static long long assemble_payload(std::vector<ChunkResult>& results,
 
 // Compress `data` into the table+planes payload.  Returns payload size, or
 // -1 on error / insufficient capacity.
+//
+// check_th_after_percent: the bounded threshold check (the reference's
+// intended-but-dead checkCompTh semantics, zipnn_core.c:423-424, 554-558;
+// spec codec.check_abandon_index): after coding chunks [0, K] with
+// K = ceil(n_chunks/percent), a plane whose cumulative stored size exceeds
+// threshold x its uncompressed size is abandoned — chunks (K, n) of it are
+// stored raw with NO Huffman attempt.  0 disables.  raw_planes_mask: bit b
+// forces plane b raw from chunk 0 (the distributed form of the same check,
+// where the decision arrives via a collective — parallel/multihost.py).
 long long ztpu_compress(const uint8_t* data, size_t len, unsigned num_buf,
                         int bit_reorder, int byte_reorder, size_t chunk_size,
-                        double threshold, int threads, uint8_t* out,
-                        size_t out_cap) {
+                        double threshold, int threads,
+                        int check_th_after_percent, unsigned raw_planes_mask,
+                        uint8_t* out, size_t out_cap) {
   tune_malloc_once();
   (void)byte_reorder;  // plane count fully determines the live split modes
   if (num_buf != 1 && num_buf != 2 && num_buf != 4) return -1;
@@ -1973,7 +1983,8 @@ long long ztpu_compress(const uint8_t* data, size_t len, unsigned num_buf,
   uint8_t* planes_region = arena.buf.get();
   uint8_t* blob_region = planes_region + n_chunks * chunk_size;
 
-  run_pool((unsigned)threads, n_chunks, [&](size_t c) {
+  unsigned skip_mask = raw_planes_mask;
+  auto do_chunk = [&](size_t c, unsigned skip) {
     if (failed.load(std::memory_order_relaxed)) return;
     size_t off = c * chunk_size;
     size_t clen = std::min(chunk_size, len - off);
@@ -1998,6 +2009,11 @@ long long ztpu_compress(const uint8_t* data, size_t len, unsigned num_buf,
     for (unsigned b = 0; b < num_buf; b++) {
       r.poff[b] = acc2;
       acc2 += plens[b];
+      if (skip & (1u << b)) {  // abandoned plane: raw, no attempt
+        r.type[b] = 0;
+        r.size[b] = plens[b];
+        continue;
+      }
       long long cs =
           huf_compress_block(pptrs[b], plens[b], blobd + bcur, clen - bcur);
       size_t csize = cs == -1 ? 1 : (cs > 0 ? (size_t)cs : 0);
@@ -2011,7 +2027,37 @@ long long ztpu_compress(const uint8_t* data, size_t len, unsigned num_buf,
         r.size[b] = plens[b];
       }
     }
-  });
+  };
+
+  size_t check_idx = n_chunks;  // disabled sentinel
+  if (check_th_after_percent > 0 && n_chunks > 1) {
+    size_t k =
+        (n_chunks + (size_t)check_th_after_percent - 1) /
+        (size_t)check_th_after_percent;
+    if (k < n_chunks - 1) check_idx = k;
+  }
+  if (check_idx < n_chunks) {
+    // phase 1: the prefix [0, K]; then the per-plane abandonment decision
+    run_pool((unsigned)threads, check_idx + 1,
+             [&](size_t c) { do_chunk(c, skip_mask); });
+    if (failed.load()) return -1;
+    size_t plens[4];
+    plane_lengths(chunk_size, num_buf, plens);  // prefix chunks are full
+    for (unsigned b = 0; b < num_buf; b++) {
+      uint64_t stored = 0;
+      for (size_t c = 0; c <= check_idx; c++) stored += results[c].size[b];
+      uint64_t uncomp = (uint64_t)(check_idx + 1) * plens[b];
+      // identical IEEE-double expression to codec.check_abandon_planes
+      if ((double)stored > (double)uncomp * threshold)
+        skip_mask |= (1u << b);
+    }
+    // phase 2: the remaining chunks with the abandonment applied
+    run_pool((unsigned)threads, n_chunks - (check_idx + 1),
+             [&](size_t i) { do_chunk(check_idx + 1 + i, skip_mask); });
+  } else {
+    run_pool((unsigned)threads, n_chunks,
+             [&](size_t c) { do_chunk(c, skip_mask); });
+  }
   if (failed.load()) return -1;
   long long ret =
       assemble_payload(results, n_chunks, num_buf, threads, out, out_cap);

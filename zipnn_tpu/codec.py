@@ -68,6 +68,42 @@ def shared_plane_hopeless(
     return bits >= threshold * 8.0 * total
 
 
+def check_abandon_index(n_chunks: int, check_th_after_percent: int) -> Optional[int]:
+    """Chunk index K at which the bounded threshold check runs (per-chunk
+    profile only).
+
+    The reference accepts ``check_th_after_percent`` and computes
+    ``K = ceil(numChunks / percent)`` (csrc/zipnn_core.c:423-424) but the
+    action of its check is commented out (:556-558) — the knob is dead
+    code there.  This build honors the *intended* semantics: after coding
+    chunks ``0..K`` of a plane, if the cumulative stored size exceeds
+    ``threshold`` x the cumulative uncompressed size, the plane is
+    abandoned — chunks ``K+1..`` are stored raw without attempting
+    Huffman.  Byte-level consequence (FORMAT.md): on an abandoned plane,
+    later chunks that would individually have beaten the threshold are
+    stored raw.  ``0`` disables the check.  Returns None when disabled or
+    when the check point is at/after the last chunk (no chunk to abandon).
+    """
+    if not check_th_after_percent or check_th_after_percent <= 0:
+        return None
+    k = -(-n_chunks // check_th_after_percent)  # ceil, reference formula
+    return k if k < n_chunks - 1 else None
+
+
+def check_abandon_planes(
+    stored: np.ndarray, uncomp: np.ndarray, threshold: float
+) -> np.ndarray:
+    """Plane-abandonment decision from the prefix cells' stored vs
+    uncompressed byte totals ([num_buf] each).  One IEEE-double expression
+    shared by every engine (the C++ twin mirrors it exactly) so the
+    decision — and therefore the container bytes — is engine-independent.
+    """
+    return np.asarray(
+        [float(int(s)) > float(int(u)) * threshold for s, u in zip(stored, uncomp)],
+        dtype=bool,
+    )
+
+
 def effective_chunk(compression_chunk: int, num_buf: int) -> int:
     """fp8 (single-plane) chunks are capped at the 128 KB HUF block limit
     (reference zipnn.py:721)."""
@@ -151,6 +187,8 @@ def compress_payload_numpy(
     threshold: float = DEFAULT_THRESHOLD,
     shared_tables: bool = False,
     preset_shared=None,
+    check_th_after_percent: int = 0,
+    raw_planes=None,
 ) -> bytes:
     """Compress a flat uint8 buffer into the table+planes payload (no header).
 
@@ -161,6 +199,13 @@ def compress_payload_numpy(
     block — and becomes eligible for the Pallas lockstep fast decode path
     (ops/pallas_huf.py).  This function is the byte-level specification the
     tpu engine's implementation is tested against.
+
+    ``check_th_after_percent`` (per-chunk profile only): the bounded
+    threshold check — see :func:`check_abandon_index`.  The shared profile
+    has its own plane-level rule (:func:`shared_plane_hopeless`) and
+    ignores the knob.  ``raw_planes`` (per-chunk profile only) forces the
+    listed planes raw from chunk 0 — the multihost distributed form of the
+    same check, where the abandonment decision arrives via a collective.
     """
     data = np.ascontiguousarray(data, dtype=np.uint8).reshape(-1)
     n = data.size
@@ -199,11 +244,19 @@ def compress_payload_numpy(
                     count, shared[b][0], threshold
                 )
 
+    abandoned = np.zeros(num_buf, dtype=bool)
+    check_idx = None
+    if not shared_tables:
+        if raw_planes is not None:
+            abandoned = np.asarray(raw_planes, dtype=bool).copy()
+        check_idx = check_abandon_index(n_chunks, check_th_after_percent)
     for c in range(n_chunks):
         for b in range(num_buf):
             plane = all_planes[b][c]
             if shared_tables:
                 comp = compress_cell_shared(plane, shared[b] if live[b] else None)
+            elif abandoned[b]:
+                comp = None  # plane abandoned by the bounded check
             else:
                 comp = huf.compress(plane)
             if comp is not None and len(comp) < plane.size * threshold:
@@ -214,6 +267,12 @@ def compress_payload_numpy(
                 chunk_types[b, c] = 0
                 chunk_sizes[b, c] = plane.size
                 plane_blobs[b].append(plane.tobytes())
+        if c == check_idx:
+            stored = chunk_sizes[:, : c + 1].sum(axis=1)
+            uncomp = np.asarray(
+                [sum(all_planes[b][i].size for i in range(c + 1)) for b in range(num_buf)]
+            )
+            abandoned |= check_abandon_planes(stored, uncomp, threshold)
 
     cumulative = np.cumsum(chunk_sizes, axis=1, dtype=np.uint64)
     parts = [chunk_types.tobytes(), cumulative.astype("<u8").tobytes()]
@@ -383,6 +442,8 @@ def compress_payload(
     shared_tables: bool = False,
     prefix_len: int = 0,
     preset_shared=None,
+    check_th_after_percent: int = 0,
+    raw_planes=None,
 ):
     """Engine-dispatched payload compress.
 
@@ -393,6 +454,9 @@ def compress_payload(
     buffer with zero join copies.  ``preset_shared`` supplies externally
     built shared tables + live flags (see shared_tables_from_counts);
     engines without preset support fall back to the numpy spec path.
+    ``check_th_after_percent`` / ``raw_planes``: the bounded threshold
+    check (per-chunk profile only, see check_abandon_index); all engines
+    implement identical semantics.
     """
     engine = resolve_engine(engine, shared_tables)
     if engine == "native":
@@ -410,6 +474,8 @@ def compress_payload(
             return nat.compress_payload(
                 data, num_buf, bit_reorder, byte_reorder, chunk_size,
                 threshold, threads, prefix_len=prefix_len,
+                check_th_after_percent=check_th_after_percent,
+                raw_planes=raw_planes,
             )
     if engine == "tpu":
         from .ops import jax_codec  # noqa: PLC0415
@@ -437,11 +503,15 @@ def compress_payload(
         payload = jax_codec.compress_payload(
             data, num_buf, bit_reorder, byte_reorder, chunk_size, threshold,
             shared_tables=shared_tables, preset_shared=preset_shared,
+            check_th_after_percent=check_th_after_percent,
+            raw_planes=raw_planes,
         )
     elif engine in ("numpy", "native"):
         payload = compress_payload_numpy(
             data, num_buf, bit_reorder, byte_reorder, chunk_size, threshold,
             shared_tables=shared_tables, preset_shared=preset_shared,
+            check_th_after_percent=check_th_after_percent,
+            raw_planes=raw_planes,
         )
     else:
         raise ValueError(f"unknown engine {engine!r}")

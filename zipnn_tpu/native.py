@@ -63,14 +63,17 @@ def _load():
             ctypes.c_size_t,
             ctypes.c_double,
             ctypes.c_int,
+            ctypes.c_int,   # check_th_after_percent (0 = disabled)
+            ctypes.c_uint,  # raw_planes_mask
             ctypes.c_void_p,
             ctypes.c_size_t,
         ]
         lib.ztpu_compress_shared.restype = ctypes.c_longlong
-        # = ztpu_compress's signature + nullable (preset_lengths,
-        # preset_live) pointers before (out, out_cap)
+        # = ztpu_compress's signature minus the per-chunk-only bounded-check
+        # params, + nullable (preset_lengths, preset_live) pointers before
+        # (out, out_cap)
         lib.ztpu_compress_shared.argtypes = (
-            list(lib.ztpu_compress.argtypes)[:-2]
+            list(lib.ztpu_compress.argtypes)[:-4]
             + [ctypes.c_void_p, ctypes.c_void_p]
             + list(lib.ztpu_compress.argtypes)[-2:]
         )
@@ -196,6 +199,8 @@ def compress_payload(
     threshold: float,
     threads: int,
     prefix_len: int = 0,
+    check_th_after_percent: int = 0,
+    raw_planes=None,
 ):
     """Compress into the table+planes payload.
 
@@ -204,6 +209,8 @@ def compress_payload(
     python_header convention (zipnn_core.c:105-121): header + payload live
     in ONE buffer, no join copy.  Returns bytes when prefix_len == 0, else
     a uint8 array of prefix_len + payload bytes (prefix uninitialized).
+    ``check_th_after_percent`` / ``raw_planes``: the bounded threshold
+    check (codec.check_abandon_index semantics, identical in the C++ core).
     """
     lib = _load()
     data = np.ascontiguousarray(data, dtype=np.uint8).reshape(-1)
@@ -211,6 +218,11 @@ def compress_payload(
     n_chunks = (n + chunk_size - 1) // chunk_size
     cap = n + n_chunks * num_buf * 9 + 4096 + (n_chunks + 1) * 64
     out = np.empty(prefix_len + cap, dtype=np.uint8)
+    mask = 0
+    if raw_planes is not None:
+        for b, flag in enumerate(raw_planes):
+            if flag:
+                mask |= 1 << b
     r = lib.ztpu_compress(
         data.ctypes.data,
         n,
@@ -220,6 +232,8 @@ def compress_payload(
         chunk_size,
         threshold,
         threads or os.cpu_count() or 1,
+        int(check_th_after_percent or 0),
+        mask,
         out.ctypes.data + prefix_len,
         cap,
     )

@@ -253,6 +253,8 @@ def compress_payload(
     threshold: float = DEFAULT_THRESHOLD,
     shared_tables: bool = False,
     preset_shared=None,
+    check_th_after_percent: int = 0,
+    raw_planes=None,
 ) -> bytes:
     """Compress flat bytes into the table+planes payload (device pipeline).
 
@@ -261,6 +263,11 @@ def compress_payload(
     implementation must match exactly).  ``preset_shared`` = externally
     built (tables, live) — used by multihost shared-profile compress,
     where the table comes from an all-reduced global histogram.
+    ``check_th_after_percent`` / ``raw_planes``: the bounded threshold
+    check (per-chunk profile only, codec.check_abandon_index); the device
+    pipeline encodes every cell regardless and applies the abandonment as
+    a byte-identical post-pass, so only the bytes — not the device work —
+    reflect the knob here.
     """
     if chunk_size % 512:
         # the device transforms work in 512-byte (128-word) tiles
@@ -273,6 +280,8 @@ def compress_payload(
             data, num_buf, bit_reorder, byte_reorder, chunk_size,
             threshold, shared_tables=shared_tables,
             preset_shared=preset_shared,
+            check_th_after_percent=check_th_after_percent,
+            raw_planes=raw_planes,
         )
     jnp = _jnp()
     data = np.ascontiguousarray(data, dtype=np.uint8).reshape(-1)
@@ -296,6 +305,10 @@ def compress_payload(
         tail_planes = byte_group.split(
             data[full * chunk_size : n], num_buf, byte_reorder, bit_reorder
         )
+
+    abandoned = np.zeros(num_buf, dtype=bool)
+    if not shared_tables and raw_planes is not None:
+        abandoned = np.asarray(raw_planes, dtype=bool).copy()
 
     plane_host = None
     shared = [None] * num_buf
@@ -357,6 +370,8 @@ def compress_payload(
                     else:
                         lengths, vals, header, _tl = shared[b]
                         plan = ("huf", header, _tl, lengths, vals)
+                elif abandoned[b]:
+                    plan = ("raw",)  # forced raw (bounded threshold check)
                 else:
                     plan = _plan_cell(cnt, plane_bytes)
                 plans[c][b] = plan
@@ -463,6 +478,31 @@ def compress_payload(
                 chunk_sizes[b, c] = plane_bytes
                 blobs[b][c] = plane_host[c, b].tobytes()
 
+        if not shared_tables:
+            # bounded threshold check: byte-identical post-pass (the
+            # numpy/native engines skip the abandoned cells' encode; the
+            # device pipeline already batch-encoded, so only flip bytes).
+            # check_abandon_index < full always: the tail index is
+            # n_chunks-1 and the index is None at/after n_chunks-1.
+            from ..codec import (  # noqa: PLC0415
+                check_abandon_index, check_abandon_planes,
+            )
+
+            check_idx = check_abandon_index(n_chunks, check_th_after_percent)
+            if check_idx is not None:
+                stored = chunk_sizes[:, : check_idx + 1].sum(axis=1)
+                uncomp = np.full(
+                    num_buf, (check_idx + 1) * plane_bytes, dtype=np.int64
+                )
+                flips = check_abandon_planes(stored, uncomp, threshold)
+                abandoned |= flips
+                for b in np.nonzero(flips)[0]:
+                    for c in range(check_idx + 1, full):
+                        if chunk_types[b, c]:
+                            chunk_types[b, c] = 0
+                            chunk_sizes[b, c] = plane_bytes
+                            blobs[b][c] = plane_host[c, b].tobytes()
+
     # ragged tail chunk: numpy golden model
     if full < n_chunks:
         c = n_chunks - 1
@@ -486,6 +526,8 @@ def compress_payload(
                 from ..codec import compress_cell_shared  # noqa: PLC0415
 
                 comp = compress_cell_shared(plane, shared[b] if live[b] else None)
+            elif abandoned[b]:
+                comp = None  # plane abandoned by the bounded check
             else:
                 comp = huf.compress(plane)
             if comp is not None and len(comp) < plane.size * threshold:

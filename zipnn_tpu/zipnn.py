@@ -75,7 +75,12 @@ class ZipNN:
         # thread scaling plateaus; the reference caps at 16 (zipnn.py:177)
         self.threads = threads or min(multiprocessing.cpu_count(), 16)
         self.compression_threshold = compression_threshold
-        self.check_th_after_percent = check_th_after_percent
+        # honored (reference accepts it but its check is dead code,
+        # zipnn_core.c:554-558): bounded threshold check, see
+        # codec.check_abandon_index; 0 disables
+        if int(check_th_after_percent or 0) < 0:
+            raise ValueError("check_th_after_percent must be >= 0 (0 disables)")
+        self.check_th_after_percent = int(check_th_after_percent or 0)
         self.byte_reorder = byte_reorder
         self.reorder_signbit = reorder_signbit
         self.engine = engine
@@ -464,6 +469,7 @@ class ZipNN:
             self.engine,
             shared_tables=self.huffman_table == "shared",
             prefix_len=prefix,
+            check_th_after_percent=self.check_th_after_percent,
         )
         hdr.original_len = arr.size
         # header + payload share one buffer (the reference C core's
@@ -597,6 +603,18 @@ class ZipNN:
         # vanilla path: recognizable by the explicit byte_reorder codes
         if self._byte_reorder in (_VANILLA_BYTE_REORDER_32, _VANILLA_BYTE_REORDER_16):
             body = mv[after_header : self._frame_end(mv)]
+            # the reference's vanilla writer emits the 32-byte header TWICE
+            # (zipnn.py:700-703: `header + (header + compressed)`, only the
+            # outer copy's total_len updated).  Our writer emits one
+            # well-formed frame, but to decode anything the reference ever
+            # wrote, detect the repeated header (same magic + same bytes
+            # [2:24]; only [24:32] differs) and skip it.
+            if (
+                len(body) >= HEADER_LEN
+                and bytes(body[:2]) == b"ZN"
+                and bytes(body[2:24]) == bytes(mv[2:24])
+            ):
+                body = body[HEADER_LEN:]
             ba_decom = self.decompress_method(body)
             if self.input_format == EnumFormat.BYTE.value:
                 return ba_decom
