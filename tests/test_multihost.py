@@ -50,8 +50,12 @@ def _bf16(n_bytes, seed=3):
     return ((vals.view(np.uint32) >> 16).astype("<u2")).tobytes()[:n_bytes]
 
 
-@pytest.mark.parametrize("size", [700_000, 256 * 1024 * 3])
-def test_two_process_compress_matches_single_host(tmp_path, size):
+@pytest.mark.parametrize("size,engine", [
+    (700_000, "numpy"),
+    (256 * 1024 * 3, "numpy"),
+    (256 * 1024 * 3, "native"),   # per-chunk profile through the C++ core
+])
+def test_two_process_compress_matches_single_host(tmp_path, size, engine):
     chunk = 128 * 1024
     data = _bf16(size)
     in_path = tmp_path / "weights.bin"
@@ -76,7 +80,7 @@ def test_two_process_compress_matches_single_host(tmp_path, size):
                 [
                     sys.executable, str(script), str(port), str(pid), "2",
                     str(in_path), str(tmp_path / "out.znn"),
-                    str(tmp_path / "dec.bin"), str(chunk),
+                    str(tmp_path / "dec.bin"), str(chunk), "per_chunk", engine,
                 ],
                 env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             )
@@ -332,6 +336,147 @@ def test_two_process_safetensors_shared_profile(tmp_path):
         assert torch.equal(
             got.view(torch.uint16), tensors["w.attn"].view(torch.uint16)
         )
+
+
+WORKER_KW = r"""
+import json
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+from zipnn_tpu.parallel import multihost
+
+port, pid, nproc, in_path, out_path, dec_path, kw_json = sys.argv[1:8]
+kw = json.loads(kw_json)
+dec_kw = kw.pop("_dec_kw", {})
+multihost.initialize(f"localhost:{port}", int(nproc), int(pid))
+multihost.compress_file_multihost(in_path, out_path, **kw)
+multihost.decompress_file_multihost(out_path, dec_path, **dec_kw)
+"""
+
+
+def _run_two_kw(tmp_path, in_path, out_path, dec_path, kw):
+    import json
+
+    port = _free_port()
+    script = tmp_path / "worker_kw.py"
+    script.write_text(WORKER_KW)
+    procs = []
+    for pid in range(2):
+        env = dict(
+            os.environ,
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=4",
+            PYTHONPATH=str(Path(__file__).resolve().parent.parent),
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(script), str(port), str(pid), "2",
+                 str(in_path), str(out_path), str(dec_path), json.dumps(kw)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+            )
+        )
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err.decode()[-2000:]
+
+
+def _mixed_plane_data(n_chunks, chunk, flip_at, seed=0):
+    """fp16 data whose low plane flips from incompressible to compressible
+    mid-file — the bounded threshold check changes these bytes."""
+    rng = np.random.default_rng(seed)
+    hi = rng.integers(0, 4, n_chunks * chunk // 2, dtype=np.uint8)
+    lo = np.concatenate([
+        rng.integers(0, 256, flip_at * chunk // 2, dtype=np.uint8),
+        rng.integers(0, 3, (n_chunks - flip_at) * chunk // 2, dtype=np.uint8),
+    ])
+    data = np.empty(n_chunks * chunk, np.uint8)
+    data[0::2] = lo
+    data[1::2] = hi
+    return data.tobytes()
+
+
+def test_two_process_bounded_check_partition_invariant(tmp_path):
+    """check_th_after_percent across 2 processes: the global prefix [0, K]
+    decision is all-reduced, so the container matches a single-host compress
+    with the same (default) knob even when the abandonment boundary and the
+    process partition boundary disagree."""
+    chunk = 4096
+    data = _mixed_plane_data(n_chunks=40, chunk=chunk, flip_at=30, seed=9)
+    in_path = tmp_path / "w.bin"
+    in_path.write_bytes(data)
+    z = ZipNN(engine="numpy", bytearray_dtype="float16", compression_chunk=chunk)
+    golden = bytes(z.compress(data))
+    # sanity: this data actually triggers abandonment
+    z0 = ZipNN(
+        engine="numpy", bytearray_dtype="float16", compression_chunk=chunk,
+        check_th_after_percent=0,
+    )
+    assert golden != bytes(z0.compress(data))
+    _run_two_kw(
+        tmp_path, in_path, tmp_path / "o.znn", tmp_path / "d.bin",
+        {"bytearray_dtype": "float16", "compression_chunk": chunk,
+         "engine": "numpy"},
+    )
+    assert (tmp_path / "o.znn").read_bytes() == golden
+    assert (tmp_path / "d.bin").read_bytes() == data
+
+
+def test_two_process_streaming(tmp_path):
+    """is_streaming=True: frames partitioned across processes; bytes match
+    single-host streaming compress; cooperative frame-wise decompress."""
+    data = _bf16(1024 * 1024 * 3 + 12345, seed=13)
+    in_path = tmp_path / "w.bin"
+    in_path.write_bytes(data)
+    z = ZipNN(engine="numpy", bytearray_dtype="bfloat16", is_streaming=True,
+              streaming_chunk=512 * 1024, compression_chunk=64 * 1024)
+    golden = bytes(z.compress(data))
+    _run_two_kw(
+        tmp_path, in_path, tmp_path / "o.znn", tmp_path / "d.bin",
+        {"bytearray_dtype": "bfloat16", "is_streaming": True,
+         "streaming_chunk": 512 * 1024, "compression_chunk": 64 * 1024,
+         "engine": "numpy"},
+    )
+    assert (tmp_path / "o.znn").read_bytes() == golden
+    assert (tmp_path / "d.bin").read_bytes() == data
+
+
+def test_two_process_delta_file(tmp_path):
+    """delta_second_path: every process XORs its byte range; header delta
+    byte and payload match ZipNN(delta_compressed_type='file')."""
+    data = _bf16(700_000, seed=17)
+    base = _bf16(700_000, seed=18)
+    in_path, base_path = tmp_path / "w.bin", tmp_path / "base.bin"
+    in_path.write_bytes(data)
+    base_path.write_bytes(base)
+    z = ZipNN(engine="numpy", bytearray_dtype="bfloat16",
+              compression_chunk=64 * 1024, delta_compressed_type="file")
+    golden = bytes(z.compress(data, delta_second_data=str(base_path)))
+    _run_two_kw(
+        tmp_path, in_path, tmp_path / "o.znn", tmp_path / "d.bin",
+        {"bytearray_dtype": "bfloat16", "compression_chunk": 64 * 1024,
+         "engine": "numpy", "delta_second_path": str(base_path),
+         "_dec_kw": {"delta_second_path": str(base_path)}},
+    )
+    assert (tmp_path / "o.znn").read_bytes() == golden
+    assert (tmp_path / "d.bin").read_bytes() == data
+
+
+def test_multihost_method_byte_matches_zipnn(tmp_path):
+    """The multihost header comes from ZipNN._make_header: a non-default
+    method knob is recorded identically to the single-host API."""
+    from zipnn_tpu.parallel import multihost
+
+    data = _bf16(300_000, seed=19)
+    in_path = tmp_path / "w.bin"
+    in_path.write_bytes(data)
+    golden = bytes(
+        ZipNN(engine="numpy", method="HUFFMAN", bytearray_dtype="bfloat16").compress(data)
+    )
+    multihost.compress_file_multihost(
+        str(in_path), str(tmp_path / "o.znn"),
+        bytearray_dtype="bfloat16", method="HUFFMAN", engine="numpy",
+    )
+    assert (tmp_path / "o.znn").read_bytes() == golden
 
 
 def test_two_process_tpu_engine_with_mesh(tmp_path):

@@ -88,48 +88,104 @@ def _barrier(name: str) -> None:
         multihost_utils.sync_global_devices(name)
 
 
+def _make_zipnn(
+    bytearray_dtype, method, compression_chunk, threshold, engine, threads,
+    huffman_table, check_th_after_percent, is_streaming, streaming_chunk,
+    delta_second_path,
+):
+    from ..zipnn import ZipNN  # noqa: PLC0415
+
+    return ZipNN(
+        method=method,
+        input_format="byte",
+        bytearray_dtype=bytearray_dtype,
+        threads=threads,
+        compression_threshold=threshold,
+        check_th_after_percent=check_th_after_percent,
+        compression_chunk=compression_chunk,
+        is_streaming=is_streaming,
+        streaming_chunk=streaming_chunk,
+        delta_compressed_type="file" if delta_second_path else 0,
+        engine=engine,
+        huffman_table=huffman_table,
+    )
+
+
 def compress_file_multihost(
     in_path: str,
     out_path: str,
     *,
     bytearray_dtype: str = "bfloat16",
+    method: str = "AUTO",
     compression_chunk: int = 256 * 1024,
     threshold: float = codec.DEFAULT_THRESHOLD,
     engine: str = "auto",
     threads: int = 0,
     huffman_table: str = "per_chunk",
+    check_th_after_percent: int = 10,
+    is_streaming: bool = False,
+    streaming_chunk: int = 1024 * 1024,
+    delta_second_path: Optional[str] = None,
 ) -> None:
     """Compress ``in_path`` into a single ``.znn`` container cooperatively.
 
-    Every process reads and compresses only its chunk range; process 0
-    additionally writes the header + global tables.  The output is
-    byte-identical to a single-host ``ZipNN(...).compress`` of the whole
-    file (asserted by tests/test_multihost.py) for BOTH profiles:
+    The knob surface IS ``ZipNN``'s (an instance is constructed internally;
+    the container header comes from ``ZipNN._make_header`` so method /
+    delta / streaming bytes match the single-host API exactly), and the
+    output is byte-identical to a single-host ``ZipNN(...).compress`` of
+    the whole file for the same knobs (asserted by tests/test_multihost.py):
 
     * ``huffman_table="per_chunk"`` (the reference default): chunks are
-      fully independent, nothing to agree on;
+      fully independent; the bounded threshold check
+      (``check_th_after_percent``, codec.check_abandon_index) is made
+      partition-invariant by compressing the global prefix ``[0, K]``
+      first and all-gathering its per-plane stored sizes — every process
+      then derives the identical plane-abandonment decision before
+      compressing its remaining chunks;
     * ``huffman_table="shared"`` (the TPU-optimal decode profile): each
       process histograms only its SAMPLED chunks (the format's
       shared_sample_stride policy — global chunk index 0 mod stride),
       one extra collective all-reduces the [num_buf, 256] counts, and
       every host builds the identical global table + hopeless-plane
-      flags before encoding its range (codec.shared_tables_from_counts).
+      flags before encoding its range (codec.shared_tables_from_counts);
+    * ``is_streaming=True``: independent frames (one per
+      ``streaming_chunk``) are partitioned across processes, each frame
+      compressed whole by one process via ``ZipNN._compress_one``, frame
+      sizes all-gathered, and every process pwrites its frames in place;
+    * ``delta_second_path``: file-delta mode — every process XORs its
+      byte range against the same range of the delta file before
+      compressing (and the header delta byte is set), matching
+      ``ZipNN(delta_compressed_type="file").compress(data, path)``.
     """
     import jax
 
     pid, n_proc = jax.process_index(), jax.process_count()
+    z = _make_zipnn(
+        bytearray_dtype, method, compression_chunk, threshold, engine,
+        threads, huffman_table, check_th_after_percent, is_streaming,
+        streaming_chunk, delta_second_path,
+    )
     info = dtypes.from_any(bytearray_dtype)
     grp = dtypes.grouping_for_code(info.code)
     num_buf, byte_reorder, bit_reorder = (
         grp.num_buf, grp.byte_reorder, grp.bit_reorder
     )
-    chunk = codec.effective_chunk(compression_chunk, num_buf)
     total = os.path.getsize(in_path)
+    if delta_second_path is not None and os.path.getsize(delta_second_path) != total:
+        raise ValueError(
+            "Length of delta file has to match the length of the original file."
+        )
+
+    if is_streaming:
+        _compress_streaming_multihost(z, in_path, out_path, total, delta_second_path)
+        return
+
+    chunk = codec.effective_chunk(compression_chunk, num_buf)
     n_chunks = codec.num_chunks_for(total, chunk)
     lo, hi = chunk_range(pid, n_proc, n_chunks)
     max_local = -(-n_chunks // n_proc) if n_proc else n_chunks
 
-    # ---- local compress (contiguous chunk range -> local payload) --------
+    # ---- local read (contiguous chunk range only) -------------------------
     local_n = hi - lo
     data = np.zeros(0, dtype=np.uint8)
     if local_n:
@@ -138,6 +194,11 @@ def compress_file_multihost(
             data = np.frombuffer(
                 f.read(min(hi * chunk, total) - lo * chunk), dtype=np.uint8
             )
+        if delta_second_path is not None:
+            with open(delta_second_path, "rb") as f:
+                f.seek(lo * chunk)
+                d = np.frombuffer(f.read(data.size), dtype=np.uint8)
+            data = np.bitwise_xor(data, d)
 
     shared_tables = huffman_table == "shared"
     preset = None
@@ -154,22 +215,67 @@ def compress_file_multihost(
         gcounts = _allgather_i64(local_counts).sum(axis=0)
         preset = codec.shared_tables_from_counts(gcounts, threshold, stride)
 
-    if local_n:
+    # ---- bounded threshold check, distributed form ------------------------
+    # compress the global prefix [0, K] first (owned by the leading
+    # process(es)), all-reduce its per-plane stored sizes, and derive the
+    # identical abandonment decision everywhere; remaining chunks are then
+    # compressed with the abandoned planes forced raw — exactly the
+    # single-host codec.check_abandon_index semantics.
+    check_idx = (
+        None if shared_tables
+        else codec.check_abandon_index(n_chunks, check_th_after_percent)
+    )
+    segments = []  # (payload, seg_n_chunks) in chunk order for [lo, hi)
+    raw_planes = None
+    if check_idx is not None:
+        plo, phi = lo, min(hi, check_idx + 1)
+        prefix_stat = np.zeros((num_buf, 2), dtype=np.int64)  # stored, uncomp
+        if phi > plo:
+            seg = data[: (phi - plo) * chunk]
+            payload0 = codec.compress_payload(
+                seg, num_buf, bit_reorder, byte_reorder, chunk,
+                threshold=threshold, threads=threads, engine=engine,
+            )
+            segments.append((payload0, phi - plo))
+            _, pstarts, _ = codec.parse_tables(payload0, num_buf, phi - plo)
+            prefix_stat[:, 0] = pstarts[:, -1]
+            prefix_stat[:, 1] = (phi - plo) * (chunk // num_buf)
+        gstat = _allgather_i64(prefix_stat).sum(axis=0)
+        raw_planes = codec.check_abandon_planes(
+            gstat[:, 0], gstat[:, 1], threshold
+        )
+        lo_rest = max(lo, check_idx + 1)
+        if hi > lo_rest:
+            seg = data[(lo_rest - lo) * chunk :]
+            payload1 = codec.compress_payload(
+                seg, num_buf, bit_reorder, byte_reorder, chunk,
+                threshold=threshold, threads=threads, engine=engine,
+                raw_planes=raw_planes,
+            )
+            segments.append((payload1, hi - lo_rest))
+    elif local_n:
         payload = codec.compress_payload(
             data, num_buf, bit_reorder, byte_reorder, chunk,
             threshold=threshold, threads=threads, engine=engine,
             shared_tables=shared_tables, preset_shared=preset,
         )
-        ltypes, lstarts, ldata_start = codec.parse_tables(
-            payload, num_buf, local_n
-        )
-        lsizes = (lstarts[:, 1:] - lstarts[:, :-1]).astype(np.int64)
-    else:
-        payload = b""
-        ltypes = np.zeros((num_buf, 0), np.uint8)
-        lstarts = np.zeros((num_buf, 1), np.int64)
-        lsizes = np.zeros((num_buf, 0), np.int64)
-        ldata_start = 0
+        segments.append((payload, local_n))
+
+    # concatenate the segments' cell tables + per-plane blob views
+    ltypes = np.zeros((num_buf, local_n), np.uint8)
+    lsizes = np.zeros((num_buf, local_n), np.int64)
+    plane_blobs = [[] for _ in range(num_buf)]  # memoryviews, in order
+    at = 0
+    for payload, seg_n in segments:
+        st, ss, sdata = codec.parse_tables(payload, num_buf, seg_n)
+        ltypes[:, at : at + seg_n] = st
+        lsizes[:, at : at + seg_n] = ss[:, 1:] - ss[:, :-1]
+        mv = memoryview(payload)
+        base = sdata
+        for b in range(num_buf):
+            plane_blobs[b].append(mv[base : base + int(ss[b, seg_n])])
+            base += int(ss[b, seg_n])
+        at += seg_n
 
     # ---- collective: types+sizes, padded to a common width ---------------
     packed = np.full((2, num_buf, max_local), -1, dtype=np.int64)
@@ -195,11 +301,14 @@ def compress_file_multihost(
 
     # ---- in-place assembly: each process pwrites its plane regions -------
     if pid == 0:
-        hdr = Header(
-            byte_reorder=byte_reorder, bit_reorder=bit_reorder, method=0,
-            input_format=1, compression_chunk=compression_chunk,
-            dtype_code=info.code, original_len=total, total_len=total_len,
-        )  # method 0 = AUTO, matching ZipNN's default header byte
+        # the exact single-host header: ZipNN._make_header + the same
+        # dtype/grouping/length fields _compress_one fills
+        hdr = z._make_header()
+        hdr.byte_reorder = byte_reorder
+        hdr.bit_reorder = bit_reorder
+        hdr.dtype_code = info.code
+        hdr.original_len = total
+        hdr.total_len = total_len
         with open(out_path, "wb") as f:
             f.truncate(total_len)
             f.write(hdr.to_bytes() + tables)
@@ -208,16 +317,68 @@ def compress_file_multihost(
     if local_n:
         starts_g = np.zeros((num_buf, n_chunks + 1), dtype=np.int64)
         starts_g[:, 1:] = cumulative
-        mv = memoryview(payload)
         with open(out_path, "r+b") as f:
             for b in range(num_buf):
-                src_lo = ldata_start + int(
-                    sum(lstarts[bb, local_n] for bb in range(b))
-                )
-                blob = mv[src_lo : src_lo + int(lstarts[b, local_n])]
                 f.seek(data_start + int(plane_base[b]) + int(starts_g[b, lo]))
-                f.write(blob)
+                for blob in plane_blobs[b]:
+                    f.write(blob)
     _barrier("znn-mh-data")
+
+
+def _compress_streaming_multihost(
+    z, in_path: str, out_path: str, total: int, delta_second_path: Optional[str]
+) -> None:
+    """Streaming-mode cooperative compress: frames (independent containers,
+    one per ``streaming_chunk`` — reference zipnn.py:612-635) are
+    partitioned across processes; each is compressed whole by one process
+    via ``ZipNN._compress_one`` so bytes match single-host streaming
+    compress exactly; frame byte sizes are all-gathered and every process
+    pwrites its frames at the derived offsets."""
+    import jax
+
+    pid, n_proc = jax.process_index(), jax.process_count()
+    sc = z.streaming_chunk
+    n_frames = codec.num_chunks_for(total, sc)
+    lo, hi = chunk_range(pid, n_proc, n_frames)
+    max_local = -(-n_frames // n_proc) if n_proc else n_frames
+
+    blobs = []
+    local_sizes = np.full(max_local, -1, dtype=np.int64)
+    if hi > lo:
+        with open(in_path, "rb") as f:
+            f.seek(lo * sc)
+            raw = f.read(min(hi * sc, total) - lo * sc)
+        if delta_second_path is not None:
+            with open(delta_second_path, "rb") as f:
+                f.seek(lo * sc)
+                d = f.read(len(raw))
+            raw = np.bitwise_xor(
+                np.frombuffer(raw, np.uint8), np.frombuffer(d, np.uint8)
+            ).tobytes()
+        for i in range(hi - lo):
+            piece = raw[i * sc : min((i + 1) * sc, len(raw))]
+            blob = z._compress_one(piece)
+            blobs.append(blob)
+            local_sizes[i] = len(blob)
+
+    world = _allgather_i64(local_sizes)  # [n_proc, max_local]
+    frame_sizes = np.zeros(n_frames, dtype=np.int64)
+    for p in range(n_proc):
+        plo, phi = chunk_range(p, n_proc, n_frames)
+        frame_sizes[plo:phi] = world[p, : phi - plo]
+    offsets = np.zeros(n_frames + 1, dtype=np.int64)
+    np.cumsum(frame_sizes, out=offsets[1:])
+
+    if pid == 0:
+        with open(out_path, "wb") as f:
+            f.truncate(int(offsets[-1]))
+    _barrier("znn-mh-sheader")
+    if hi > lo:
+        with open(out_path, "r+b") as f:
+            for i, blob in enumerate(blobs):
+                f.seek(int(offsets[lo + i]))
+                f.write(blob)
+    _barrier("znn-mh-sdata")
 
 
 def compress_safetensors_multihost(
@@ -344,14 +505,32 @@ def compress_safetensors_multihost(
     _barrier("znn-mh-st-data")
 
 
-def decompress_file_multihost(in_path: str, out_path: str) -> None:
+def decompress_file_multihost(
+    in_path: str, out_path: str, *, delta_second_path: Optional[str] = None
+) -> None:
     """Decompress a ``.znn`` container cooperatively: every process handles
-    its chunk range's cells and pwrites the plaintext range."""
+    its chunk range's cells and pwrites the plaintext range.
+
+    Streaming containers (concatenated independent frames) are partitioned
+    by frame: a cheap header walk indexes every frame's byte span + output
+    offset, then each process decompresses its frames whole.  With
+    ``delta_second_path`` the plaintext is XORed against the same byte
+    range of the delta file before writing (file-delta decompress parity
+    with ``ZipNN.decompress``)."""
     import jax
 
     pid, n_proc = jax.process_index(), jax.process_count()
     with open(in_path, "rb") as f:
         head = f.read(HEADER_LEN)
+        if len(head) == 0:
+            if pid == 0:
+                open(out_path, "wb").close()
+            _barrier("znn-mh-dempty")
+            return
+        if len(head) >= 14 and head[13] > 127:
+            f.seek(0)
+            _decompress_streaming_multihost(f, out_path, delta_second_path)
+            return
         hdr, _ = Header.from_bytes(head, formats_with_shape=())
         num_buf = dtypes.groups_for_decompress(hdr.dtype_code)
         chunk = codec.effective_chunk(hdr.compression_chunk, num_buf)
@@ -393,7 +572,63 @@ def decompress_file_multihost(in_path: str, out_path: str) -> None:
                 local_payload, num_buf, hdr.bit_reorder, hdr.byte_reorder,
                 chunk, local_len,
             )
+            out = np.ascontiguousarray(out)
+            if delta_second_path is not None:
+                with open(delta_second_path, "rb") as fd:
+                    fd.seek(lo * chunk)
+                    d = np.frombuffer(fd.read(out.size), dtype=np.uint8)
+                out = np.bitwise_xor(out, d)
             with open(out_path, "r+b") as fo:
                 fo.seek(lo * chunk)
-                fo.write(np.ascontiguousarray(out).tobytes())
+                fo.write(out.tobytes())
     _barrier("znn-mh-ddata")
+
+
+def _decompress_streaming_multihost(
+    f, out_path: str, delta_second_path: Optional[str]
+) -> None:
+    """Frame-partitioned cooperative decompress of a streaming container."""
+    import jax
+
+    from ..zipnn import ZipNN  # noqa: PLC0415
+
+    pid, n_proc = jax.process_index(), jax.process_count()
+    # frame index: (input offset, input len, output offset) via header hops
+    frames = []
+    in_off = out_off = 0
+    f.seek(0, os.SEEK_END)
+    file_len = f.tell()
+    while in_off < file_len:
+        f.seek(in_off)
+        head = f.read(HEADER_LEN)
+        if len(head) < HEADER_LEN or head[:2] != b"ZN":
+            raise ValueError("Header should start with ZN")
+        total = int.from_bytes(head[24:32], "little")
+        if not 0 < total <= file_len - in_off:
+            total = file_len - in_off
+        orig = int.from_bytes(head[16:24], "little")
+        frames.append((in_off, total, out_off))
+        in_off += total
+        out_off += orig
+
+    lo, hi = chunk_range(pid, n_proc, len(frames))
+    if pid == 0:
+        with open(out_path, "wb") as fo:
+            fo.truncate(out_off)
+    _barrier("znn-mh-dsheader")
+    if hi > lo:
+        z = ZipNN(input_format="byte")
+        with open(out_path, "r+b") as fo:
+            for i in range(lo, hi):
+                foff, flen, ooff = frames[i]
+                f.seek(foff)
+                piece = z.decompress_bin(memoryview(f.read(flen)))
+                piece = np.frombuffer(piece, dtype=np.uint8)
+                if delta_second_path is not None:
+                    with open(delta_second_path, "rb") as fd:
+                        fd.seek(ooff)
+                        d = np.frombuffer(fd.read(piece.size), dtype=np.uint8)
+                    piece = np.bitwise_xor(piece, d)
+                fo.seek(ooff)
+                fo.write(piece.tobytes())
+    _barrier("znn-mh-dsdata")
