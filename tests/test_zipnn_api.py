@@ -235,6 +235,40 @@ def test_vanilla_zstd_path_roundtrip():
     assert bytes(zp2.decompress(c)) == data
 
 
+def test_vanilla_reference_double_header_reads():
+    """The reference's vanilla writer emits the 32-byte header twice with
+    only the outer copy's total_len updated (reference zipnn.py:700-703:
+    ``ba_comp = header + compress_method(ba)`` then
+    ``header[24:32] = len(ba_comp)+32`` then ``header + ba_comp``).  Build
+    a frame byte-for-byte that way and assert our reader decodes it."""
+    data = bf16_bytes(64 * KB)
+    zp = ZipNN(
+        input_format="byte", bytearray_dtype="bfloat16", method="zstd",
+        byte_reorder=0b0_00_01_001, engine="numpy",
+    )
+    ours = bytes(zp.compress(data))
+    outer = bytearray(ours[:32])
+    body = ours[32:]
+    # the inner header is the pre-update copy: total_len still zero
+    inner = bytearray(outer)
+    inner[24:32] = (0).to_bytes(8, "little")
+    ba_comp = bytes(inner) + body
+    outer[24:32] = (len(ba_comp) + 32).to_bytes(8, "little")  # ref formula
+    ref_frame = bytes(outer) + ba_comp
+    assert len(ref_frame) == len(ours) + 32
+    zp2 = ZipNN(
+        input_format="byte", bytearray_dtype="bfloat16", method="zstd",
+        byte_reorder=0b0_00_01_001, engine="numpy",
+    )
+    assert bytes(zp2.decompress(ref_frame)) == data
+    # and our own single-header frames still decode (no false positive)
+    zp3 = ZipNN(
+        input_format="byte", bytearray_dtype="bfloat16", method="zstd",
+        byte_reorder=0b0_00_01_001, engine="numpy",
+    )
+    assert bytes(zp3.decompress(ours)) == data
+
+
 def test_container_layout_golden():
     """Verify the payload wire layout directly: chunk-type table rows,
     little-endian cumulative sizes, plane-major data (zipnn_core.c:105-153)."""
