@@ -660,6 +660,23 @@ def test_run_fast_starvation_widespread_falls_back_sticky(monkeypatch):
     assert lo_f12 == [4, 12, 16]
 
 
+def test_run_fast_starvation_is_container_scoped(monkeypatch):
+    """A starved container must NOT slow the next one: the sticky rate12
+    class lives in the _run_fast call (one container), never in process
+    state — ZIPNN_TPU_RATE12 stays an explicit operator override only
+    (round-3 VERDICT item 9)."""
+    g1, data1, _p1 = _pc_geom(n_chunks=20)
+    got1, calls1 = _fake_fast_run(monkeypatch, g1, data1, {1: [4, 6, 7]})
+    assert got1 == data1.tobytes()
+    assert any(f for (_lo, _hi, f) in calls1)  # container 1 did flip
+    g2, data2, _p2 = _pc_geom(n_chunks=20)
+    got2, calls2 = _fake_fast_run(monkeypatch, g2, data2, {})
+    assert got2 == data2.tobytes()
+    assert all(not f for (_lo, _hi, f) in calls2), (
+        "sticky rate12 leaked into an unrelated container"
+    )
+
+
 @pytest.mark.tpu
 def test_tpu_starvation_patch_end_to_end(monkeypatch):
     """A sustained local entropy spike inside one chunk of an otherwise
