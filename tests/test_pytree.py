@@ -126,6 +126,15 @@ def test_shared_profile_roundtrip(tmp_path):
     _assert_tree_equal(tree, load_pytree(p, like=tree))
 
 
+def test_separator_in_key_rejected():
+    """A dict key containing the '/' path separator would silently re-nest
+    on the no-``like`` load path — leaf_paths rejects it loudly."""
+    from zipnn_tpu.io.pytree import leaf_paths
+
+    with pytest.raises(ValueError, match="separator"):
+        leaf_paths({"a/b": np.zeros(4, np.float32)})
+
+
 def test_single_leaf_tree(tmp_path):
     x = jnp.asarray(np.arange(512, dtype=np.float32))
     p = str(tmp_path / "one.znn.safetensors")

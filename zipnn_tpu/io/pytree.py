@@ -39,13 +39,28 @@ def _key_str(k) -> str:
 
 
 def leaf_paths(tree) -> Dict[str, Any]:
-    """Flatten a pytree to {'a/b/0': leaf} with deterministic paths."""
+    """Flatten a pytree to {'a/b/0': leaf} with deterministic paths.
+
+    ``/`` is the path separator, so a dict key that itself contains ``/``
+    would be ambiguous on the no-``like`` load path (it re-nests by
+    splitting on ``/``) — such keys are rejected here.  Note sequence
+    leaves come back as dicts keyed by stringified indices unless
+    ``load_pytree(..., like=...)`` supplies the original treedef.
+    """
     from jax.tree_util import tree_flatten_with_path
 
     flat, _ = tree_flatten_with_path(tree)
     out: Dict[str, Any] = {}
     for kp, leaf in flat:
-        name = "/".join(_key_str(k) for k in kp) or "_root"
+        comps = [_key_str(k) for k in kp]
+        for c in comps:
+            if "/" in c:
+                raise ValueError(
+                    f"pytree key {c!r} contains the path separator '/'; "
+                    "rename the key (paths could not round-trip without "
+                    "the original treedef)"
+                )
+        name = "/".join(comps) or "_root"
         if name in out:
             raise ValueError(f"duplicate leaf path {name!r}")
         out[name] = leaf
@@ -128,7 +143,9 @@ def load_pytree(
     this is the cold-checkpoint serving load.
 
     ``like``: a pytree with the same structure; when given, the result
-    reuses its treedef (otherwise nested dicts keyed by path parts).
+    reuses its treedef.  Without it the result is nested dicts keyed by
+    path parts — sequence leaves come back as dicts keyed by stringified
+    indices, so round-tripping the exact structure requires ``like``.
     """
     import jax  # noqa: PLC0415
 
