@@ -791,7 +791,28 @@ struct HufCTable {
   uint16_t vals[256];
   int table_log;
   unsigned max_sv;
+  // optional symbol-pair encode table (shared-profile planes, tlog <= 8):
+  // pair_vl[(first<<8)|second] = combined_value | combined_len<<20.
+  // Output bytes are identical to the single-symbol rounds — canonical
+  // values are < 2^len so the OR-composition is exact.
+  const uint32_t* pair_vl = nullptr;
 };
+
+// Build the 64K-entry pair table (once per plane; ~64K stores, amortized
+// over the plane's millions of symbols).  Requires tlog <= 8 so any pair
+// fits 16 bits.
+static void build_pair_vl(const HufCTable& ct, uint32_t* out /*65536*/) {
+  for (int first = 0; first < 256; first++) {
+    uint32_t v1 = ct.vals[first];
+    uint32_t l1 = ct.lengths[first];
+    uint32_t* row = out + ((size_t)first << 8);
+    for (int second = 0; second < 256; second++) {
+      uint32_t v = v1 | ((uint32_t)ct.vals[second] << l1);
+      uint32_t l = l1 + ct.lengths[second];
+      row[second] = v | (l << 20);
+    }
+  }
+}
 
 static void canonical_values(HufCTable& ct) {
   int nb_per_rank[HUF_TABLELOG_MAX + 2] = {0};
@@ -1023,7 +1044,42 @@ static void huf_encode_4streams(const uint8_t* data, const size_t sizes[4],
     }
     for (int k = 0; k < 4; k++) rem[k] -= R * rounds;
   };
-  if (ct.table_log <= 8)
+  // Symbol-pair rounds (tlog <= 8 shared tables): vl2[(s1<<8)|s2] packs the
+  // combined canonical value (<= 16 bits) + length, so one unaligned u16
+  // load + one table load appends TWO symbols — roughly half the encode
+  // ops of the single-symbol rounds.  P pairs per round: 7 + 16P <= 63.
+  auto run_rounds_pair = [&](const uint32_t* vl2) {
+    constexpr int P = 3;
+    size_t rounds = (sizes[3] < sizes[0] ? sizes[3] : sizes[0]) / (2 * P);
+    for (size_t r = 0; r < rounds; r++) {
+      for (int k = 0; k < 4; k++) {
+        const uint8_t* s = sp[k];
+        uint64_t a = acc[k];
+        unsigned n = nb[k];
+        for (int j = 1; j <= P; j++) {
+          uint16_t pr;  // LE: low byte = s[-2j] (second), high = s[-2j+1]
+          std::memcpy(&pr, s - 2 * j, 2);
+          uint32_t e = vl2[pr];
+          a |= (uint64_t)(e & 0xFFFFFu) << n;
+          n += e >> 20;
+        }
+        sp[k] = s - 2 * P;
+        acc[k] = a;
+        nb[k] = n;
+      }
+      for (int k = 0; k < 4; k++) {
+        write_u64_unaligned(op[k], acc[k]);
+        unsigned adv = nb[k] >> 3;
+        op[k] += adv;
+        acc[k] >>= adv * 8;
+        nb[k] &= 7;
+      }
+    }
+    for (int k = 0; k < 4; k++) rem[k] -= 2 * P * rounds;
+  };
+  if (ct.pair_vl)
+    run_rounds_pair(ct.pair_vl);
+  else if (ct.table_log <= 8)
     run_rounds(std::integral_constant<int, 7>{});
   else
     run_rounds(std::integral_constant<int, 5>{});
@@ -2200,6 +2256,17 @@ long long ztpu_compress_shared(const uint8_t* data, size_t len,
       for (int s = 0; s < 256; s++)
         sbits += count64[s] * (uint64_t)ct.lengths[s];
       sh[b].live = !((double)sbits >= threshold * 8.0 * (double)total);
+    }
+  }
+
+  // pair-encode tables for the live planes (tlog <= 8 by construction of
+  // the shared profile): ~100us build per plane, ~2x fewer encode ops
+  std::vector<std::unique_ptr<uint32_t[]>> pair_tbls(num_buf);
+  for (unsigned b = 0; b < num_buf; b++) {
+    if (sh[b].ok && sh[b].live) {
+      pair_tbls[b].reset(new uint32_t[65536]);
+      build_pair_vl(sh[b].ct, pair_tbls[b].get());
+      sh[b].ct.pair_vl = pair_tbls[b].get();
     }
   }
 
