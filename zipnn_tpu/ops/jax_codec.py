@@ -644,6 +644,33 @@ def _fused_split_hist_sampled_call(
 
 
 @lru_cache(maxsize=None)
+def _fused_split_const_call(full, chunk_words, num_buf, byte_reorder, bit_reorder):
+    """Dispatch 1 for preset-table batches WITH global counts: split +
+    const-scan only.  The global table and the row-width heuristic both
+    come from the caller's all-batch sampled counts, so no per-batch
+    histogram (and crucially no host sync) is needed — the whole ``run``
+    becomes dispatch-only, which lets the batched encoder overlap batch
+    N's host splice with batch N+1's device work."""
+    import jax  # noqa: PLC0415
+
+    from . import pallas_gather  # noqa: PLC0415
+
+    plane_bytes = chunk_words * 4 // num_buf
+    seg = plane_bytes // 4
+
+    def run(words):  # uint32 [full * chunk_words]
+        planes = jax_transforms.split_device(
+            words.reshape(full, chunk_words), num_buf, byte_reorder, bit_reorder
+        )  # [full, num_buf, plane_words]
+        flags = pallas_gather.const_scan_rows(
+            planes.reshape(full * num_buf, seg)
+        ).reshape(full, num_buf)
+        return planes, flags
+
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=None)
 def _screen_call(full, num_buf, plane_bytes, th_bound):
     """Dispatch 2: exact per-stream bit counts + every cell's coding
     decision, all ON DEVICE — the host receives only per-plane scalars
@@ -707,6 +734,7 @@ def plan_fast_encode(
     chunk_size: int,
     threshold: float = DEFAULT_THRESHOLD,
     preset_shared=None,
+    preset_counts=None,
 ):
     """Fused device compress for the shared-table profile.
 
@@ -716,7 +744,12 @@ def plan_fast_encode(
     (kernel bit-30 handles bytes the global table cannot code, the
     const-scan kernel provides RLE), so per-cell decisions stay
     byte-identical to the spec with GLOBAL tables regardless of this
-    call's local chunk count.
+    call's local chunk count.  ``preset_counts`` (global [num_buf, 256]
+    sampled counts, optional with a preset) additionally drives the
+    kernel row-width heuristic, which removes the per-batch histogram
+    dispatch AND every host sync from ``run`` — the batched encoder
+    exploits that to pipeline batch N's host splice under batch N+1's
+    device work.
 
     The whole-buffer byte work runs in two device dispatches — (1) byte-
     group split + per-cell MXU histogram, (2) per-plane Pallas lockstep
@@ -769,6 +802,56 @@ def plan_fast_encode(
 
     stride = shared_sample_stride(n_chunks)
 
+    # worst-case output staging, allocated + pre-faulted inside run() while
+    # the device works: the cold splice used to pay ~2s of page faults on a
+    # fresh ~500 MB np.empty; touching one byte per page here moves that
+    # cost under the device dispatches (round-3 VERDICT item 3)
+    staged: dict = {}
+    stage_need = 256 + n_chunks * num_buf * 9 + full * chunk_size + chunk_size
+
+    def _stage():
+        buf = np.empty(stage_need, np.uint8)
+        buf[:: 4096] = 0  # touch one byte per page
+        staged["buf"] = buf
+
+    use_preset_counts = preset_shared is not None and preset_counts is not None
+    run_preset = None
+    if use_preset_counts:
+        # sync-free run: split + const-scan only; the global counts give
+        # both the table (preset) and the row-width heuristic
+        sc = _fused_split_const_call(
+            full, chunk_words, num_buf, byte_reorder, bit_reorder
+        )
+        shared_g, live_g = preset_shared
+        exps = [
+            _expected_bits(
+                np.asarray(preset_counts[b], dtype=np.int64), shared_g[b][0]
+            ) if live_g[b] and shared_g[b] is not None else 0.0
+            for b in range(num_buf)
+        ]
+
+        def run_preset(words):
+            with phase("encode:split"):
+                planes, flags_d = sc(words)
+                _stage()
+            outs = [None] * num_buf
+            sws = [0] * num_buf
+            kbits = [None] * num_buf
+            with phase("encode:kernel"):
+                for b in range(num_buf):
+                    if not live_g[b] or shared_g[b] is None:
+                        continue
+                    lengths, vals, _header, _tl = shared_g[b]
+                    tbl = jnp.asarray(pallas_huf_enc.pack_etable8(vals, lengths))
+                    sw = pallas_huf_enc.sw_for_expected(seg, exps[b])
+                    enc = _fused_encode_plane_call(seg, sw)
+                    rows, kb = enc(planes[:, b].reshape(full * 4, seg // 4), tbl)
+                    outs[b] = rows
+                    sws[b] = sw
+                    kbits[b] = kb
+            return (planes, shared_g, outs, tuple(sws), kbits, flags_d,
+                    tuple(live_g), _SAMPLED)
+
     if stride > 1 or preset_shared is not None:
         # Sampled container (>= 512 chunks): histogram only every
         # stride-th chunk (format policy — and 1/stride of the encode
@@ -783,6 +866,7 @@ def plan_fast_encode(
         def run_sampled(words):
             with phase("encode:split+hist"):
                 planes, phist_s, flags_d = shs(words)
+                _stage()  # pre-fault the splice buffer under the dispatch
                 ph = np.asarray(phist_s)  # nb x 256 ints: first host sync
             cnts = [None] * num_buf
             for b in range(num_buf):
@@ -830,6 +914,7 @@ def plan_fast_encode(
     def run(words):
         with phase("encode:split+hist"):
             planes, shist, phist, cmax, carg = sh(words)
+            _stage()  # pre-fault the splice buffer under the dispatch
             ph = np.asarray(phist)  # 2x256 ints: first host sync
         shared = [None] * num_buf
         lens_tbl = np.zeros((num_buf, 256), np.int32)
@@ -886,6 +971,8 @@ def plan_fast_encode(
                  timings=None, out_buf=None, prefix_len=0):
         from ..stats import phase as _phase  # noqa: PLC0415
 
+        if out_buf is None:
+            out_buf = staged.pop("buf", None)  # the pre-faulted staging
         with _phase("encode:assemble"):
             return _assemble(planes, shared, outs, sws, bits_d, huf_ok_d,
                              rle_d, carg_d, timings=timings, out_buf=out_buf,
@@ -1112,16 +1199,19 @@ def plan_fast_encode(
                     out[o : o + n] = np.frombuffer(blob, np.uint8)
         splice_s = _time.perf_counter() - t0
         if timings is not None:
-            timings.update(
-                plan_s=plan_s, fetch_s=fetch_s, splice_s=splice_s
-            )
+            # accumulate so multi-batch callers see totals across batches
+            timings["plan_s"] = timings.get("plan_s", 0.0) + plan_s
+            timings["fetch_s"] = timings.get("fetch_s", 0.0) + fetch_s
+            timings["splice_s"] = timings.get("splice_s", 0.0) + splice_s
         if prefix_len:
             return out_full  # caller fills the reserved header prefix
         return memoryview(out)  # zero-copy: a tobytes here would re-touch
         # (and on this rig re-fault) every payload page
 
     return (
-        (run_sampled if stride > 1 or preset_shared is not None else run),
+        (run_preset if use_preset_counts
+         else run_sampled if stride > 1 or preset_shared is not None
+         else run),
         words_dev,
         assemble,
     )
@@ -1157,6 +1247,7 @@ def fast_encode_payload_batched(
     threshold: float = DEFAULT_THRESHOLD,
     prefix_len: int = 0,
     batch_bytes: Optional[int] = None,
+    timings: Optional[dict] = None,
 ):
     """GB-scale fused compress: bounded device memory via chunk-range
     batches (the encode twin of decompress_payload's batching).
@@ -1236,21 +1327,41 @@ def fast_encode_payload_batched(
     preset = shared_tables_from_counts(counts, threshold, stride)
 
     # ---- pass 2: fused encode per batch with the global preset ---------
+    # depth-2 pipeline: run() with preset_counts is sync-free (dispatch
+    # only), so batch N's host assemble (fetch + splice) overlaps batch
+    # N+1's device split/encode — the encode twin of _run_fast's decode
+    # pipelining
     pieces: List[Tuple[np.ndarray, int]] = []  # (payload bytes, k_chunks)
-    for lo in range(0, full, bchunks):
-        hi = min(lo + bchunks, full)
+    spans = [(lo, min(lo + bchunks, full)) for lo in range(0, full, bchunks)]
+
+    def submit(lo, hi):
         end = n if hi == full else hi * chunk_size
         plan = plan_fast_encode(
             data[lo * chunk_size : end], num_buf, bit_reorder, byte_reorder,
-            chunk_size, threshold, preset_shared=preset,
+            chunk_size, threshold, preset_shared=preset, preset_counts=counts,
         )
         if plan is None:
             return None
         run, words_dev, assemble = plan
-        pay = np.frombuffer(assemble(*run(words_dev)), np.uint8)
         k = (hi - lo) + (1 if end == n and n % chunk_size else 0)
-        pieces.append((pay, k))
-        del plan, run, words_dev, assemble  # free the batch's device bufs
+        return run(words_dev), assemble, k
+
+    inflight: List = []
+    for lo, hi in spans:
+        item = submit(lo, hi)
+        if item is None:
+            return None
+        inflight.append(item)
+        if len(inflight) > 1:
+            ran, assemble, k = inflight.pop(0)
+            pieces.append(
+                (np.frombuffer(assemble(*ran, timings=timings), np.uint8), k)
+            )
+    while inflight:
+        ran, assemble, k = inflight.pop(0)
+        pieces.append(
+            (np.frombuffer(assemble(*ran, timings=timings), np.uint8), k)
+        )
 
     # ---- stitch local payloads into the global container ---------------
     metas = []
