@@ -1,0 +1,148 @@
+"""Back-to-back shard decode for serving loads.
+
+A model load decompresses MANY similar containers in a row (checkpoint
+shards); decoding them one ``ZipNN.decompress`` at a time pays every
+per-container fixed cost serially: host plan (table parse + cell
+geometry), device dispatch latency, output fetch.  This module pipelines
+across containers (the serving-side replacement for the reference's
+whole-file streaming loader, zipnn/zipnn.py:1268-1358):
+
+* container N+1's HOST plan (geometry parse, native table batch-parse,
+  payload upload) runs while container N's device batches decode;
+* kernel geometry is bucketed (ops/jax_decode: caps to multiples of 512
+  cells, batch chunk count to multiples of 256), so similar-sized shards
+  hit the SAME compiled Pallas kernels — no per-file recompilation.
+
+Usage::
+
+    from zipnn_tpu.io.serving import ShardDecoder
+    dec = ShardDecoder()
+    for out in dec.decompress_iter(blobs):     # bytes per container
+        ...
+
+Containers must be byte-format ``.znn`` frames (the kind the CLI /
+safetensors tooling writes).  Non-fast-path containers (no full chunks,
+non-TPU platform, vanilla method) transparently fall back to the regular
+single-container path, preserving order.
+"""
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Optional
+
+import numpy as np
+
+from .. import codec
+from ..core import dtypes
+from ..core.header import HEADER_LEN, Header
+
+__all__ = ["ShardDecoder", "decompress_iter"]
+
+
+class _Started:
+    """In-flight container: device batches submitted, finish() drains."""
+
+    __slots__ = ("finish", "out", "hdr")
+
+    def __init__(self, finish, out, hdr):
+        self.finish = finish
+        self.out = out
+        self.hdr = hdr
+
+
+class ShardDecoder:
+    """Cross-container pipelined decoder (tpu fast path).
+
+    ``to_device=True`` yields device-resident uint8 arrays (bytes
+    otherwise).  The class is stateless apart from jax's compiled-kernel
+    cache, which the geometry bucketing makes shared across shards.
+    """
+
+    def __init__(self, to_device: bool = False):
+        self.to_device = to_device
+
+    # -- per-container phases ------------------------------------------
+    def start(self, data, tiles=None) -> "_Started":
+        """Host plan + device submit for one container.
+
+        Returns a handle whose ``finish()`` yields the decompressed
+        output.  ``tiles`` optionally supplies pre-uploaded payload tiles
+        (see ops.jax_decode.upload_tiles) so callers can stage the
+        host->device move themselves.
+        """
+        from ..ops import jax_decode  # noqa: PLC0415
+
+        mv = memoryview(data)
+        if len(mv) < HEADER_LEN or bytes(mv[0:2]) != b"ZN":
+            raise ValueError("Header should start with ZN")
+        hdr, consumed = Header.from_bytes(mv, formats_with_shape=())
+        total = hdr.total_len if 0 < hdr.total_len <= len(mv) else len(mv)
+        num_buf = dtypes.groups_for_decompress(hdr.dtype_code)
+        chunk = codec.effective_chunk(hdr.compression_chunk, num_buf)
+        payload = mv[consumed:total]
+
+        def generic():
+            return self._marshal(
+                codec.decompress_payload(
+                    payload, num_buf, hdr.bit_reorder, hdr.byte_reorder,
+                    chunk, hdr.original_len, engine="tpu",
+                    to_device=self.to_device,
+                )
+            )
+
+        if hdr.delta_mode:
+            raise ValueError(
+                "delta containers need delta_second_data; use ZipNN.decompress"
+            )
+        if hdr.is_streaming or hdr.byte_reorder in (0b1_01_01_001, 0b0_00_01_001):
+            # streaming frames / vanilla method path: regular unpipelined
+            from ..zipnn import ZipNN  # noqa: PLC0415
+
+            z = ZipNN(engine="tpu")
+            blob = bytes(mv if hdr.is_streaming else mv[:total])
+            return _Started(lambda: bytes(z.decompress(blob)), None, hdr)
+        try:
+            g = jax_decode._parse_geometry(
+                payload, num_buf, chunk, hdr.original_len,
+                hdr.bit_reorder, hdr.byte_reorder,
+            )
+        except ValueError:
+            g = None
+        if g is None or not g.full or not jax_decode._platform_is_tpu():
+            return _Started(generic, None, hdr)
+        plan = jax_decode._SharedPlan.build(g)
+        if plan is None:
+            plan = jax_decode._PCPlan.build(g)
+        if plan is None:
+            return _Started(generic, None, hdr)
+        out = np.empty(hdr.original_len, dtype=np.uint8)
+        fin = jax_decode._start_fast(plan, g, out, self.to_device, tiles=tiles)
+        return _Started(lambda: self._marshal(fin()), out, hdr)
+
+    def _marshal(self, flat):
+        if self.to_device:
+            return flat
+        if isinstance(flat, np.ndarray):
+            return flat.tobytes()
+        return bytes(flat)
+
+    # -- pipelined iteration --------------------------------------------
+    def decompress_iter(self, blobs: Iterable, depth: int = 2) -> Iterator:
+        """Decode ``blobs`` in order, keeping up to ``depth`` containers
+        in flight: container N+1's host plan + submit overlaps container
+        N's device decode."""
+        inflight = []
+        for blob in blobs:
+            inflight.append(self.start(blob))
+            if len(inflight) >= depth:
+                yield inflight.pop(0).finish()
+        while inflight:
+            yield inflight.pop(0).finish()
+
+    def decompress(self, data):
+        """Single-container convenience (no pipelining)."""
+        return self.start(data).finish()
+
+
+def decompress_iter(blobs: Iterable, to_device: bool = False) -> Iterator:
+    """Module-level convenience: ``ShardDecoder(to_device).decompress_iter``."""
+    return ShardDecoder(to_device=to_device).decompress_iter(blobs)

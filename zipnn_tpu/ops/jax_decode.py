@@ -458,14 +458,29 @@ class _PCPlan:
         )
 
 
+def _bucket_up(x: int, q: int) -> int:
+    """Round x up to a multiple of q (0 stays 0)."""
+    return -(-x // q) * q if x else 0
+
+
 def _batch_caps(g: _Geom, B: int, n_batches: int):
     """Per-batch cell-count capacities (max over batches per class), so
-    every batch shares one compiled kernel geometry."""
+    every batch shares one compiled kernel geometry.
+
+    Caps are rounded up to multiples of 512 cells: shards of similar (not
+    identical) cell mixes then hit the SAME compiled kernel — the serving
+    path decodes checkpoint shards back to back, and per-file exact caps
+    would recompile for every file.  Padding lanes get in-bounds geometry
+    and decode garbage harmlessly (_batch_host), so the only cost is a
+    few % of lanes.
+    """
 
     def cap(cols):
         if cols.size == 0:
             return 0
-        return int(np.bincount(cols // B, minlength=n_batches).max())
+        return _bucket_up(
+            int(np.bincount(cols // B, minlength=n_batches).max()), 512
+        )
 
     return (cap(g.stored_cells[1]), cap(g.rle_cells[1]), cap(g.huf_cells[1]))
 
@@ -689,18 +704,35 @@ def _max_batch_chunks(chunk_size: int) -> int:
 
 
 def _run_fast(plan, g: _Geom, out, to_device: bool):
-    """Pipelined batched execution of a fast-path plan.
+    """Pipelined batched execution of a fast-path plan: start + finish."""
+    return _start_fast(plan, g, out, to_device)()
+
+
+def upload_tiles(plan, g: _Geom):
+    """Upload a container's payload tiles (the big host->device move) —
+    exposed so serving/bench callers can stage it separately."""
+    return _tiles_call(plan.RT)(_jnp().asarray(g.payload_np))
+
+
+def _start_fast(plan, g: _Geom, out, to_device: bool, tiles=None):
+    """Submit the first device batches of a fast-path plan; returns a
+    ``finish()`` closure that drains (and submits the rest, depth-2).
 
     Submits batch N+1 (host slicing + small uploads + async dispatch)
     before draining batch N, so host planning overlaps device decode; the
     depth-2 window bounds device memory to two batches' working sets plus
-    the payload tiles.
+    the payload tiles.  The start/finish split lets the serving path
+    (io/serving.py) overlap container N+1's host plan with container N's
+    device decode.  ``B`` is bucketed to multiples of 256 chunks so
+    similar-sized shards share one compiled kernel geometry (padded
+    chunks have no cells and their garbage rows are never copied out).
     """
     jnp = _jnp()
-    B = min(g.full, _max_batch_chunks(g.chunk_size))
+    B = min(_bucket_up(g.full, 256), _max_batch_chunks(g.chunk_size))
     batches = [(lo, min(lo + B, g.full)) for lo in range(0, g.full, B)]
     caps = _batch_caps(g, B, len(batches))
-    tiles = _tiles_call(plan.RT)(jnp.asarray(g.payload_np))
+    if tiles is None:
+        tiles = upload_tiles(plan, g)
     flats: Optional[List] = [] if to_device else None
 
     sticky12 = [False]  # a starved batch flips the rest of the container
@@ -754,17 +786,26 @@ def _run_fast(plan, g: _Geom, out, to_device: bool):
                     out[c * cs : (c + 1) * cs] = buf
 
     inflight: List = []
-    for lo, hi in batches:
+    submitted = 0
+    for lo, hi in batches[: 2]:
         inflight.append(submit(lo, hi))
-        if len(inflight) > 1:
+        submitted += 1
+
+    def finish():
+        nonlocal submitted
+        for lo, hi in batches[submitted:]:
             drain(inflight.pop(0))
-    while inflight:
-        drain(inflight.pop(0))
-    return _finish_batched(
-        flats, out, g.mv, g.types, g.cell_start, g.cell_size, g.full,
-        g.n_chunks, g.chunk_size, g.orig_size, g.num_buf,
-        g.byte_reorder, g.bit_reorder, to_device,
-    )
+            inflight.append(submit(lo, hi))
+            submitted += 1
+        while inflight:
+            drain(inflight.pop(0))
+        return _finish_batched(
+            flats, out, g.mv, g.types, g.cell_start, g.cell_size, g.full,
+            g.n_chunks, g.chunk_size, g.orig_size, g.num_buf,
+            g.byte_reorder, g.bit_reorder, to_device,
+        )
+
+    return finish
 
 
 # ---------------------------------------------------------------------------
