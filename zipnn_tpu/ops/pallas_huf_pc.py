@@ -305,7 +305,6 @@ def _build_kernel(SW: int, SEG: int, TLOG: int, use_w4: bool, rate12: bool):
                         w3_ref[m, :, :] = jnp.where(slide3, fetched, w3_ref[m, :, :])
                 base3 = nbase3
 
-            ob = jnp.zeros((SUBS, 128), U)
             for sub in range(16):
                 # ---- w8 slide: every 8 symbols, per-lane 0 or 4 words ----
                 slide2 = (wpos - base2) < 4
@@ -324,38 +323,61 @@ def _build_kernel(SW: int, SEG: int, TLOG: int, use_w4: bool, rate12: bool):
                     w8[k] = jnp.where(slide2, fetched, w8[k])
                 base2 = nbase2
 
-                for local in range(8):
-                    # ---- one symbol in every lane -------------------------
-                    d = (hi >> SHIFT).astype(I)
-                    nb = jnp.ones((SUBS, 128), I)
-                    for m in range(TLOG - 1):
-                        nb = nb + (d < cbnd[m]).astype(I)
-                    nbu = nb.astype(U)
+                def nb_of(d):
+                    # thermometer count via a balanced add tree (the
+                    # compares are independent; tree depth 4 beats the
+                    # serial 11-add chain on the critical path)
+                    cs = [(d < cbnd[m]).astype(I) for m in range(TLOG - 1)]
+                    while len(cs) > 1:
+                        nxt = [cs[i] + cs[i + 1] for i in range(0, len(cs) - 1, 2)]
+                        if len(cs) % 2:
+                            nxt.append(cs[-1])
+                        cs = nxt
+                    one = jnp.ones((SUBS, 128), I)
+                    return one + cs[0] if cs else one
+
+                for pair in range(4):
+                    # ---- two symbols per step in every lane ---------------
+                    # d2 comes from the PRE-shift hi: nb1 + TLOG <= 24 < 32,
+                    # so no lo bits can reach the peek — bit-identical to
+                    # shifting first.  One combined hi/lo consume per pair
+                    # halves the serial shift chain per output byte (the
+                    # lockstep analogue of FSE's X2 double-symbol decode).
+                    d1 = (hi >> SHIFT).astype(I)
+                    nb1 = nb_of(d1)
+                    d2 = (
+                        (hi >> (U(32 - TLOG) - nb1.astype(U))).astype(I)
+                        & I((1 << TLOG) - 1)
+                    )
+                    nb2 = nb_of(d2)
+                    nbs = nb1 + nb2
+                    nbu = nbs.astype(U)
                     hi = (hi << nbu) | (lo >> (U(32) - nbu))
                     lo = lo << nbu
-                    navail = navail - nb
-                    p = p - nb
+                    navail = navail - nbs
+                    p = p - nbs
 
-                    if local % 2 == 1:
-                        # masked refill every 2nd symbol: nb <= 12 so two
-                        # steps drain <= 24 bits; navail >= 21 at every peek
-                        need = navail <= 32
-                        kk = wpos - base2
-                        w = w8[0]
-                        for k in range(1, 8):
-                            w = jnp.where(kk == k, w8[k], w)
-                        nau = navail.astype(U)
-                        w_hi = jnp.where(navail < 32, w >> nau, U(0))
-                        w_lo = w << (U(32) - nau)  # navail >= 9, shift < 32
-                        hi = jnp.where(need, hi | w_hi, hi)
-                        lo = jnp.where(need, lo | w_lo, lo)
-                        navail = jnp.where(need, navail + 32, navail)
-                        wpos = jnp.where(need, wpos - 1, wpos)
+                    # masked refill once per pair: a pair drains <= 24 bits;
+                    # navail >= 21 at every first peek (second peeks are
+                    # covered by the zero-padded-below-start convention,
+                    # exactly as in the single-symbol schedule)
+                    need = navail <= 32
+                    kk = wpos - base2
+                    w = w8[0]
+                    for k in range(1, 8):
+                        w = jnp.where(kk == k, w8[k], w)
+                    nau = navail.astype(U)
+                    w_hi = jnp.where(navail < 32, w >> nau, U(0))
+                    w_lo = w << (U(32) - nau)  # navail >= 9, shift < 32
+                    hi = jnp.where(need, hi | w_hi, hi)
+                    lo = jnp.where(need, lo | w_lo, lo)
+                    navail = jnp.where(need, navail + 32, navail)
+                    wpos = jnp.where(need, wpos - 1, wpos)
 
-                    ob = (ob >> U(16)) | (d.astype(U) << U(16))
-                    if local % 2 == 1:
-                        row = outer * 64 + (sub * 8 + local) // 2
-                        out_ref[0, row, :, :] = ob
+                    row = outer * 64 + sub * 4 + pair
+                    out_ref[0, row, :, :] = (
+                        d1.astype(U) | (d2.astype(U) << U(16))
+                    )
 
             return (hi, lo, navail, p, wpos, base2, base3, starv, *w8)
 
