@@ -67,6 +67,101 @@ def test_bad_magic_rejected():
         ShardDecoder().decompress(b"XX" + b"\0" * 64)
 
 
+def test_tensor_format_frames_decode_flat():
+    """torch/numpy-format frames (shape extension after the header) yield
+    the flat decompressed buffer."""
+    torch = pytest.importorskip("torch")
+
+    t = torch.randn(257, 129, dtype=torch.float32) * 0.03
+    blob = bytes(ZipNN(input_format="torch", engine="numpy").compress(t))
+    flat = ShardDecoder().decompress(blob)
+    assert bytes(flat) == t.numpy().tobytes()
+
+
+def test_as_numpy_yields_owned_arrays():
+    outs, blobs = _shards(k=2)
+    got = list(ShardDecoder(as_numpy=True).decompress_iter(blobs))
+    for g, want in zip(got, outs):
+        assert isinstance(g, np.ndarray) and g.dtype == np.uint8
+        assert g.flags.writeable
+        assert g.tobytes() == want
+
+
+def test_safeopen_get_tensors_matches_get_tensor(tmp_path):
+    """SafeOpen.get_tensors (pipelined bulk path) is bit-identical to
+    per-name get_tensor, including uncompressed entries."""
+    torch = pytest.importorskip("torch")
+    pytest.importorskip("safetensors")
+    from safetensors.torch import save_file
+
+    from zipnn_tpu.plugins.safetensors import (
+        SafeOpen, compress_tensor, set_compressed_tensors_metadata,
+    )
+
+    tensors = {
+        "w.bf16": (torch.randn(64, 96) * 0.02).to(torch.bfloat16),
+        "w.f32": torch.randn(33, 17) * 0.01,
+        "idx": torch.arange(100, dtype=torch.int32),  # stored raw
+    }
+    out, infos = {}, {}
+    for name, t in tensors.items():
+        r = compress_tensor(t) if t.is_floating_point() else None
+        if r is None:
+            out[name] = t
+        else:
+            out[name], infos[name] = r
+    meta = {"format": "pt"}
+    set_compressed_tensors_metadata(infos, meta)
+    path = str(tmp_path / "m.safetensors")
+    save_file(out, path, metadata=meta)
+
+    with SafeOpen(path, "pt") as f:
+        bulk = f.get_tensors()
+        assert set(bulk) == set(tensors)
+        for name in tensors:
+            one = f.get_tensor(name)
+            assert bulk[name].dtype == one.dtype
+            assert bulk[name].shape == one.shape
+            assert torch.equal(
+                bulk[name].view(torch.uint8) if one.dtype.is_floating_point
+                else bulk[name],
+                one.view(torch.uint8) if one.dtype.is_floating_point else one,
+            )
+
+
+def test_load_pytree_bulk_matches_save(tmp_path):
+    pytest.importorskip("torch")
+    pytest.importorskip("safetensors")
+    import jax.numpy as jnp
+
+    from zipnn_tpu.io.pytree import load_pytree, save_pytree
+
+    rng = np.random.default_rng(5)
+    tree = {
+        "layer": {
+            "w": jnp.asarray(
+                rng.standard_normal((128, 64)).astype(np.float32) * 0.02
+            ).astype(jnp.bfloat16),
+            "b": jnp.asarray(rng.standard_normal(64).astype(np.float32)),
+        },
+        "step": jnp.asarray(np.int32(7)),
+    }
+    path = str(tmp_path / "ckpt.znn.safetensors")
+    save_pytree(path, tree, engine="numpy")
+    got = load_pytree(path, like=tree)
+    import jax
+
+    for (kp, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(tree)[0],
+        jax.tree_util.tree_flatten_with_path(got)[0],
+    ):
+        na, nb = np.asarray(a), np.asarray(b)
+        assert na.dtype == nb.dtype and na.shape == nb.shape, kp
+        assert np.array_equal(
+            na.reshape(-1).view(np.uint8), nb.reshape(-1).view(np.uint8)
+        ), kp
+
+
 def test_bucket_up():
     from zipnn_tpu.ops.jax_decode import _bucket_up
 

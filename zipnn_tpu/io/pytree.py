@@ -73,7 +73,9 @@ def _leaf_to_torch(x):
     from .streaming import np_to_torch
 
     arr = np.asarray(x)
-    return np_to_torch(np.ascontiguousarray(arr))
+    # ascontiguousarray promotes 0-d to 1-d; restore the original rank so
+    # scalar leaves round-trip with their shape
+    return np_to_torch(np.ascontiguousarray(arr)).reshape(arr.shape)
 
 
 def save_pytree(
@@ -162,8 +164,9 @@ def load_pytree(
 
     values: Dict[str, Any] = {}
     with SafeOpen(path, "flax") as f:
-        for name in f.keys():
-            x = f.get_tensor(name)
+        # bulk path: compressed leaves decode through the pipelined
+        # ShardDecoder (leaf N+1's host plan under leaf N's device decode)
+        for name, x in f.get_tensors().items():
             s = _shard_for(name)
             values[name] = jax.device_put(x, s) if s is not None else x
 

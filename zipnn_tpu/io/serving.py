@@ -20,10 +20,13 @@ Usage::
     for out in dec.decompress_iter(blobs):     # bytes per container
         ...
 
-Containers must be byte-format ``.znn`` frames (the kind the CLI /
-safetensors tooling writes).  Non-fast-path containers (no full chunks,
-non-TPU platform, vanilla method) transparently fall back to the regular
-single-container path, preserving order.
+Containers may be byte-format ``.znn`` frames (the kind the CLI writes)
+or torch/numpy/jax-format frames (the kind the safetensors per-tensor
+schema stores) — the decoder always yields the FLAT decompressed buffer;
+dtype/shape marshalling is the caller's (``plugins.safetensors.SafeOpen``
+reapplies them from the container metadata).  Non-fast-path containers
+(no full chunks, non-TPU platform, vanilla method) transparently fall
+back to the regular single-container path, preserving order.
 """
 from __future__ import annotations
 
@@ -57,8 +60,12 @@ class ShardDecoder:
     cache, which the geometry bucketing makes shared across shards.
     """
 
-    def __init__(self, to_device: bool = False):
+    def __init__(self, to_device: bool = False, as_numpy: bool = False):
         self.to_device = to_device
+        # as_numpy yields owned writable uint8 np arrays instead of bytes
+        # (saves one copy when the caller re-views dtype/shape, e.g.
+        # SafeOpen.get_tensors -> torch.from_numpy).
+        self.as_numpy = as_numpy
 
     # -- per-container phases ------------------------------------------
     def start(self, data, tiles=None) -> "_Started":
@@ -74,7 +81,10 @@ class ShardDecoder:
         mv = memoryview(data)
         if len(mv) < HEADER_LEN or bytes(mv[0:2]) != b"ZN":
             raise ValueError("Header should start with ZN")
-        hdr, consumed = Header.from_bytes(mv, formats_with_shape=())
+        # default formats_with_shape: torch/numpy/jax frames carry a packed
+        # shape extension after the 32-byte header; consumed skips it so the
+        # payload slice is format-independent.
+        hdr, consumed = Header.from_bytes(mv)
         total = hdr.total_len if 0 < hdr.total_len <= len(mv) else len(mv)
         num_buf = dtypes.groups_for_decompress(hdr.dtype_code)
         chunk = codec.effective_chunk(hdr.compression_chunk, num_buf)
@@ -95,11 +105,16 @@ class ShardDecoder:
             )
         if hdr.is_streaming or hdr.byte_reorder in (0b1_01_01_001, 0b0_00_01_001):
             # streaming frames / vanilla method path: regular unpipelined
+            if hdr.input_format != 1:
+                raise ValueError(
+                    "streaming/vanilla containers with a tensor input format "
+                    "need their frontend marshalling; use ZipNN.decompress"
+                )
             from ..zipnn import ZipNN  # noqa: PLC0415
 
             z = ZipNN(engine="tpu")
             blob = bytes(mv if hdr.is_streaming else mv[:total])
-            return _Started(lambda: bytes(z.decompress(blob)), None, hdr)
+            return _Started(lambda: self._marshal_bytes(z.decompress(blob)), None, hdr)
         try:
             g = jax_decode._parse_geometry(
                 payload, num_buf, chunk, hdr.original_len,
@@ -122,8 +137,13 @@ class ShardDecoder:
         if self.to_device:
             return flat
         if isinstance(flat, np.ndarray):
-            return flat.tobytes()
-        return bytes(flat)
+            return flat if self.as_numpy else flat.tobytes()
+        return self._marshal_bytes(flat)
+
+    def _marshal_bytes(self, b):
+        if self.as_numpy:
+            return np.frombuffer(bytes(b), dtype=np.uint8).copy()
+        return bytes(b)
 
     # -- pipelined iteration --------------------------------------------
     def decompress_iter(self, blobs: Iterable, depth: int = 2) -> Iterator:
