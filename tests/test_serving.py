@@ -162,6 +162,22 @@ def test_load_pytree_bulk_matches_save(tmp_path):
         ), kp
 
 
+def test_decompress_all_fallback_cpu_order_and_bits():
+    outs, blobs = _shards(k=3)
+    got = ShardDecoder(as_numpy=True).decompress_all(blobs)
+    assert [g.tobytes() for g in got] == outs
+
+
+def test_decompress_all_requires_mutable_output():
+    with pytest.raises(ValueError, match="to_device"):
+        ShardDecoder().decompress_all([])
+
+
+def test_stage_returns_none_off_tpu():
+    _outs, blobs = _shards(k=1)
+    assert ShardDecoder().stage(blobs[0]) is None
+
+
 def test_bucket_up():
     from zipnn_tpu.ops.jax_decode import _bucket_up
 
@@ -194,3 +210,23 @@ def test_tpu_pipelined_shards_bit_exact_and_share_kernels():
     assert info1.misses == info0.misses, (
         "similar shards recompiled the decode kernel"
     )
+
+
+@pytest.mark.tpu
+def test_tpu_staged_deferred_decode_bit_exact():
+    """Real chip: fully staged shards through decompress_all (deferred
+    one-fetch validation) are bit-exact and in order."""
+    import jax
+
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("needs a real TPU")
+    outs, blobs = _shards(k=3, size=8 * 1024 * 1024)
+    dec = ShardDecoder(as_numpy=True)
+    staged = [dec.stage(b) for b in blobs]
+    assert all(s is not None for s in staged)
+    assert all(s.upload_bytes > 0 for s in staged)
+    got = dec.decompress_all(staged)
+    assert [bytes(g) for g in got] == outs
+    # mixing raw blobs and staged handles preserves order
+    got2 = dec.decompress_all([blobs[0], staged[1], blobs[2]])
+    assert [bytes(g) for g in got2] == outs

@@ -52,6 +52,12 @@ class _Started:
         self.hdr = hdr
 
 
+class _StagedShard:
+    """A fully staged container: plan + every device input uploaded."""
+
+    __slots__ = ("hdr", "plan", "g", "tiles", "batches", "upload_bytes")
+
+
 class ShardDecoder:
     """Cross-container pipelined decoder (tpu fast path).
 
@@ -68,13 +74,12 @@ class ShardDecoder:
         self.as_numpy = as_numpy
 
     # -- per-container phases ------------------------------------------
-    def start(self, data, tiles=None) -> "_Started":
-        """Host plan + device submit for one container.
+    def _plan_container(self, data):
+        """Parse + plan one container.
 
-        Returns a handle whose ``finish()`` yields the decompressed
-        output.  ``tiles`` optionally supplies pre-uploaded payload tiles
-        (see ops.jax_decode.upload_tiles) so callers can stage the
-        host->device move themselves.
+        Returns ("fast", hdr, plan, g) when the pipelined fast path
+        applies, or ("fallback", hdr, thunk) where ``thunk()`` is the
+        regular single-container decode.
         """
         from ..ops import jax_decode  # noqa: PLC0415
 
@@ -114,7 +119,7 @@ class ShardDecoder:
 
             z = ZipNN(engine="tpu")
             blob = bytes(mv if hdr.is_streaming else mv[:total])
-            return _Started(lambda: self._marshal_bytes(z.decompress(blob)), None, hdr)
+            return ("fallback", hdr, lambda: self._marshal_bytes(z.decompress(blob)))
         try:
             g = jax_decode._parse_geometry(
                 payload, num_buf, chunk, hdr.original_len,
@@ -123,15 +128,71 @@ class ShardDecoder:
         except ValueError:
             g = None
         if g is None or not g.full or not jax_decode._platform_is_tpu():
-            return _Started(generic, None, hdr)
+            return ("fallback", hdr, generic)
         plan = jax_decode._SharedPlan.build(g)
         if plan is None:
             plan = jax_decode._PCPlan.build(g)
         if plan is None:
-            return _Started(generic, None, hdr)
+            return ("fallback", hdr, generic)
+        return ("fast", hdr, plan, g)
+
+    def start(self, data, tiles=None, defer=None) -> "_Started":
+        """Host plan + device submit for one container.
+
+        Returns a handle whose ``finish()`` yields the decompressed
+        output.  ``tiles`` optionally supplies pre-uploaded payload tiles
+        (see ops.jax_decode.upload_tiles) so callers can stage the
+        host->device move themselves.  ``defer`` (a list) skips per-batch
+        validation syncs — see :meth:`decompress_all`.
+        """
+        from ..ops import jax_decode  # noqa: PLC0415
+
+        planned = self._plan_container(data)
+        if planned[0] == "fallback":
+            return _Started(planned[2], None, planned[1])
+        _, hdr, plan, g = planned
         out = np.empty(hdr.original_len, dtype=np.uint8)
-        fin = jax_decode._start_fast(plan, g, out, self.to_device, tiles=tiles)
+        fin = jax_decode._start_fast(
+            plan, g, out, self.to_device, tiles=tiles, defer=defer
+        )
         return _Started(lambda: self._marshal(fin()), out, hdr)
+
+    def stage(self, data) -> Optional["_StagedShard"]:
+        """Parse, plan, and upload EVERY device input for one container.
+
+        Returns None when the container is not fast-path eligible (use
+        :meth:`start`/:meth:`decompress`).  A serving prefetch thread (or
+        the bench, whose host->device link is a slow tunnel) stages shard
+        N+1 while shard N decodes; :meth:`start_staged` then submits
+        without touching the host->device link.
+        """
+        from ..ops import jax_decode  # noqa: PLC0415
+
+        planned = self._plan_container(data)
+        if planned[0] == "fallback":
+            return None
+        _, hdr, plan, g = planned
+        tiles = jax_decode.upload_tiles(plan, g)
+        staged, nbytes = jax_decode.stage_dev_batches(plan, g, tiles)
+        st = _StagedShard()
+        st.hdr = hdr
+        st.plan = plan
+        st.g = g
+        st.tiles = tiles
+        st.batches = staged
+        st.upload_bytes = nbytes + g.payload_np.nbytes
+        return st
+
+    def start_staged(self, st: "_StagedShard", defer=None) -> "_Started":
+        """Submit a :meth:`stage`\\ d container (no host->device moves)."""
+        from ..ops import jax_decode  # noqa: PLC0415
+
+        out = np.empty(st.hdr.original_len, dtype=np.uint8)
+        fin = jax_decode._start_fast(
+            st.plan, st.g, out, self.to_device, tiles=st.tiles,
+            staged=st.batches, defer=defer,
+        )
+        return _Started(lambda: self._marshal(fin()), out, st.hdr)
 
     def _marshal(self, flat):
         if self.to_device:
@@ -161,6 +222,80 @@ class ShardDecoder:
     def decompress(self, data):
         """Single-container convenience (no pipelining)."""
         return self.start(data).finish()
+
+    # -- bulk decode with deferred validation ----------------------------
+    def decompress_all(self, items, depth: int = 4) -> list:
+        """Decode many containers, validating ALL of them in ONE device
+        fetch at the end.
+
+        Per-shard validation fetches put a round-trip-latency floor under
+        a multi-shard load; deferring them lets every shard's kernels run
+        back to back and amortizes the sync across the whole load.
+        ``items`` may mix bytes-like containers and :meth:`stage` handles.
+        Requires device or numpy output (``to_device`` / ``as_numpy``) so
+        starved-chunk patches can be applied after validation.
+        """
+        from ..ops import jax_decode  # noqa: PLC0415
+
+        if not (self.to_device or self.as_numpy):
+            raise ValueError(
+                "decompress_all needs to_device=True or as_numpy=True"
+            )
+        items = list(items)
+        defers: list = [[] for _ in items]
+        outs: list = [None] * len(items)
+        inflight: list = []
+        for i, it in enumerate(items):
+            if isinstance(it, _StagedShard):
+                inflight.append((i, self.start_staged(it, defer=defers[i])))
+            else:
+                inflight.append((i, self.start(it, defer=defers[i])))
+            if len(inflight) >= depth:
+                j, h = inflight.pop(0)
+                outs[j] = h.finish()
+        while inflight:
+            j, h = inflight.pop(0)
+            outs[j] = h.finish()
+        self._validate_deferred(defers, outs)
+        return outs
+
+    def _validate_deferred(self, defers, outs) -> None:
+        from ..ops import jax_decode  # noqa: PLC0415
+
+        jax_decode.fetch_pends([e for d in defers for e in d])
+        for i, d in enumerate(defers):
+            retry = False
+            for e in d:
+                try:
+                    patches = jax_decode.check_deferred_entry(e)
+                except jax_decode._PCStarved:
+                    retry = True
+                    break
+                if patches:
+                    outs[i] = self._apply_patches(outs[i], e["g"], patches)
+            if retry:
+                # widespread starvation: redo the container under the
+                # rate12 (worst-case-provisioned) kernel class
+                e0 = d[0]
+                g = e0["g"]
+                buf = np.empty(g.orig_size, dtype=np.uint8)
+                outs[i] = self._marshal(
+                    jax_decode._run_fast(
+                        e0["plan"], g, buf, self.to_device, force12=True
+                    )
+                )
+
+    def _apply_patches(self, out, g, patches):
+        cs = g.chunk_size
+        if self.to_device:
+            import jax.numpy as jnp  # noqa: PLC0415
+
+            for c, buf in patches.items():
+                out = out.at[c * cs : (c + 1) * cs].set(jnp.asarray(buf))
+            return out
+        for c, buf in patches.items():
+            out[c * cs : (c + 1) * cs] = buf
+        return out
 
 
 def decompress_iter(blobs: Iterable, to_device: bool = False) -> Iterator:

@@ -703,9 +703,9 @@ def _max_batch_chunks(chunk_size: int) -> int:
     return max(1, budget // max(chunk_size, 1))
 
 
-def _run_fast(plan, g: _Geom, out, to_device: bool):
+def _run_fast(plan, g: _Geom, out, to_device: bool, force12: bool = False):
     """Pipelined batched execution of a fast-path plan: start + finish."""
-    return _start_fast(plan, g, out, to_device)()
+    return _start_fast(plan, g, out, to_device, force12=force12)()
 
 
 def upload_tiles(plan, g: _Geom):
@@ -714,7 +714,38 @@ def upload_tiles(plan, g: _Geom):
     return _tiles_call(plan.RT)(_jnp().asarray(g.payload_np))
 
 
-def _start_fast(plan, g: _Geom, out, to_device: bool, tiles=None):
+def _plan_batches(plan, g: _Geom):
+    """The (B, batches, caps) geometry shared by execution and staging."""
+    B = min(_bucket_up(g.full, 256), _max_batch_chunks(g.chunk_size))
+    batches = [(lo, min(lo + B, g.full)) for lo in range(0, g.full, B)]
+    caps = _batch_caps(g, B, len(batches))
+    return B, batches, caps
+
+
+def stage_dev_batches(plan, g: _Geom, tiles):
+    """Pre-upload every batch's small device inputs (pages/cbnd/perm/...).
+
+    Returns (staged, upload_bytes): ``staged`` maps batch ``lo`` -> (host,
+    meta, dev_args) for :func:`_start_fast`'s ``staged=`` parameter.  A
+    serving prefetcher (or the bench, where the host->device link is a
+    ~30 MB/s tunnel rather than PCIe) stages shard N+1's inputs while
+    shard N decodes.
+    """
+    B, batches, caps = _plan_batches(plan, g)
+    staged = {}
+    nbytes = 0
+    for lo, hi in batches:
+        host, meta = _batch_host(plan, lo, hi, caps, B)
+        dev = _to_dev(plan, tiles, host)
+        nbytes += sum(v.nbytes for v in host.values())
+        staged[lo] = (host, meta, dev)
+    return staged, nbytes
+
+
+def _start_fast(
+    plan, g: _Geom, out, to_device: bool, tiles=None,
+    staged=None, defer=None, force12: bool = False,
+):
     """Submit the first device batches of a fast-path plan; returns a
     ``finish()`` closure that drains (and submits the rest, depth-2).
 
@@ -726,27 +757,45 @@ def _start_fast(plan, g: _Geom, out, to_device: bool, tiles=None):
     device decode.  ``B`` is bucketed to multiples of 256 chunks so
     similar-sized shards share one compiled kernel geometry (padded
     chunks have no cells and their garbage rows are never copied out).
+
+    ``staged``: pre-uploaded per-batch device inputs from
+    :func:`stage_dev_batches`.  ``defer``: a list — when given, per-batch
+    stream-end validation (a blocking device fetch) is SKIPPED and a
+    record is appended instead; the caller must run
+    :func:`validate_deferred` before trusting any output (see
+    io/serving.py, which batches many shards' validations into one
+    device fetch).
     """
     jnp = _jnp()
-    B = min(_bucket_up(g.full, 256), _max_batch_chunks(g.chunk_size))
-    batches = [(lo, min(lo + B, g.full)) for lo in range(0, g.full, B)]
-    caps = _batch_caps(g, B, len(batches))
+    B, batches, caps = _plan_batches(plan, g)
     if tiles is None:
         tiles = upload_tiles(plan, g)
     flats: Optional[List] = [] if to_device else None
 
-    sticky12 = [False]  # a starved batch flips the rest of the container
+    sticky12 = [force12]  # a starved batch flips the rest of the container
 
     def submit(lo, hi, force12=False):
         force12 = force12 or sticky12[0]
-        host, meta = _batch_host(plan, lo, hi, caps, B)
+        if staged is not None and lo in staged:
+            host, meta, dev = staged[lo]
+            meta = dict(meta)
+        else:
+            host, meta = _batch_host(plan, lo, hi, caps, B)
+            dev = _to_dev(plan, tiles, host)
         run = plan.fused_call(caps, B, force12)
-        owords, pend = run(*_to_dev(plan, tiles, host))
+        owords, pend = run(*dev)
         meta["rate12"] = getattr(plan, "rate12", False) or force12
         return lo, hi, owords, pend, meta
 
     def drain(item):
         lo, hi, owords, pend, meta = item
+        if defer is not None:
+            defer.append(
+                {"pend": pend, "meta": meta, "plan": plan, "g": g,
+                 "lo": lo, "hi": hi, "to_device": to_device}
+            )
+            _append_output(item, None)
+            return
         patches = None
         try:
             _check_pend(pend, meta, meta["rate12"])
@@ -765,6 +814,10 @@ def _start_fast(plan, g: _Geom, out, to_device: bool, tiles=None):
                 drain(submit(lo, hi, force12=True))
                 return
             patches = {int(c): _host_decode_chunk(g, int(c)) for c in chunks}
+        _append_output(item, patches)
+
+    def _append_output(item, patches):
+        lo, hi, owords, pend, meta = item
         if to_device:
             flat = jax_transforms.u32_flat_to_u8(owords[: hi - lo].reshape(-1))
             if patches:
@@ -806,6 +859,48 @@ def _start_fast(plan, g: _Geom, out, to_device: bool, tiles=None):
         )
 
     return finish
+
+
+def fetch_pends(entries) -> None:
+    """Fetch ALL deferred validation vectors in ONE device round-trip.
+
+    ``entries`` are the records :func:`_start_fast` appended under
+    ``defer=``; each gains a ``pend_np`` host array.  Batching the fetch
+    matters on links where a device round-trip has high fixed latency:
+    per-shard validation syncs put an RPC floor under a multi-shard load,
+    one stacked fetch amortizes it across every shard in flight.
+    """
+    if not entries:
+        return
+    jnp = _jnp()
+    flat = np.asarray(
+        jnp.concatenate([e["pend"].reshape(-1) for e in entries])
+    )
+    off = 0
+    for e in entries:
+        n = e["pend"].size
+        e["pend_np"] = flat[off : off + n]
+        off += n
+
+
+def check_deferred_entry(e) -> Optional[dict]:
+    """Validate one deferred batch record (after :func:`fetch_pends`).
+
+    Returns None when the batch is clean, or ``{chunk: patched_bytes}``
+    when a few starved chunks were re-decoded host-side.  Raises
+    CorruptChunkError for genuine corruption and :class:`_PCStarved` when
+    starvation is too widespread to patch (the caller re-runs the
+    container under rate12 provisioning).
+    """
+    try:
+        _check_pend(e["pend_np"], e["meta"], e["meta"]["rate12"])
+    except _PCStarved as st:
+        g = e["g"]
+        chunks = _starved_chunks(e["meta"], st.cells)
+        if chunks is None or not _patch_eligible(chunks.size, e["hi"] - e["lo"]):
+            raise
+        return {int(c): _host_decode_chunk(g, int(c)) for c in chunks}
+    return None
 
 
 # ---------------------------------------------------------------------------
