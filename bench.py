@@ -122,15 +122,24 @@ def _decode_measured(payload, data, bit_reorder, results, key, extra=None):
     import jax.numpy as jnp
 
     _warm_host_plan()
-    t0 = time.perf_counter()
-    g = jax_decode._parse_geometry(payload, 2, PC_CHUNK, len(data), bit_reorder, 10)
-    plan = jax_decode._PCPlan.build(g)
-    if plan is None:
-        results[key] = {"error": "pc fast path not eligible"}
-        return 0.0
-    caps = jax_decode._batch_caps_range(g, 0, g.full)
-    host, meta = jax_decode._batch_host(plan, 0, g.full, caps, g.full)
-    t_plan = time.perf_counter() - t0
+    # best of 2 full plan builds (fresh objects each run — the plan is
+    # deterministic host code): device-init background work steals this
+    # rig's single vCPU for ~100 ms after first contact, which a one-shot
+    # measurement can't separate from plan cost (measured 37-90 ms
+    # inflated vs ~9 ms steady state)
+    t_plan = float("inf")
+    for _i in range(2):
+        t0 = time.perf_counter()
+        g = jax_decode._parse_geometry(
+            payload, 2, PC_CHUNK, len(data), bit_reorder, 10
+        )
+        plan = jax_decode._PCPlan.build(g)
+        if plan is None:
+            results[key] = {"error": "pc fast path not eligible"}
+            return 0.0
+        caps = jax_decode._batch_caps_range(g, 0, g.full)
+        host, meta = jax_decode._batch_host(plan, 0, g.full, caps, g.full)
+        t_plan = min(t_plan, time.perf_counter() - t0)
 
     t0 = time.perf_counter()
     tiles = jax_decode._tiles_call(plan.RT)(jnp.asarray(g.payload_np))
@@ -238,13 +247,17 @@ def bench_tpu_pc_batched(results) -> float:
         payload, ratio = _pc_payload(data, "bfloat16")
         _warm_host_plan()
 
-        t0 = time.perf_counter()
-        g = jax_decode._parse_geometry(payload, 2, PC_CHUNK, nbytes, 1, 10)
-        plan = jax_decode._PCPlan.build(g)
-        if plan is None:
-            results["tpu_pc_batched"] = {"error": "pc fast path not eligible"}
-            return 0.0
-        t_plan = time.perf_counter() - t0
+        t_plan = float("inf")
+        for _i in range(2):  # best of 2, see _decode_measured
+            t0 = time.perf_counter()
+            g = jax_decode._parse_geometry(payload, 2, PC_CHUNK, nbytes, 1, 10)
+            plan = jax_decode._PCPlan.build(g)
+            if plan is None:
+                results["tpu_pc_batched"] = {
+                    "error": "pc fast path not eligible"
+                }
+                return 0.0
+            t_plan = min(t_plan, time.perf_counter() - t0)
 
         t0 = time.perf_counter()
         tiles = jax_decode.upload_tiles(plan, g)

@@ -603,7 +603,7 @@ def _fake_fast_run(monkeypatch, g, data, starve_plan):
     calls = []
     words = np.frombuffer(data, "<u4").reshape(g.full, g.chunk_size // 4)
 
-    def fused_call(caps, B, force12=False):
+    def fused_call(caps, B, force12=False, as_u8=False):
         def run(host):
             lo, hi = host["_range"]
             calls.append((lo, hi, force12))

@@ -54,8 +54,12 @@ def run_case(nb, map_d, bit_reorder, B=9, PW=512, tlog=11, seed=1):
     else:
         hsrc = rng.integers(0, 2**32, size=(G, R, 128), dtype=np.uint32)
         pages = None
-    rtp = R + 2
-    ssrc = rng.integers(0, 2**32, size=(n_st, rtp, 128), dtype=np.uint32)
+    # payload tiles + per-stored-cell tile index / word shift / byte shift
+    X = 64 + n_st * (R + 2)
+    tiles = rng.integers(0, 2**32, size=(X, 128), dtype=np.uint32)
+    st_tiles = rng.integers(0, X - (R + 1), size=(n_st,), dtype=np.int32)
+    st_wsh = rng.integers(0, 128, size=(n_st,), dtype=np.int32)
+    st_bsh = (rng.integers(0, 4, size=(n_st,), dtype=np.int32)) << 3
     rle_vals = rng.integers(0, 256, size=(n_rl,), dtype=np.uint8)
     perm = np.empty(B * nb, np.int32)
     for i in range(B * nb):
@@ -69,7 +73,15 @@ def run_case(nb, map_d, bit_reorder, B=9, PW=512, tlog=11, seed=1):
 
     def plane_row(pi):
         if pi < n_st:
-            return ssrc[pi, :R, :].reshape(-1)
+            flat = tiles.reshape(-1)
+            base = int(st_tiles[pi]) * 128 + int(st_wsh[pi])
+            w = flat[base : base + PW + 1].astype(np.uint64)
+            sh = int(st_bsh[pi])
+            if sh == 0:
+                return w[:PW].astype(np.uint32)
+            return ((w[:PW] >> sh) | (w[1 : PW + 1] << (32 - sh))).astype(
+                np.uint32
+            )
         if pi < n_st + n_rl:
             v = np.uint32(rle_vals[pi - n_st])
             v = v | (v << 8) | (v << 16) | (v << 24)
@@ -97,8 +109,9 @@ def run_case(nb, map_d, bit_reorder, B=9, PW=512, tlog=11, seed=1):
     pallas_combine.INTERPRET = True
     try:
         got = pallas_combine.combine_cells(
-            jnp.asarray(hsrc), jnp.asarray(ssrc), jnp.asarray(rle_vals),
-            jnp.asarray(perm), B, nb, PW, n_st, n_rl, bit_reorder,
+            jnp.asarray(hsrc), jnp.asarray(tiles), jnp.asarray(rle_vals),
+            jnp.asarray(perm), jnp.asarray(st_tiles), jnp.asarray(st_wsh),
+            jnp.asarray(st_bsh), B, nb, PW, n_st, n_rl, bit_reorder,
             pages=jnp.asarray(pages) if map_d else None, tlog_k=tlog,
         )
     finally:
@@ -126,7 +139,8 @@ def test_combine_cells_interpret(nb, map_d, bit_reorder, pw, tlog):
 def test_combine_cells_rejects_fp32():
     with pytest.raises(ValueError):
         pallas_combine.combine_cells(
-            jnp.zeros((1, 1, 128), jnp.uint32), jnp.zeros((1, 3, 128), jnp.uint32),
+            jnp.zeros((1, 1, 128), jnp.uint32), jnp.zeros((8, 128), jnp.uint32),
             jnp.zeros((1,), jnp.uint8), jnp.zeros((4,), jnp.int32),
-            1, 4, 128, 0, 0, 1,
+            jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1,), jnp.int32), 1, 4, 128, 0, 0, 1,
         )

@@ -207,6 +207,7 @@ def _fused_fast_decode(
     n_stored: int,
     n_rle: int,
     n_huf: int,
+    as_u8: bool = False,
 ):
     """One-dispatch device pipeline for a SHARED-table batch of B chunks.
 
@@ -235,10 +236,6 @@ def _fused_fast_decode(
 
         RT = SW // 128
         rtp = plane_words // 128 + 2
-        srows = None
-        if n_stored:
-            srows = pallas_gather.gather_rows(tiles, st_tiles, rtp)
-            srows = pallas_gather.align_rows(srows, st_wsh, st_bsh)
         ow = None
         if n_huf:
             words = pallas_gather.gather_rows(tiles, row_starts, RT)  # [S_pad, SW]
@@ -259,19 +256,18 @@ def _fused_fast_decode(
                 if n_huf
                 else jnp.zeros((1, R, 128), jnp.uint32)
             )
-            ssrc = (
-                srows.reshape(n_stored, rtp - 1, 128)
-                if n_stored
-                else jnp.zeros((1, R, 128), jnp.uint32)
-            )
             owords = pallas_combine.combine_cells(
-                hsrc, ssrc, rle_vals, perm, B, num_buf, plane_words,
-                n_stored, n_rle, bit_reorder,
+                hsrc, tiles, rle_vals, perm, st_tiles, st_wsh, st_bsh,
+                B, num_buf, plane_words, n_stored, n_rle, bit_reorder,
             )
+            if as_u8:
+                owords = jax_transforms.u32_flat_to_u8(owords.reshape(-1))
             return owords, pend_flat
 
         rows = []
         if n_stored:
+            srows = pallas_gather.gather_rows(tiles, st_tiles, rtp)
+            srows = pallas_gather.align_rows(srows, st_wsh, st_bsh)
             rows.append(srows[:, :plane_words])
         if n_rle:
             v = rle_vals.astype(jnp.uint32)
@@ -285,6 +281,8 @@ def _fused_fast_decode(
         owords = jax_transforms.combine_device(
             planes_words, num_buf, byte_reorder, bit_reorder
         )
+        if as_u8:
+            owords = jax_transforms.u32_flat_to_u8(owords.reshape(-1))
         return owords, pend_flat
 
     return jax.jit(run)
@@ -304,6 +302,7 @@ def _fused_pc_decode(
     n_huf: int,
     tlog_k: int,
     rate12: bool,
+    as_u8: bool = False,
 ):
     """The per-cell-table sibling of :func:`_fused_fast_decode` — the path
     for containers the reference library produces (per-chunk
@@ -335,10 +334,6 @@ def _fused_pc_decode(
 
         RT = SW // 128
         rtp = plane_words // 128 + 2
-        srows = None
-        if n_stored:
-            srows = pallas_gather.gather_rows(tiles, st_tiles, rtp)
-            srows = pallas_gather.align_rows(srows, st_wsh, st_bsh)
         words = pallas_gather.gather_rows(tiles, row_starts, RT)
         blocks = words.reshape(n_blocks, pc.SUBS, 128, SW).transpose(0, 3, 1, 2)
         dw, pend = kernel(p0, cbnd, blocks)
@@ -351,19 +346,19 @@ def _fused_pc_decode(
             R = plane_words // 128
             G = S_pad // 4
             hsrc = dwS.reshape(G, R, 256)
-            ssrc = (
-                srows.reshape(n_stored, rtp - 1, 128)
-                if n_stored
-                else jnp.zeros((1, R, 128), jnp.uint32)
-            )
             owords = pallas_combine.combine_cells(
-                hsrc, ssrc, rle_vals, perm, B, num_buf, plane_words,
-                n_stored, n_rle, bit_reorder, pages=pages, tlog_k=tlog_k,
+                hsrc, tiles, rle_vals, perm, st_tiles, st_wsh, st_bsh,
+                B, num_buf, plane_words, n_stored, n_rle, bit_reorder,
+                pages=pages, tlog_k=tlog_k,
             )
+            if as_u8:
+                owords = jax_transforms.u32_flat_to_u8(owords.reshape(-1))
             return owords, pend_flat
 
         rows = []
         if n_stored:
+            srows = pallas_gather.gather_rows(tiles, st_tiles, rtp)
+            srows = pallas_gather.align_rows(srows, st_wsh, st_bsh)
             rows.append(srows[:, :plane_words])
         if n_rle:
             v = rle_vals.astype(jnp.uint32)
@@ -377,6 +372,8 @@ def _fused_pc_decode(
         owords = jax_transforms.combine_device(
             planes_words, num_buf, byte_reorder, bit_reorder
         )
+        if as_u8:
+            owords = jax_transforms.u32_flat_to_u8(owords.reshape(-1))
         return owords, pend_flat
 
     return jax.jit(run)
@@ -434,12 +431,13 @@ class _SharedPlan:
         p.RT = p.SW // 128
         return p
 
-    def fused_call(self, caps, B: int, force12: bool = False):
+    def fused_call(self, caps, B: int, force12: bool = False,
+                   as_u8: bool = False):
         ns, nr, nh = caps
         g = self.g
         return _fused_fast_decode(
             self.SW, g.seg, B, g.num_buf, g.plane_bytes,
-            g.byte_reorder, g.bit_reorder, ns, nr, nh,
+            g.byte_reorder, g.bit_reorder, ns, nr, nh, as_u8,
         )
 
 
@@ -502,13 +500,14 @@ class _PCPlan:
         p.RT = p.SW // 128
         return p
 
-    def fused_call(self, caps, B: int, force12: bool = False):
+    def fused_call(self, caps, B: int, force12: bool = False,
+                   as_u8: bool = False):
         ns, nr, nh = caps
         g = self.g
         return _fused_pc_decode(
             self.SW, g.seg, B, g.num_buf, g.plane_bytes,
             g.byte_reorder, g.bit_reorder, ns, nr, nh,
-            self.tlog_k, self.rate12 or force12,
+            self.tlog_k, self.rate12 or force12, as_u8,
         )
 
 
@@ -836,7 +835,10 @@ def _start_fast(
         else:
             host, meta = _batch_host(plan, lo, hi, caps, B)
             dev = _to_dev(plan, tiles, host)
-        run = plan.fused_call(caps, B, force12)
+        # device-resident output converts to flat u8 INSIDE the fused
+        # dispatch (one dispatch per batch instead of two — RPC dispatch
+        # latency is the serving wall on high-latency links)
+        run = plan.fused_call(caps, B, force12, as_u8=to_device)
         owords, pend = run(*dev)
         meta["rate12"] = getattr(plan, "rate12", False) or force12
         return lo, hi, owords, pend, meta
@@ -873,7 +875,7 @@ def _start_fast(
     def _append_output(item, patches):
         lo, hi, owords, pend, meta = item
         if to_device:
-            flat = jax_transforms.u32_flat_to_u8(owords[: hi - lo].reshape(-1))
+            flat = owords[: (hi - lo) * g.chunk_size]  # already flat u8
             if patches:
                 jnp_ = _jnp()
                 cs = g.chunk_size

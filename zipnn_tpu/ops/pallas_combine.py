@@ -1,20 +1,25 @@
 """Pallas TPU kernel: fused per-chunk plane assembly (the decode back half).
 
-The fused decode pipelines used to finish with four XLA passes over the
-whole container — symbol post-map (d-index -> byte via per-cell tables),
-row concatenation, permutation gather (``all_rows[perm]``) and the
-byte-group combine — ~4.4 GB of HBM traffic for a 768 MB output (the
-reference does the same assembly on the host, one memcpy per chunk, in
+The fused decode pipelines used to finish with six XLA passes over the
+whole container — stored-row gather, stored-row word/byte alignment,
+symbol post-map (d-index -> byte via per-cell tables), row concatenation,
+permutation gather (``all_rows[perm]``) and the byte-group combine —
+~6 GB of HBM traffic for a 768 MB output (the reference does the same
+assembly on the host, one memcpy per chunk, in
 ``decompression_chunk_worker`` csrc/zipnn_core.c:768-861).  This kernel
-collapses all four into ONE streaming pass:
+collapses all of them into ONE streaming pass:
 
 * the grid walks output chunks; scalar-prefetched ``kinds/srcs`` say where
-  each (chunk, plane) cell's row lives (stored rows / an RLE byte / a
-  Huffman cell ordinal), and a manual double-buffered DMA fetches exactly
-  that row from HBM — no concatenated copy, no gather pass, no dummy
-  reads;
+  each (chunk, plane) cell's row lives (a payload tile offset for stored
+  cells / an RLE byte / a Huffman cell ordinal), and a manual
+  double-buffered DMA fetches exactly that row from HBM — no concatenated
+  copy, no gather pass, no dummy reads;
+* stored cells are DMA'd tile-aligned straight from the payload tiles and
+  word/byte-aligned IN-KERNEL (one ``pltpu.roll`` + sublane-carry select,
+  the pallas_gather.align_rows math) — the two standalone passes
+  disappear;
 * Huffman cells arrive as the decode kernel's 16-bit d-indices and are
-  mapped to symbols IN-KERNEL with the cell's own table, delivered as an
+  mapped to symbols in-kernel with the cell's own table, delivered as an
   auto-pipelined block whose index comes from the scalar prefetch
   (``pages[pgidx[cell]]``) — per-cell tables at whole-tile granularity,
   where the per-sublane trick of ops/pallas_huf_pc.py is not needed
@@ -23,8 +28,8 @@ collapses all four into ONE streaming pass:
   the final output words stream straight to HBM.
 
 Traffic for a bf16 chunk: read one d-pair row (2x plane bytes) + one
-stored row (1x), write the chunk (2x) — ~1.6 GB total at 768 MB, vs
-~4.4 GB for the pass-per-stage pipeline it replaces.
+stored tile row (1x), write the chunk (2x) — ~1.6 GB total at 768 MB, vs
+~6 GB for the pass-per-stage pipeline it replaces.
 
 Supports num_buf 1 (fp8) and 2 (bf16/fp16); num_buf 4 (fp32) keeps the
 XLA combine path (ops/jax_transforms.combine_4).
@@ -48,7 +53,7 @@ def _build_kernel(nb: int, R: int, P: int, bit_reorder: int, map_d: bool,
     U = jnp.uint32
     I = jnp.int32
 
-    def kernel(kinds, srcs, rlev, pgq, hsrc, ssrc, *rest):
+    def kernel(kinds, srcs, rlev, pgq, stt, senc, hsrc, tiles, *rest):
         if map_d:
             pages = rest[:nb]
             rest = rest[nb:]
@@ -58,19 +63,19 @@ def _build_kernel(nb: int, R: int, P: int, bit_reorder: int, map_d: bool,
         def issue(ci, slot):
             for b in range(nb):
                 k = kinds[ci * nb + b]
-                s = srcs[ci * nb + b]
 
                 @pl.when(k == 2)
                 def _():
                     pltpu.make_async_copy(
-                        hsrc.at[s], hbuf.at[slot, b], hsem.at[slot, b]
+                        hsrc.at[srcs[ci * nb + b]], hbuf.at[slot, b],
+                        hsem.at[slot, b],
                     ).start()
 
                 @pl.when(k == 0)
                 def _():
                     pltpu.make_async_copy(
-                        ssrc.at[s, pl.ds(0, R), :], sbuf.at[slot, b],
-                        ssem.at[slot, b],
+                        tiles.at[pl.ds(stt[ci * nb + b], R + 1), :],
+                        sbuf.at[slot, b], ssem.at[slot, b],
                     ).start()
 
         @pl.when(c == 0)
@@ -83,6 +88,20 @@ def _build_kernel(nb: int, R: int, P: int, bit_reorder: int, map_d: bool,
 
         slot = c % 2
         lane128 = jax.lax.broadcasted_iota(I, (R, 128), 1)
+
+        def align_tile(b):
+            """Stored rows: word+byte alignment in registers — the
+            pallas_gather.align_rows math on the (R+1, 128) tile slab."""
+            enc = senc[c * nb + b]
+            dw = enc & 127
+            sh = (enc >> 7).astype(jnp.uint32)  # 0, 8, 16 or 24
+            x = sbuf[slot, b]
+            a = pltpu.roll(x, (128 - dw) % 128, axis=1)
+            w = jnp.where(lane128 < 128 - dw, a[:R], a[1:])
+            a2 = pltpu.roll(x, (128 - dw - 1) % 128, axis=1)
+            wn = jnp.where(lane128 < 127 - dw, a2[:R], a2[1:])
+            shifted = (w >> sh) | (wn << ((jnp.uint32(32) - sh) & 31))
+            return jnp.where(sh == 0, w, shifted)
 
         def map_tile(b):
             """d-pair rows (R, 256) -> plane words (R, 128), one table."""
@@ -134,10 +153,10 @@ def _build_kernel(nb: int, R: int, P: int, bit_reorder: int, map_d: bool,
             @pl.when(k == 0)
             def _(b=b):
                 pltpu.make_async_copy(
-                    ssrc.at[srcs[c * nb + b], pl.ds(0, R), :], sbuf.at[slot, b],
-                    ssem.at[slot, b],
+                    tiles.at[pl.ds(stt[c * nb + b], R + 1), :],
+                    sbuf.at[slot, b], ssem.at[slot, b],
                 ).wait()
-                pbuf[b, :, :] = sbuf[slot, b]
+                pbuf[b, :, :] = align_tile(b)
 
             @pl.when(k == 1)
             def _(b=b):
@@ -168,19 +187,17 @@ def _build_kernel(nb: int, R: int, P: int, bit_reorder: int, map_d: bool,
         def revert16(w):
             if not bit_reorder:
                 return w
-            # inverse of the bf16 sign rotation (dtype16.c:145-155):
-            # exp byte currently holds exp<<1|sign_in_lsb per 16-bit lane
+            # inverse of the bf16 sign rotation (dtype16.c:145-155)
             sign = (w << U(8)) & U(0x80008000)
             exp = (w >> U(1)) & U(0x7F807F80)
             man = w & U(0x007F007F)
             return sign | exp | man
 
         for h in range(2):
-            jh = lane128  # lane within the half
-            idx = (jh >> 1) + I(64 * h)
+            idx = (lane128 >> 1) + I(64 * h)
             E = jnp.take_along_axis(lo, idx, axis=1)
             H = jnp.take_along_axis(hi, idx, axis=1)
-            w = jnp.where((jh & 1) == 0, E, H)
+            w = jnp.where((lane128 & 1) == 0, E, H)
             out_ref[0, :, 128 * h : 128 * (h + 1)] = revert16(w)
 
     return kernel
@@ -198,21 +215,21 @@ def _combine_call_cached(nb: int, R: int, P: int, bit_reorder: int,
     LN = 256 if nb == 2 else 128
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.ANY),  # hsrc
-        pl.BlockSpec(memory_space=pltpu.ANY),  # ssrc
+        pl.BlockSpec(memory_space=pltpu.ANY),  # payload tiles
     ]
     if map_d:
         for b in range(nb):
             in_specs.append(
                 pl.BlockSpec(
                     (1, P, 128),
-                    lambda c, kinds, srcs, rlev, pgq, b=b, nb=nb: (
+                    lambda c, kinds, srcs, rlev, pgq, stt, senc, b=b, nb=nb: (
                         pgq[c * nb + b], 0, 0
                     ),
                     memory_space=pltpu.VMEM,
                 )
             )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=6,
         grid=(B,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
@@ -220,7 +237,7 @@ def _combine_call_cached(nb: int, R: int, P: int, bit_reorder: int,
         ),
         scratch_shapes=[
             pltpu.VMEM((2, nb, R, 256 if map_d else 128), jnp.uint32),
-            pltpu.VMEM((2, nb, R, 128), jnp.uint32),
+            pltpu.VMEM((2, nb, R + 1, 128), jnp.uint32),
             pltpu.VMEM((nb, R, 128), jnp.uint32),
             pltpu.SemaphoreType.DMA((2, nb)),
             pltpu.SemaphoreType.DMA((2, nb)),
@@ -239,7 +256,8 @@ def _combine_call_cached(nb: int, R: int, P: int, bit_reorder: int,
 
 
 def combine_cells(
-    hsrc, ssrc, rle_vals, perm,
+    hsrc, tiles, rle_vals, perm,
+    st_tiles, st_wsh, st_bsh,
     B: int, num_buf: int, plane_words: int,
     n_stored: int, n_rle: int,
     bit_reorder: int,
@@ -249,7 +267,11 @@ def combine_cells(
 
     ``hsrc``: Huffman rows — d-pair groups [G, R, 256] (with ``pages``)
     or decoded symbol groups [G, R, 128] (shared-table kernel output).
-    ``ssrc``: aligned stored rows [n, rtp, 128] (>= R row-tiles each).
+    ``tiles``: the container's payload tiles [X, 128] uint32
+    (ops/jax_decode._tiles_call); stored cells are read straight out of
+    them using per-cell tile index ``st_tiles`` + word shift ``st_wsh``
+    + byte shift ``st_bsh`` (all [n_stored], exactly the
+    pallas_gather.align_rows inputs).
     ``perm``: [B * num_buf] int32 into the virtual concatenation
     [stored | rle | huf] exactly as ops/jax_decode._batch_host builds it.
     Returns owords [B, num_buf * plane_words] uint32.
@@ -269,6 +291,15 @@ def combine_cells(
         kinds == 0, perm,
         jnp.where(kinds == 1, perm - n_stored, perm - (n_stored + n_rle)),
     ).astype(jnp.int32)
+    if n_stored:
+        sidx = jnp.clip(perm, 0, n_stored - 1)
+        stt = st_tiles.astype(jnp.int32)[sidx]
+        senc = (
+            st_wsh.astype(jnp.int32) | (st_bsh.astype(jnp.int32) << 7)
+        )[sidx]
+    else:
+        stt = jnp.zeros_like(perm)
+        senc = jnp.zeros_like(perm)
     if n_rle:
         v = rle_vals.astype(jnp.uint32)
         v = v | (v << 8) | (v << 16) | (v << 24)
@@ -277,7 +308,7 @@ def combine_cells(
         rlev = jnp.zeros_like(perm)
     pgq = srcs if map_d else jnp.zeros_like(perm)
 
-    args = [kinds, srcs, rlev, pgq, hsrc, ssrc]
+    args = [kinds, srcs, rlev, pgq, stt, senc, hsrc, tiles]
     if map_d:
         pg = pages.reshape(pages.shape[0], P, 128)
         args.extend([pg] * num_buf)
