@@ -508,24 +508,33 @@ def bench_tpu_batched_encode(data: bytes, comp: bytes, results) -> None:
         from zipnn_tpu.ops import jax_codec
 
         arr = np.frombuffer(data, np.uint8)
-        # measured tunnel link rate for the upload estimate: time one
-        # batch-sized host->device move right here (same transfer path the
-        # batched encoder's per-batch jnp.asarray takes)
+        # stage every batch's device upload untimed (the decode sections
+        # do the same): on this rig the host->device link is a ~30-50 MB/s
+        # tunnel, three orders below a real host's PCIe; staged byte
+        # counts are reported so a real host's cost is computable
         import jax.numpy as jnp
 
-        probe = arr[: batch_mb * MB]
-        t0 = time.perf_counter()
-        dev = jnp.asarray(probe)
-        _ = np.asarray(dev.reshape(-1)[:1])
-        link_gbps = len(probe) / 1e9 / (time.perf_counter() - t0)
-        del dev
-
-        tm = {}
-        t0 = time.perf_counter()
-        out = jax_codec.fast_encode_payload_batched(
-            arr, 2, 1, 10, CHUNK, batch_bytes=batch_mb * MB, timings=tm
+        spans = jax_codec.encode_batch_spans(
+            len(arr), CHUNK, batch_bytes=batch_mb * MB
         )
-        wall = time.perf_counter() - t0
+        dev_batches = [
+            jnp.asarray(
+                arr[lo * CHUNK : hi * CHUNK].view("<u4")
+            )
+            for lo, hi in spans
+        ]
+        _ = np.asarray(dev_batches[-1].reshape(-1)[:1])  # drain uploads
+
+        def run_once():
+            tm = {}
+            t0 = time.perf_counter()
+            out = jax_codec.fast_encode_payload_batched(
+                arr, 2, 1, 10, CHUNK, batch_bytes=batch_mb * MB,
+                timings=tm, device_batches=dev_batches,
+            )
+            return time.perf_counter() - t0, out, tm
+
+        wall, out, tm = run_once()  # cold: compiles
         if out is None:
             results["tpu_batched_encode"] = {"error": "not eligible"}
             return
@@ -533,22 +542,21 @@ def bench_tpu_batched_encode(data: bytes, comp: bytes, results) -> None:
         # twin; the single-shot fused encode is asserted against the same
         # container in bench_tpu_fused_encode)
         ok = bytes(out.tobytes()) == bytes(comp[HEADER_LEN:])
+        for _i in range(2):
+            w, _o, t = run_once()
+            if w < wall:
+                wall, tm = w, t
         gb = len(data) / 1e9
         fetch_s = tm.get("fetch_s", 0.0)
-        upload_est_s = gb / link_gbps if link_gbps > 0 else 0.0
-        # honest e2e: wall minus the tunnel legs (row/raw fetch measured
-        # inside assemble; upload estimated from the measured link rate and
-        # the exact re-uploaded byte count).  splice overlaps batch N+1's
-        # device work (the sync-free preset run), so it is NOT added back.
-        e2e_s = max(wall - fetch_s - upload_est_s, 1e-9)
+        # honest e2e: device + plan + splice with the tunnel D2H fetch
+        # (measured inside assemble) excluded; uploads are staged above.
+        e2e_s = max(wall - fetch_s, 1e-9)
         results["tpu_batched_encode"] = {
             "batch_MB": batch_mb,
-            "n_batches": -(-len(data) // (batch_mb * MB)),
+            "n_batches": len(spans),
             "wall_s": round(wall, 2),
             "fetch_s_tunnel": round(fetch_s, 2),
-            "upload_bytes_MB": round(len(data) / MB, 1),
-            "upload_est_s_tunnel": round(upload_est_s, 2),
-            "link_GBps_measured": round(link_gbps, 4),
+            "staged_upload_MB": round(len(data) / MB, 1),
             "host_plan_s": round(tm.get("plan_s", 0.0), 4),
             "host_splice_s": round(tm.get("splice_s", 0.0), 4),
             "compress_GBps_e2e": round(gb / e2e_s, 4),
@@ -560,7 +568,7 @@ def bench_tpu_batched_encode(data: bytes, comp: bytes, results) -> None:
         }
 
 
-def bench_real_checkpoint_multi(results, n_shards: int = 4) -> None:
+def bench_real_checkpoint_multi(results, n_shards: int = 8) -> None:
     """Serving amortization: N real-checkpoint shards decoded back to back
     through io.serving.ShardDecoder.decompress_all (to_device=True — the
     serving shape): every shard's kernels submit back to back and ALL
@@ -584,10 +592,16 @@ def bench_real_checkpoint_multi(results, n_shards: int = 4) -> None:
         assert all(s is not None for s in staged), "shards not fast-path"
         for s in staged:  # force the staged uploads (untimed)
             _ = np.asarray(s.tiles[0, :1])
+        stacked = dec.stack(staged)  # one-dispatch bundle (stage-time)
+        if stacked is not None:
+            _ = np.asarray(stacked.dev[0][0, :1])  # drain its uploads
 
         def run_once():
             t0 = time.perf_counter()
-            outs = dec.decompress_all(staged)
+            if stacked is not None:
+                outs = dec.decompress_stacked(stacked)
+            else:
+                outs = dec.decompress_all(staged)
             _ = np.asarray(outs[-1].reshape(-1)[:1])  # drain the device
             return time.perf_counter() - t0, outs
 
@@ -604,6 +618,7 @@ def bench_real_checkpoint_multi(results, n_shards: int = 4) -> None:
             "shard_MB": round(len(data) / MB, 1),
             "wall_s": round(best, 4),
             "decompress_GBps_aggregate": round(gb / best, 4),
+            "one_dispatch_stacked": stacked is not None,
             "staged_upload_MB": round(
                 sum(s.upload_bytes for s in staged) / MB, 1
             ),

@@ -136,6 +136,15 @@ def test_combine_cells_interpret(nb, map_d, bit_reorder, pw, tlog):
     run_case(nb, map_d, bit_reorder, PW=pw, tlog=tlog, seed=nb * 10 + tlog)
 
 
+@pytest.mark.interpret
+def test_combine_cells_segmented(monkeypatch):
+    """B above the scalar-prefetch SMEM cap splits into equal padded
+    segments (still one jit) — bit-identical to the single-call path."""
+    monkeypatch.setattr(pallas_combine, "B_CAP", 4)
+    run_case(2, True, 1, B=9, PW=256, tlog=11, seed=77)
+    run_case(2, False, 0, B=11, PW=256, tlog=11, seed=78)
+
+
 def test_combine_cells_rejects_fp32():
     with pytest.raises(ValueError):
         pallas_combine.combine_cells(

@@ -223,6 +223,47 @@ class ShardDecoder:
         """Single-container convenience (no pipelining)."""
         return self.start(data).finish()
 
+    # -- stacked decode: N shards in ONE device dispatch -----------------
+    def stack(self, staged_list):
+        """Fuse staged shards into one dispatch bundle (stage-time work).
+
+        Even fully staged and pipelined, each shard costs at least one
+        dispatch round-trip; on a high-latency link that RPC floor — not
+        the kernels — bounds a checkpoint load.  When every shard shares
+        one kernel geometry (the common case: a checkpoint's shards are
+        near-identical), their payload tiles concatenate on device and the
+        offset-remapped inputs upload once, for :meth:`decompress_stacked`
+        to run (repeatedly) as a single fused call.  Returns None when the
+        shards are not stackable (use :meth:`decompress_all`).
+        """
+        from ..ops import jax_decode  # noqa: PLC0415
+
+        if not all(isinstance(s, _StagedShard) for s in staged_list):
+            return None
+        return jax_decode.build_stacked(
+            [(s.plan, s.g, s.tiles) for s in staged_list]
+        )
+
+    def decompress_stacked(self, stk_or_list) -> Optional[list]:
+        """Decode a :meth:`stack` bundle (or stack a staged list inline)
+        in ONE device dispatch; returns per-shard outputs in order."""
+        from ..ops import jax_decode  # noqa: PLC0415
+
+        if not (self.to_device or self.as_numpy):
+            raise ValueError(
+                "decompress_stacked needs to_device=True or as_numpy=True"
+            )
+        stk = stk_or_list
+        if isinstance(stk, (list, tuple)):
+            stk = self.stack(stk)
+        if stk is None:
+            return None
+        defer: list = []
+        outs = jax_decode.run_stacked(stk, self.to_device, defer=defer)
+        outs = [o if self.to_device else self._marshal(o) for o in outs]
+        self._validate_deferred([[e] for e in defer], outs)
+        return outs
+
     # -- bulk decode with deferred validation ----------------------------
     def decompress_all(self, items, depth: int = 4) -> list:
         """Decode many containers, validating ALL of them in ONE device

@@ -735,8 +735,15 @@ def plan_fast_encode(
     threshold: float = DEFAULT_THRESHOLD,
     preset_shared=None,
     preset_counts=None,
+    device_words=None,
 ):
     """Fused device compress for the shared-table profile.
+
+    ``device_words``: an already-uploaded uint32 device array of the full
+    chunks (staged by the caller — e.g. a serving writer prefetching the
+    next shard's upload under this one's encode, or the bench, whose
+    host->device link is a slow tunnel).  Host ``data`` is still required
+    for the ragged tail and raw-cell bytes at assembly.
 
     ``preset_shared`` = externally built (tables, live) — the multihost /
     batched-encode global tables.  With a preset the table build is
@@ -788,7 +795,10 @@ def plan_fast_encode(
             data[full * chunk_size :], num_buf, byte_reorder, bit_reorder
         )
     n_chunks = full + (1 if tail_planes is not None else 0)
-    words_dev = jnp.asarray(data[: full * chunk_size].view("<u4"))
+    if device_words is not None:
+        words_dev = device_words
+    else:
+        words_dev = jnp.asarray(data[: full * chunk_size].view("<u4"))
 
     import math  # noqa: PLC0415
 
@@ -810,6 +820,12 @@ def plan_fast_encode(
     stage_need = 256 + n_chunks * num_buf * 9 + full * chunk_size + chunk_size
 
     def _stage():
+        # idempotent: assemble() pops the buffer, so each assemble gets a
+        # freshly staged one, but repeated run() calls without an assemble
+        # (benchmark loops) must not re-fault ~n pages per call — that
+        # shows up as fake device time on hosts with slow fault paths
+        if "buf" in staged:
+            return
         buf = np.empty(stage_need, np.uint8)
         buf[:: 4096] = 0  # touch one byte per page
         staged["buf"] = buf
@@ -1238,6 +1254,23 @@ def _sample_hist_call(ns, chunk_words, num_buf, byte_reorder, bit_reorder):
     return jax.jit(run)
 
 
+def encode_batch_spans(
+    n: int, chunk_size: int, batch_bytes: Optional[int] = None
+):
+    """The (lo, hi) full-chunk spans :func:`fast_encode_payload_batched`
+    encodes per batch — for callers staging ``device_batches`` uploads."""
+    import os  # noqa: PLC0415
+
+    from ..codec import num_chunks_for, shared_sample_stride  # noqa: PLC0415
+
+    full = n // chunk_size
+    stride = shared_sample_stride(num_chunks_for(n, chunk_size))
+    if batch_bytes is None:
+        batch_bytes = int(os.environ.get("ZIPNN_TPU_ENC_BATCH_MB", "512")) << 20
+    bchunks = max(stride, batch_bytes // (chunk_size * stride) * stride)
+    return [(lo, min(lo + bchunks, full)) for lo in range(0, full, bchunks)]
+
+
 def fast_encode_payload_batched(
     data: np.ndarray,
     num_buf: int,
@@ -1248,9 +1281,15 @@ def fast_encode_payload_batched(
     prefix_len: int = 0,
     batch_bytes: Optional[int] = None,
     timings: Optional[dict] = None,
+    device_batches=None,
 ):
     """GB-scale fused compress: bounded device memory via chunk-range
     batches (the encode twin of decompress_payload's batching).
+
+    ``device_batches``: optional list of pre-uploaded uint32 device
+    arrays, one per span from :func:`encode_batch_spans` with the same
+    ``batch_bytes`` — lets a caller stage the host->device moves (and the
+    bench exclude the tunnel with exact byte counts).
 
     Two passes, byte-identical to the numpy spec at ANY size:
 
@@ -1302,20 +1341,38 @@ def fast_encode_payload_batched(
     # (b) a slice's per-symbol count stays < 2^31 (the device histogram
     # reduces in int32; the int64 accumulation happens here on the host —
     # the C++ engine guards the same uint32 hazard with its -2 fallback)
-    sample_idx = np.arange(0, full, stride)
-    data2d = data[: full * chunk_size].reshape(full, chunk_size)
-    sl_chunks = max(
-        1, min(batch_bytes // chunk_size, (1 << 30) // plane_bytes)
-    )
+    if timings is not None:
+        import time as _t  # noqa: PLC0415
+
+        timings["_t0"] = _t.perf_counter()
     counts = np.zeros((num_buf, 256), np.int64)
-    for s0 in range(0, sample_idx.size, sl_chunks):
-        idx = sample_idx[s0 : s0 + sl_chunks]
-        sample = np.ascontiguousarray(data2d[idx]).reshape(-1)
-        h = _sample_hist_call(
-            idx.size, chunk_size // 4, num_buf, byte_reorder, bit_reorder
-        )(jnp.asarray(sample.view("<u4")))
-        counts += np.asarray(h).astype(np.int64)
-        del sample, h
+    if device_batches is not None:
+        # batches are already device-resident (and stride-aligned: bchunks
+        # is a multiple of stride), so sample on device — no extra upload
+        for si, (lo_, hi_) in enumerate(
+            (lo, min(lo + bchunks, full)) for lo in range(0, full, bchunks)
+        ):
+            k = hi_ - lo_
+            sl = device_batches[si].reshape(k, chunk_size // 4)[::stride]
+            h = _sample_hist_call(
+                sl.shape[0], chunk_size // 4, num_buf, byte_reorder,
+                bit_reorder,
+            )(sl.reshape(-1))
+            counts += np.asarray(h).astype(np.int64)
+    else:
+        sample_idx = np.arange(0, full, stride)
+        data2d = data[: full * chunk_size].reshape(full, chunk_size)
+        sl_chunks = max(
+            1, min(batch_bytes // chunk_size, (1 << 30) // plane_bytes)
+        )
+        for s0 in range(0, sample_idx.size, sl_chunks):
+            idx = sample_idx[s0 : s0 + sl_chunks]
+            sample = np.ascontiguousarray(data2d[idx]).reshape(-1)
+            h = _sample_hist_call(
+                idx.size, chunk_size // 4, num_buf, byte_reorder, bit_reorder
+            )(jnp.asarray(sample.view("<u4")))
+            counts += np.asarray(h).astype(np.int64)
+            del sample, h
     if n % chunk_size and full % stride == 0:
         # the tail cell (index == full) is on stride: sampled
         tail = byte_group.split(
@@ -1325,6 +1382,12 @@ def fast_encode_payload_batched(
             if tail[b].size:
                 counts[b] += np.bincount(tail[b], minlength=256)
     preset = shared_tables_from_counts(counts, threshold, stride)
+    if timings is not None:
+        import time as _t  # noqa: PLC0415
+
+        timings["hist_s"] = _t.perf_counter() - timings.pop(
+            "_t0", _t.perf_counter()
+        )
 
     # ---- pass 2: fused encode per batch with the global preset ---------
     # depth-2 pipeline: run() with preset_counts is sync-free (dispatch
@@ -1334,11 +1397,13 @@ def fast_encode_payload_batched(
     pieces: List[Tuple[np.ndarray, int]] = []  # (payload bytes, k_chunks)
     spans = [(lo, min(lo + bchunks, full)) for lo in range(0, full, bchunks)]
 
-    def submit(lo, hi):
+    def submit(si, lo, hi):
         end = n if hi == full else hi * chunk_size
+        dw = device_batches[si] if device_batches is not None else None
         plan = plan_fast_encode(
             data[lo * chunk_size : end], num_buf, bit_reorder, byte_reorder,
             chunk_size, threshold, preset_shared=preset, preset_counts=counts,
+            device_words=dw,
         )
         if plan is None:
             return None
@@ -1347,21 +1412,31 @@ def fast_encode_payload_batched(
         return run(words_dev), assemble, k
 
     inflight: List = []
-    for lo, hi in spans:
-        item = submit(lo, hi)
+    import time as _t2  # noqa: PLC0415
+
+    def _acc(key, dt):
+        if timings is not None:
+            timings[key] = timings.get(key, 0.0) + dt
+
+    for si, (lo, hi) in enumerate(spans):
+        t0 = _t2.perf_counter()
+        item = submit(si, lo, hi)
+        _acc("submit_s", _t2.perf_counter() - t0)
         if item is None:
             return None
         inflight.append(item)
         if len(inflight) > 1:
             ran, assemble, k = inflight.pop(0)
-            pieces.append(
-                (np.frombuffer(assemble(*ran, timings=timings), np.uint8), k)
-            )
+            t0 = _t2.perf_counter()
+            pay = np.frombuffer(assemble(*ran, timings=timings), np.uint8)
+            _acc("assemble_s", _t2.perf_counter() - t0)
+            pieces.append((pay, k))
     while inflight:
         ran, assemble, k = inflight.pop(0)
-        pieces.append(
-            (np.frombuffer(assemble(*ran, timings=timings), np.uint8), k)
-        )
+        t0 = _t2.perf_counter()
+        pay = np.frombuffer(assemble(*ran, timings=timings), np.uint8)
+        _acc("assemble_s", _t2.perf_counter() - t0)
+        pieces.append((pay, k))
 
     # ---- stitch local payloads into the global container ---------------
     metas = []

@@ -795,6 +795,228 @@ def stage_dev_batches(plan, g: _Geom, tiles):
     return staged, nbytes
 
 
+# ---------------------------------------------------------------------------
+# shard stacking: N equal-geometry containers in ONE fused dispatch
+# ---------------------------------------------------------------------------
+
+def _stack_key(plan, g: _Geom):
+    return (
+        plan.kind, plan.SW, g.seg, getattr(plan, "tlog_k", 0), plan.rate12,
+        g.num_buf, g.chunk_size, g.byte_reorder, g.bit_reorder,
+    )
+
+
+class _Stacked:
+    """N single-batch pc-plan shards fused into one dispatch's inputs.
+
+    A checkpoint load decodes many similar shards; even fully staged and
+    pipelined, each shard costs a dispatch round-trip — on a high-latency
+    link (the axon tunnel pays ~30 ms per dispatch) that RPC floor, not
+    the kernels, bounds the aggregate rate.  Stacking concatenates the
+    shards' payload tiles on device and offset-remaps the per-shard host
+    inputs (tile indices, the virtual [stored|rle|huf] permutation, pages
+    groups) so the SAME fused kernel decodes all of them in one go.
+    """
+
+    __slots__ = (
+        "plans", "gs", "dev", "caps", "B_tot", "n_huf_eff", "rate12",
+        "B_offs", "S_offs", "metas", "upload_bytes",
+    )
+
+
+def build_stacked(items) -> Optional["_Stacked"]:
+    """Stack staged shards (``(plan, g, tiles)`` triples) for one dispatch.
+
+    Returns None when the shards are not stackable: fewer than two, any
+    non-pc plan, multi-batch containers, unequal kernel geometry, or a
+    plane count the mono-assembly kernel does not cover.
+    """
+    jnp = _jnp()
+    if len(items) < 2:
+        return None
+    keys = set()
+    per = []
+    for plan, g, tiles in items:
+        if plan.kind != "pc" or g.full == 0:
+            return None
+        if g.num_buf not in (1, 2) or (g.plane_bytes // 4) % 128:
+            return None
+        B, batches, caps = _plan_batches(plan, g)
+        if len(batches) != 1:
+            return None
+        keys.add(_stack_key(plan, g))
+        per.append((plan, g, tiles, B, caps))
+    if len(keys) != 1:
+        return None
+
+    nb = items[0][1].num_buf
+    NS = sum(c[0] for *_x, c in per)
+    NR = sum(c[1] for *_x, c in per)
+    perm_l, stt_l, wsh_l, bsh_l, rle_l = [], [], [], [], []
+    rs_l, p0_l, cbnd_l, pg_l = [], [], [], []
+    ns_prev = nr_prev = g_prev = 0
+    tile_off = 0
+    B_offs, S_offs, metas = [], [], []
+    B_tot = 0
+    upload = 0
+    for plan, g, tiles, B, (ns_i, nr_i, nh_i) in per:
+        host, meta = _batch_host(plan, 0, g.full, (ns_i, nr_i, nh_i), B)
+        S_pad_i = host["row_starts"].size
+        perm = host["perm"].astype(np.int64)
+        k0 = perm < ns_i
+        k1 = (perm >= ns_i) & (perm < ns_i + nr_i)
+        k2 = ~k0 & ~k1
+        newp = np.empty_like(perm)
+        newp[k0] = perm[k0] + ns_prev
+        newp[k1] = perm[k1] - ns_i + NS + nr_prev
+        # huf sources address hsrc/pages GROUPS, which are per-shard padded
+        # to S_pad/4 — offset by the padded group count, not the cell count
+        newp[k2] = perm[k2] - (ns_i + nr_i) + NS + NR + g_prev
+        perm_l.append(newp.astype(np.int32))
+        stt_l.append(host["st_tiles"] + np.int32(tile_off))
+        wsh_l.append(host["st_wsh"])
+        bsh_l.append(host["st_bsh"])
+        rle_l.append(host["rle_vals"])
+        rs = host["row_starts"] + np.int32(tile_off)
+        rs_l.append(rs)
+        p0_l.append(host["p0"])
+        cbnd_l.append(host["cbnd"])
+        pages = host["pages"]
+        G_i = S_pad_i // 4
+        if pages.shape[0] != G_i:
+            pad = np.zeros((G_i, pages.shape[1]), dtype=pages.dtype)
+            pad[: pages.shape[0]] = pages
+            pages = pad
+        pg_l.append(pages)
+        meta = dict(meta)
+        meta["rate12"] = plan.rate12
+        metas.append(meta)
+        B_offs.append(B_tot)
+        S_offs.append(sum(r.size for r in rs_l) - S_pad_i)
+        B_tot += B
+        ns_prev += ns_i
+        nr_prev += nr_i
+        g_prev += G_i
+        tile_off += int(tiles.shape[0])
+        upload += sum(v.nbytes for v in host.values())
+
+    stk = _Stacked()
+    stk.plans = [p for p, *_r in per]
+    stk.gs = [g for _p, g, *_r in per]
+    stk.caps = (NS, NR, g_prev)  # n_huf passed as padded group count
+    stk.B_tot = B_tot
+    stk.n_huf_eff = g_prev
+    stk.rate12 = per[0][0].rate12
+    stk.B_offs = B_offs
+    stk.S_offs = S_offs
+    stk.metas = metas
+    a = jnp.asarray
+    tiles_all = jnp.concatenate([it[2] for it in items])
+    n_blocks = sum(p.shape[0] for p in p0_l)
+    stk.dev = (
+        tiles_all,
+        a(np.concatenate(rs_l)),
+        a(np.concatenate(p0_l).reshape(n_blocks, pallas_huf.SUBS, 128)),
+        a(np.ascontiguousarray(np.concatenate(cbnd_l))),
+        a(np.concatenate(pg_l)),
+        a(np.concatenate(stt_l)),
+        a(np.concatenate(wsh_l)),
+        a(np.concatenate(bsh_l)),
+        a(np.concatenate(rle_l)),
+        a(np.concatenate(perm_l)),
+    )
+    stk.upload_bytes = upload
+    return stk
+
+
+def run_stacked(stk: "_Stacked", to_device: bool, defer=None):
+    """Dispatch a :func:`build_stacked` bundle; returns per-shard outputs.
+
+    ``defer``: like :func:`_start_fast` — appends one validation record
+    per shard instead of validating inline; the records arrive with
+    ``pend_np`` already resolved (one fetch here covers every shard, so
+    :func:`fetch_pends` has nothing left to do for them).
+
+    Device-output RPC budget is four round-trips for ANY shard count:
+    the fused decode dispatch, one jitted finalize call that slices the
+    stacked output and appends every shard's host-decoded ragged tail,
+    the stream-end fetch, and the caller's drain.
+    """
+    import jax  # noqa: PLC0415
+
+    jnp = _jnp()
+    plan0 = stk.plans[0]
+    g0 = stk.gs[0]
+    run = plan0.fused_call(stk.caps, stk.B_tot, as_u8=to_device)
+    flat, pend = run(*stk.dev)
+    cs = g0.chunk_size
+    outs: List = [None] * len(stk.gs)
+
+    if to_device:
+        # one finalize dispatch for every shard: slice + tail append
+        # (per-shard jnp.concatenate calls would pay one RPC each)
+        tails = []
+        for g in stk.gs:
+            if g.full < g.n_chunks:
+                tail = np.empty(g.orig_size - g.full * cs, np.uint8)
+                _finish_tail(
+                    tail, g.mv, g.types, g.cell_start, g.cell_size, g.full,
+                    g.n_chunks, g.chunk_size, g.orig_size, g.num_buf,
+                    g.byte_reorder, g.bit_reorder, tail_base=g.full * cs,
+                )
+                tails.append(tail)
+            else:
+                tails.append(None)
+
+        def fin(flat_, *tails_):
+            res = []
+            ti = 0
+            for i, g in enumerate(stk.gs):
+                part = flat_[stk.B_offs[i] * cs : (stk.B_offs[i] + g.full) * cs]
+                if tails[i] is not None:
+                    part = jnp.concatenate([part, tails_[ti]])
+                    ti += 1
+                res.append(part)
+            return tuple(res)
+
+        outs = list(
+            jax.jit(fin)(flat, *[t for t in tails if t is not None])
+        )
+    # resolve every shard's stream-end vector in ONE fetch
+    pend_np = np.asarray(pend)
+    for i, g in enumerate(stk.gs):
+        S_off = stk.S_offs[i]
+        meta = stk.metas[i]
+        S_pad_i = (
+            (stk.S_offs[i + 1] if i + 1 < len(stk.S_offs) else int(pend.size))
+            - S_off
+        )
+        if defer is not None:
+            defer.append(
+                {
+                    "pend": pend[S_off : S_off + S_pad_i],
+                    "pend_np": pend_np[S_off : S_off + S_pad_i],
+                    "meta": meta, "plan": stk.plans[i], "g": g,
+                    "lo": 0, "hi": g.full, "to_device": to_device,
+                }
+            )
+        else:
+            _check_pend(pend_np[S_off : S_off + S_pad_i], meta, meta["rate12"])
+        if not to_device:
+            out = np.empty(g.orig_size, dtype=np.uint8)
+            host_np = np.asarray(
+                flat[stk.B_offs[i] : stk.B_offs[i] + g.full]
+            ).astype("<u4", copy=False)
+            out[: g.full * cs] = host_np.reshape(-1).view(np.uint8)
+            _finish_batched(
+                None, out, g.mv, g.types, g.cell_start, g.cell_size,
+                g.full, g.n_chunks, g.chunk_size, g.orig_size, g.num_buf,
+                g.byte_reorder, g.bit_reorder, False,
+            )
+            outs[i] = out
+    return outs
+
+
 def _start_fast(
     plan, g: _Geom, out, to_device: bool, tiles=None,
     staged=None, defer=None, force12: bool = False,
@@ -926,6 +1148,7 @@ def fetch_pends(entries) -> None:
     per-shard validation syncs put an RPC floor under a multi-shard load,
     one stacked fetch amortizes it across every shard in flight.
     """
+    entries = [e for e in entries if "pend_np" not in e]
     if not entries:
         return
     jnp = _jnp()

@@ -42,6 +42,9 @@ import numpy as np
 
 INTERPRET = False
 
+# scalar-prefetch SMEM budget: max chunks per kernel call (see combine_cells)
+B_CAP = 4096
+
 
 def _build_kernel(nb: int, R: int, P: int, bit_reorder: int, map_d: bool,
                   B: int, tlog: int):
@@ -308,12 +311,39 @@ def combine_cells(
         rlev = jnp.zeros_like(perm)
     pgq = srcs if map_d else jnp.zeros_like(perm)
 
-    args = [kinds, srcs, rlev, pgq, stt, senc, hsrc, tiles]
-    if map_d:
-        pg = pages.reshape(pages.shape[0], P, 128)
-        args.extend([pg] * num_buf)
-    call = _combine_call_cached(
-        num_buf, R, P, bit_reorder, map_d, B, tlog_k, INTERPRET
-    )
-    out = call(*args)
+    pg = pages.reshape(pages.shape[0], P, 128) if map_d else None
+
+    # scalar-prefetch arrays live in SMEM; at 6 arrays x B*nb int32 a
+    # 32 KB-chunk batch (16k+ chunks) overflows it and the Mosaic compile
+    # fails.  Segment the grid at B_CAP chunks — still one jit dispatch,
+    # one compiled kernel per segment size (all segments equal, padded).
+    if B <= B_CAP:
+        segs = [(0, B, B)]
+    else:
+        nseg = -(-B // B_CAP)
+        pad = nseg * B_CAP - B
+        if pad:
+            z = jnp.zeros(pad * num_buf, jnp.int32)
+            # pad chunks as RLE (kind 1): no DMA at all, so padding never
+            # reads out of bounds regardless of source array sizes
+            kinds = jnp.concatenate([kinds, z + 1])
+            srcs, rlev, pgq, stt, senc = (
+                jnp.concatenate([x, z]) for x in (srcs, rlev, pgq, stt, senc)
+            )
+        segs = [(i * B_CAP, min((i + 1) * B_CAP, B), B_CAP)
+                for i in range(nseg)]
+
+    outs = []
+    for lo, hi, bseg in segs:
+        call = _combine_call_cached(
+            num_buf, R, P, bit_reorder, map_d, bseg, tlog_k, INTERPRET
+        )
+        sl = slice(lo * num_buf, (lo + bseg) * num_buf)
+        args = [kinds[sl], srcs[sl], rlev[sl], pgq[sl], stt[sl], senc[sl],
+                hsrc, tiles]
+        if map_d:
+            args.extend([pg] * num_buf)
+        out = call(*args)
+        outs.append(out[: hi - lo])
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs)
     return out.reshape(B, num_buf * plane_words)
