@@ -273,27 +273,30 @@ def bench_tpu_pc_batched(results) -> float:
                 plan, g, np.empty(0, np.uint8), True,
                 tiles=tiles, staged=staged, defer=defer,
             )
-            flat = fin()
+            dw = fin()  # jax_transforms.DeviceWords (u32 stream + nbytes)
             jax_decode.fetch_pends(defer)  # ONE stacked validation fetch
             n_patched = 0
+            words = dw.words
+            cw = g.chunk_size // 4
             for e in defer:
                 patches = jax_decode.check_deferred_entry(e)
                 if patches:
-                    cs = g.chunk_size
                     for c, buf in patches.items():
-                        flat = flat.at[c * cs : (c + 1) * cs].set(
-                            jnp.asarray(buf)
+                        words = words.at[c * cw : (c + 1) * cw].set(
+                            jnp.asarray(buf.view("<u4"))
                         )
                     n_patched += len(patches)
-            _ = np.asarray(flat.reshape(-1)[:1])  # drain the device
-            return time.perf_counter() - t0, flat, n_patched
+            _ = np.asarray(words[:1])  # drain the device
+            from zipnn_tpu.ops.jax_transforms import DeviceWords
 
-        wall, flat, n_patched = run_once()  # cold (compiles)
-        got = bytes(np.asarray(flat))  # one full output fetch (untimed)
+            return time.perf_counter() - t0, DeviceWords(words, dw.nbytes), n_patched
+
+        wall, dw, n_patched = run_once()  # cold (compiles)
+        got = dw.tobytes()  # one full output fetch (untimed)
         assert got == data, "batched pc decode mismatch"
         best = wall
         for _i in range(2):
-            w, _f, _p = run_once()
+            w, _d, _p = run_once()
             best = min(best, w)
         gb = nbytes / 1e9
         results["tpu_pc_batched"] = {
@@ -602,11 +605,11 @@ def bench_real_checkpoint_multi(results, n_shards: int = 8) -> None:
                 outs = dec.decompress_stacked(stacked)
             else:
                 outs = dec.decompress_all(staged)
-            _ = np.asarray(outs[-1].reshape(-1)[:1])  # drain the device
+            _ = np.asarray(outs[-1].words[:1])  # drain the device
             return time.perf_counter() - t0, outs
 
         wall, outs = run_once()  # cold: compiles + first-shard plan
-        got = bytes(np.asarray(outs[0]))
+        got = outs[0].tobytes()  # DeviceWords -> host bytes (untimed)
         assert got == data, "multi-shard decode mismatch"
         best = wall
         for _i in range(2):

@@ -53,6 +53,32 @@ def test_device_split_combine_matches_numpy(num_buf, byte_reorder, bit_reorder):
     )
 
 
+def test_word_width_bitcasts_little_endian():
+    """u32<->u8/u16 lane conversions are little-endian bitcasts: the device
+    byte stream must equal numpy's ``tobytes`` regardless of backend (the
+    fused decode's as_u8 output and the zipnn fp16 wide-view path both
+    rely on this; also run on hardware via test_tpu_word_width_bitcasts)."""
+    w_np = RNG.integers(0, 2**32, size=1024, dtype=np.uint32)
+    w = jnp.asarray(w_np)
+    assert bytes(np.asarray(jax_transforms.u32_flat_to_u8(w))) == w_np.tobytes()
+    assert np.array_equal(
+        np.asarray(jax_transforms.u32_flat_to_u16(w)), w_np.view("<u2")
+    )
+    flat = jnp.asarray(w_np.view(np.uint8))
+    assert np.array_equal(
+        np.asarray(jax_transforms.u8_flat_to_u16(flat)), w_np.view("<u2")
+    )
+
+
+@pytest.mark.tpu
+def test_tpu_word_width_bitcasts():
+    """Hardware twin of test_word_width_bitcasts_little_endian: XLA:TPU's
+    bitcast_convert_type minor-axis byte order must also be little-endian
+    (bits [8i, 8i+8) in element i), or every as_u8 fused output would be
+    byte-swapped."""
+    test_word_width_bitcasts_little_endian()
+
+
 def test_sign_rotation_matches_numpy():
     data = RNG.integers(0, 256, size=4096, dtype=np.uint8)
     w = jnp.asarray(data.view("<u4"))
@@ -289,6 +315,76 @@ def test_jax_device_output_roundtrip():
     back = ZipNN(input_format="jax", engine="tpu").decompress(c)
     assert isinstance(back, jax.Array)
     assert back.dtype == jnp.bfloat16 and back.shape == arr.shape
+    assert np.array_equal(np.asarray(back).view(np.uint16), x)
+
+
+def test_words_to_typed_exact_and_hazards():
+    """words_to_typed: exact retyping for clean streams, nonzero hazard
+    count for bit patterns TPU float relayouts canonicalize (NaN payloads
+    everywhere; denormals for bf16/fp8 — fp16 denormals are exact and must
+    NOT count; measured on v5e, jax_transforms width-conversion rules)."""
+    import ml_dtypes
+
+    def dw(u16):
+        b = u16.view(np.uint8)
+        pad = (-b.size) % 512
+        buf = np.zeros(b.size + pad, np.uint8)
+        buf[: b.size] = b
+        return jax_transforms.DeviceWords(jnp.asarray(buf.view("<u4")), b.size)
+
+    clean = ((RNG.integers(100, 160, 4096, np.uint16) << 7)
+             | RNG.integers(0, 128, 4096, np.uint16))
+    arr, hz = jax_transforms.words_to_typed(dw(clean), 6, (64, 64))
+    assert int(hz) == 0 and arr.dtype == jnp.bfloat16 and arr.shape == (64, 64)
+    assert np.array_equal(np.asarray(arr).view(np.uint16).reshape(-1), clean)
+
+    denorm = clean.copy()
+    denorm[7] = 0x0001  # bf16 denormal
+    _arr, hz = jax_transforms.words_to_typed(dw(denorm), 6, (64, 64))
+    assert int(hz) == 1
+    nanp = clean.copy()
+    nanp[9] = 0xFFC5  # bf16 NaN payload
+    _arr, hz = jax_transforms.words_to_typed(dw(nanp), 6, (64, 64))
+    assert int(hz) == 1
+
+    # fp16: denormals are exact on TPU relayouts -> zero hazards; NaN counts
+    f16 = clean.copy()
+    f16[3] = 0x0001  # f16 denormal: fine
+    arr, hz = jax_transforms.words_to_typed(dw(f16), 4, (4096,))
+    assert int(hz) == 0
+    assert np.array_equal(np.asarray(arr).view(np.uint16), f16)
+    f16[5] = 0x7C01  # f16 NaN payload
+    _arr, hz = jax_transforms.words_to_typed(dw(f16), 4, (4096,))
+    assert int(hz) == 1
+
+    # fp32 never hazards (exact everywhere, including NaN payloads)
+    w32 = np.tile(np.array([0x7FC00001, 0x00000001, 0x3F800000], np.uint32), 128)
+    b32 = w32.view(np.uint16)
+    arr, hz = jax_transforms.words_to_typed(dw(b32), 1, (384,))
+    assert int(hz) == 0
+    assert np.array_equal(np.asarray(arr).view(np.uint32), w32)
+
+    # odd geometry -> no device path (caller falls back to host)
+    assert jax_transforms.words_to_typed(dw(clean), 6, (4096 // 2, 2, 1)) is None
+
+
+def test_jax_device_output_hazard_fallback_bit_exact():
+    """A bf16 stream containing denormals/NaN payloads must still
+    round-trip bit-exactly through input_format='jax' decompress: the
+    hazard scan routes it through the exact host marshal (TPU float
+    relayouts would flush/canonicalize those patterns)."""
+    import ml_dtypes
+    from zipnn_tpu import ZipNN
+
+    x = (_bf16ish(2 * 50000)).view(np.uint16).copy()
+    x[::97] = 0x0001   # bf16 denormals
+    x[5::1013] = 0x7FC5  # NaN payloads
+    arr = jnp.asarray(x.view(ml_dtypes.bfloat16))
+    assert np.array_equal(np.asarray(arr).view(np.uint16), x)  # upload exact
+    z = ZipNN(input_format="jax", engine="tpu", compression_chunk=16384)
+    c = z.compress(arr)
+    back = ZipNN(input_format="jax", engine="tpu").decompress(c)
+    assert back.dtype == jnp.bfloat16
     assert np.array_equal(np.asarray(back).view(np.uint16), x)
 
 
@@ -603,7 +699,7 @@ def _fake_fast_run(monkeypatch, g, data, starve_plan):
     calls = []
     words = np.frombuffer(data, "<u4").reshape(g.full, g.chunk_size // 4)
 
-    def fused_call(caps, B, force12=False, as_u8=False):
+    def fused_call(caps, B, force12=False):
         def run(host):
             lo, hi = host["_range"]
             calls.append((lo, hi, force12))

@@ -97,4 +97,4 @@ def test_stacked_decode_matches_per_shard_tpu():
     outs = dec.decompress_stacked(staged)
     assert outs is not None and len(outs) == 3
     for out, data in zip(outs, datas):
-        assert bytes(np.asarray(out)) == data
+        assert out.tobytes() == data  # DeviceWords -> host bytes

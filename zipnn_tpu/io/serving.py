@@ -61,9 +61,13 @@ class _StagedShard:
 class ShardDecoder:
     """Cross-container pipelined decoder (tpu fast path).
 
-    ``to_device=True`` yields device-resident uint8 arrays (bytes
-    otherwise).  The class is stateless apart from jax's compiled-kernel
-    cache, which the geometry bucketing makes shared across shards.
+    ``to_device=True`` yields device-resident
+    :class:`ops.jax_transforms.DeviceWords` (a uint32 word stream + byte
+    length — the fast AND exact device representation; retype with
+    ``jax_transforms.words_to_typed`` or fetch with ``.to_numpy()``).
+    Bytes otherwise.  The class is stateless apart from jax's
+    compiled-kernel cache, which the geometry bucketing makes shared
+    across shards.
     """
 
     def __init__(self, to_device: bool = False, as_numpy: bool = False):
@@ -331,9 +335,15 @@ class ShardDecoder:
         if self.to_device:
             import jax.numpy as jnp  # noqa: PLC0415
 
+            from ..ops.jax_transforms import DeviceWords  # noqa: PLC0415
+
+            cw = cs // 4  # patch in the u32 word domain (DeviceWords)
+            words = out.words
             for c, buf in patches.items():
-                out = out.at[c * cs : (c + 1) * cs].set(jnp.asarray(buf))
-            return out
+                words = words.at[c * cw : (c + 1) * cw].set(
+                    jnp.asarray(buf.view("<u4"))
+                )
+            return DeviceWords(words, out.nbytes)
         for c, buf in patches.items():
             out[c * cs : (c + 1) * cs] = buf
         return out

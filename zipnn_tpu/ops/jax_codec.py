@@ -324,9 +324,7 @@ def compress_payload(
         planes_dev = _split(jnp.asarray(words), num_buf, byte_reorder, bit_reorder)
         # [full, num_buf, plane_words] uint32
         pw = planes_dev
-        pbytes = jax_transforms.u32_flat_to_u8(pw.reshape(-1)).reshape(
-            full, num_buf, plane_bytes
-        )
+        pbytes = jax_transforms.bitcast_merge(pw, jnp.uint8)
         hist = np.asarray(
             _histogram(pbytes.reshape(full * num_buf, plane_bytes))
         ).reshape(full, num_buf, 256)

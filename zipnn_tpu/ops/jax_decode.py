@@ -207,7 +207,6 @@ def _fused_fast_decode(
     n_stored: int,
     n_rle: int,
     n_huf: int,
-    as_u8: bool = False,
 ):
     """One-dispatch device pipeline for a SHARED-table batch of B chunks.
 
@@ -260,8 +259,6 @@ def _fused_fast_decode(
                 hsrc, tiles, rle_vals, perm, st_tiles, st_wsh, st_bsh,
                 B, num_buf, plane_words, n_stored, n_rle, bit_reorder,
             )
-            if as_u8:
-                owords = jax_transforms.u32_flat_to_u8(owords.reshape(-1))
             return owords, pend_flat
 
         rows = []
@@ -281,8 +278,6 @@ def _fused_fast_decode(
         owords = jax_transforms.combine_device(
             planes_words, num_buf, byte_reorder, bit_reorder
         )
-        if as_u8:
-            owords = jax_transforms.u32_flat_to_u8(owords.reshape(-1))
         return owords, pend_flat
 
     return jax.jit(run)
@@ -302,7 +297,6 @@ def _fused_pc_decode(
     n_huf: int,
     tlog_k: int,
     rate12: bool,
-    as_u8: bool = False,
 ):
     """The per-cell-table sibling of :func:`_fused_fast_decode` — the path
     for containers the reference library produces (per-chunk
@@ -351,8 +345,6 @@ def _fused_pc_decode(
                 B, num_buf, plane_words, n_stored, n_rle, bit_reorder,
                 pages=pages, tlog_k=tlog_k,
             )
-            if as_u8:
-                owords = jax_transforms.u32_flat_to_u8(owords.reshape(-1))
             return owords, pend_flat
 
         rows = []
@@ -372,8 +364,6 @@ def _fused_pc_decode(
         owords = jax_transforms.combine_device(
             planes_words, num_buf, byte_reorder, bit_reorder
         )
-        if as_u8:
-            owords = jax_transforms.u32_flat_to_u8(owords.reshape(-1))
         return owords, pend_flat
 
     return jax.jit(run)
@@ -431,13 +421,12 @@ class _SharedPlan:
         p.RT = p.SW // 128
         return p
 
-    def fused_call(self, caps, B: int, force12: bool = False,
-                   as_u8: bool = False):
+    def fused_call(self, caps, B: int, force12: bool = False):
         ns, nr, nh = caps
         g = self.g
         return _fused_fast_decode(
             self.SW, g.seg, B, g.num_buf, g.plane_bytes,
-            g.byte_reorder, g.bit_reorder, ns, nr, nh, as_u8,
+            g.byte_reorder, g.bit_reorder, ns, nr, nh,
         )
 
 
@@ -500,14 +489,13 @@ class _PCPlan:
         p.RT = p.SW // 128
         return p
 
-    def fused_call(self, caps, B: int, force12: bool = False,
-                   as_u8: bool = False):
+    def fused_call(self, caps, B: int, force12: bool = False):
         ns, nr, nh = caps
         g = self.g
         return _fused_pc_decode(
             self.SW, g.seg, B, g.num_buf, g.plane_bytes,
             g.byte_reorder, g.bit_reorder, ns, nr, nh,
-            self.tlog_k, self.rate12 or force12, as_u8,
+            self.tlog_k, self.rate12 or force12,
         )
 
 
@@ -947,24 +935,27 @@ def run_stacked(stk: "_Stacked", to_device: bool, defer=None):
     jnp = _jnp()
     plan0 = stk.plans[0]
     g0 = stk.gs[0]
-    run = plan0.fused_call(stk.caps, stk.B_tot, as_u8=to_device)
+    run = plan0.fused_call(stk.caps, stk.B_tot)
     flat, pend = run(*stk.dev)
     cs = g0.chunk_size
     outs: List = [None] * len(stk.gs)
 
     if to_device:
         # one finalize dispatch for every shard: slice + tail append
-        # (per-shard jnp.concatenate calls would pay one RPC each)
+        # (per-shard jnp.concatenate calls would pay one RPC each).
+        # Word domain throughout (see _finish_batched); tails zero-pad to
+        # 512 B so every shard's word count stays % 128 == 0.
         tails = []
         for g in stk.gs:
             if g.full < g.n_chunks:
-                tail = np.empty(g.orig_size - g.full * cs, np.uint8)
+                nt = g.orig_size - g.full * cs
+                tail = np.zeros(-(-nt // 512) * 512, np.uint8)
                 _finish_tail(
-                    tail, g.mv, g.types, g.cell_start, g.cell_size, g.full,
-                    g.n_chunks, g.chunk_size, g.orig_size, g.num_buf,
+                    tail[:nt], g.mv, g.types, g.cell_start, g.cell_size,
+                    g.full, g.n_chunks, g.chunk_size, g.orig_size, g.num_buf,
                     g.byte_reorder, g.bit_reorder, tail_base=g.full * cs,
                 )
-                tails.append(tail)
+                tails.append(tail.view("<u4"))
             else:
                 tails.append(None)
 
@@ -972,16 +963,20 @@ def run_stacked(stk: "_Stacked", to_device: bool, defer=None):
             res = []
             ti = 0
             for i, g in enumerate(stk.gs):
-                part = flat_[stk.B_offs[i] * cs : (stk.B_offs[i] + g.full) * cs]
+                part = flat_[
+                    stk.B_offs[i] : stk.B_offs[i] + g.full
+                ].reshape(-1)
                 if tails[i] is not None:
                     part = jnp.concatenate([part, tails_[ti]])
                     ti += 1
                 res.append(part)
             return tuple(res)
 
-        outs = list(
-            jax.jit(fin)(flat, *[t for t in tails if t is not None])
-        )
+        parts = jax.jit(fin)(flat, *[t for t in tails if t is not None])
+        outs = [
+            jax_transforms.DeviceWords(w, g.orig_size)
+            for w, g in zip(parts, stk.gs)
+        ]
     # resolve every shard's stream-end vector in ONE fetch
     pend_np = np.asarray(pend)
     for i, g in enumerate(stk.gs):
@@ -1057,10 +1052,7 @@ def _start_fast(
         else:
             host, meta = _batch_host(plan, lo, hi, caps, B)
             dev = _to_dev(plan, tiles, host)
-        # device-resident output converts to flat u8 INSIDE the fused
-        # dispatch (one dispatch per batch instead of two — RPC dispatch
-        # latency is the serving wall on high-latency links)
-        run = plan.fused_call(caps, B, force12, as_u8=to_device)
+        run = plan.fused_call(caps, B, force12)
         owords, pend = run(*dev)
         meta["rate12"] = getattr(plan, "rate12", False) or force12
         return lo, hi, owords, pend, meta
@@ -1097,15 +1089,17 @@ def _start_fast(
     def _append_output(item, patches):
         lo, hi, owords, pend, meta = item
         if to_device:
-            flat = owords[: (hi - lo) * g.chunk_size]  # already flat u8
+            # keep the 32-bit word domain: u32 row slices/sets and the
+            # final concat+flatten run at HBM rate, while any u8-typed
+            # relayout costs ~4 GB/s (jax_transforms width-conversion
+            # rules; the round-4 in-dispatch u8 output DOUBLED the
+            # decode wall)
+            rows = owords[: hi - lo]  # [n_chunks_batch, chunk_words] u32
             if patches:
                 jnp_ = _jnp()
-                cs = g.chunk_size
                 for c, buf in patches.items():
-                    flat = flat.at[(c - lo) * cs : (c - lo + 1) * cs].set(
-                        jnp_.asarray(buf)
-                    )
-            flats.append(flat)
+                    rows = rows.at[c - lo].set(jnp_.asarray(buf.view("<u4")))
+            flats.append(rows)
         else:
             host_np = np.asarray(owords[: hi - lo]).astype("<u4", copy=False)
             out[lo * g.chunk_size : hi * g.chunk_size] = (
@@ -1200,15 +1194,17 @@ def decompress_payload(
     Shared-table and per-cell-table containers with full chunks take the
     fused Pallas fast paths (see module docstring); anything else takes
     the XLA lockstep decoder.  ``to_device=True`` returns a device-resident
-    uint8 array (the serving shape: checkpoint bytes decompress straight
-    into HBM).
+    :class:`jax_transforms.DeviceWords` (uint32 word stream + byte length —
+    the serving shape: checkpoint bytes decompress straight into HBM;
+    retype with :func:`jax_transforms.words_to_typed` or fetch with
+    ``.to_numpy()``).
     """
     out = np.empty(orig_size, dtype=np.uint8)
     g = _parse_geometry(
         payload, num_buf, chunk_size, orig_size, bit_reorder, byte_reorder
     )
     if g is None:
-        return _jnp().asarray(out) if to_device else out
+        return _upload_words(out) if to_device else out
     if g.full and _platform_is_tpu():
         plan = _SharedPlan.build(g)
         if plan is None:
@@ -1424,26 +1420,53 @@ def _decode_generic(g: _Geom, out, to_device: bool):
         g.chunk_size, g.orig_size, g.num_buf, g.byte_reorder, g.bit_reorder,
     )
     if to_device:
-        return _jnp().asarray(out)
+        return _upload_words(out)
     return out
+
+
+def _upload_words(out: np.ndarray) -> "jax_transforms.DeviceWords":
+    """Host u8 buffer -> DeviceWords (512 B zero-pad, one upload)."""
+    pad = (-out.size) % 512
+    if pad:
+        buf = np.zeros(out.size + pad, np.uint8)
+        buf[: out.size] = out
+    else:
+        buf = out
+    return jax_transforms.DeviceWords(
+        _jnp().asarray(buf.view("<u4")), out.size
+    )
 
 
 def _finish_batched(
     flats, out, mv, types, cell_start, cell_size, full, n_chunks,
     chunk_size, orig_size, num_buf, byte_reorder, bit_reorder, to_device,
 ):
-    """Marshal the batched fused decode's result (+ ragged tail)."""
+    """Marshal the batched fused decode's result (+ ragged tail).
+
+    Device output is a :class:`jax_transforms.DeviceWords` — the uint32
+    word stream (little-endian bytes) plus the logical byte length.  The
+    concat+flatten stays in the 32-bit domain (HBM-rate relayout); the
+    ragged tail is zero-padded to a word boundary, which
+    :func:`jax_transforms.words_to_typed` relies on for its hazard scan.
+    """
     jnp = _jnp()
     if to_device:
+        words = [r.reshape(-1) for r in flats]
         if full < n_chunks:
-            tail = np.empty(orig_size - full * chunk_size, np.uint8)
-            _finish_tail(
-                tail, mv, types, cell_start, cell_size, full, n_chunks,
-                chunk_size, orig_size, num_buf, byte_reorder, bit_reorder,
-                tail_base=full * chunk_size,
+            # pad to 512 B so the total word count stays % 128 == 0
+            # (chunk_size is a power of two >= 512, so full chunks are) —
+            # words_to_typed's hazard scan wants 128-word rows
+            tail = np.zeros(
+                -(-(orig_size - full * chunk_size) // 512) * 512, np.uint8
             )
-            flats.append(jnp.asarray(tail))
-        return flats[0] if len(flats) == 1 else jnp.concatenate(flats)
+            _finish_tail(
+                tail[: orig_size - full * chunk_size], mv, types, cell_start,
+                cell_size, full, n_chunks, chunk_size, orig_size, num_buf,
+                byte_reorder, bit_reorder, tail_base=full * chunk_size,
+            )
+            words.append(jnp.asarray(tail.view("<u4")))
+        flat = words[0] if len(words) == 1 else jnp.concatenate(words)
+        return jax_transforms.DeviceWords(flat, orig_size)
     return _finish_tail(
         out, mv, types, cell_start, cell_size, full, n_chunks,
         chunk_size, orig_size, num_buf, byte_reorder, bit_reorder,

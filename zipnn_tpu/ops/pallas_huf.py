@@ -366,5 +366,4 @@ def decode_shared_table(
     from . import jax_transforms
 
     w = out.transpose(0, 2, 3, 1).reshape(S_pad, seg // 4)
-    b = jax_transforms.u32_flat_to_u8(w.reshape(-1))
-    return b.reshape(S_pad, seg)[:S]
+    return jax_transforms.bitcast_merge(w, jnp.uint8)[:S]

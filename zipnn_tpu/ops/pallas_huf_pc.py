@@ -689,8 +689,7 @@ def decode_cells(
     ow = post_map_symbols(dwS, jnp.asarray(pages_pad), seg, tlog_k)
     from . import jax_transforms
 
-    b = jax_transforms.u32_flat_to_u8(ow.reshape(-1))
-    return b.reshape(S_pad, seg)[:S]
+    return jax_transforms.bitcast_merge(ow, jnp.uint8)[:S]
 
 
 def cell_decode_tables_payload(payload_np, offsets, sizes):

@@ -690,35 +690,26 @@ class ZipNN:
             import ml_dtypes  # noqa: PLC0415
 
             info = dtypes.from_code(code)
-            if not isinstance(flat, np.ndarray):  # already on device
-                import jax  # noqa: PLC0415
+            from .ops import jax_transforms  # noqa: PLC0415
 
-                jmap = {
-                    1: jnp.float32, 2: jnp.float32, 4: jnp.float16,
-                    5: jnp.float16, 6: jnp.bfloat16,
-                    29: jnp.float8_e4m3fn, 30: jnp.float8_e5m2,
-                }
-                target = jmap.get(code)
-                if target is None:
-                    raise ValueError(f"Unsupported Dtype {code}")
-                from .ops import jax_transforms  # noqa: PLC0415
-
-                it = info.itemsize
-                n = flat.shape[0]
-                if it == 1:
-                    arr = jax.lax.bitcast_convert_type(flat, target)
-                else:
-                    # pad to the helper's row granularity, then trim elements
-                    gran = 256 if it == 2 else 512
-                    pad = (-n) % gran
-                    if pad:
-                        flat = jnp.concatenate([flat, jnp.zeros(pad, jnp.uint8)])
-                    if it == 2:
-                        wideval = jax_transforms.u8_flat_to_u16(flat)
-                    else:
-                        wideval = jax_transforms.u8_flat_to_u32(flat)
-                    arr = jax.lax.bitcast_convert_type(wideval, target)[: n // it]
-                return arr.reshape(self.shape_bytes)
+            if isinstance(flat, jax_transforms.DeviceWords):
+                # device-resident retype: ONE fused dispatch produces the
+                # typed leaf AND an integer-domain hazard count.  TPU
+                # float-typed relayouts canonicalize NaN payloads and
+                # flush bf16/fp8 denormals (jax_transforms width-conversion
+                # rules), so a nonzero count means the cheap device retype
+                # would not be bit-exact — marshal those (rare,
+                # pathological-weight) streams through the host instead:
+                # fetching the words and uploading the final dtype view
+                # preserves every bit pattern.
+                res = jax_transforms.words_to_typed(
+                    flat, code, tuple(self.shape_bytes)
+                )
+                if res is not None:
+                    arr, hazard = res
+                    if int(hazard) == 0:
+                        return arr
+                flat = flat.to_numpy()  # exact host fallback
             np_map = {
                 6: ml_dtypes.bfloat16,
                 29: ml_dtypes.float8_e4m3fn,
