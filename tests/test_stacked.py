@@ -98,3 +98,82 @@ def test_stacked_decode_matches_per_shard_tpu():
     assert outs is not None and len(outs) == 3
     for out, data in zip(outs, datas):
         assert out.tobytes() == data  # DeviceWords -> host bytes
+
+
+def test_build_stacked_hbm_budget_gate(monkeypatch):
+    """A stacked dispatch past the per-dispatch batch budget must be
+    refused: 8 x 237 MB in one dispatch (~14 GB working set) measured
+    2.2 GB/s on a 16 GB v5e vs pipelined bundles at 8+ GB/s."""
+    import jax.numpy as jnp
+
+    items = []
+    for seed in (1, 2):
+        data, g, plan = _shard(1 << 20, seed)
+        assert plan is not None
+        tiles = jnp.zeros((4, 128), jnp.uint32)  # tiles unused by the gate
+        items.append((plan, g, tiles))
+    monkeypatch.setattr(jax_decode, "_max_batch_chunks", lambda cs: 1)
+    assert jax_decode.build_stacked(items) is None
+
+
+def test_decompress_all_groups_staged_shards(monkeypatch):
+    """decompress_all fuses consecutive same-geometry staged shards into
+    stacked bundles under the batch budget (one run_stacked per bundle,
+    outputs in order).  The device layer is mocked at the jax_decode
+    seams — the real stacked kernels run in the @tpu twin
+    (test_stacked_decode_matches_per_shard_tpu)."""
+    from types import SimpleNamespace
+
+    from zipnn_tpu.io import serving
+    from zipnn_tpu.io.serving import ShardDecoder
+
+    def mk_shard(i):
+        st = serving._StagedShard()
+        st.hdr = SimpleNamespace(original_len=1024)
+        st.plan = SimpleNamespace(kind="pc", tag=i)
+        st.g = SimpleNamespace(chunk_size=262144, full=4)
+        st.tiles = None
+        st.batches = {}
+        st.upload_bytes = 0
+        st.tail_dev = None
+        return st
+
+    staged = [mk_shard(i) for i in range(4)]
+    monkeypatch.setattr(jax_decode, "_stack_key", lambda p, g: "K")
+    monkeypatch.setattr(
+        jax_decode, "_plan_batches", lambda p, g: (256, [(0, g.full)], (0, 0, 0))
+    )
+    monkeypatch.setattr(jax_decode, "_max_batch_chunks", lambda cs: 512)
+
+    built = []
+
+    def fake_build(items):
+        built.append(len(items))
+        return ("STK", items)
+
+    clean_meta = {
+        "S_real": 0, "rate12": False,
+        "end_in_row": np.zeros(0, np.int64), "slens": np.zeros(0, np.int64),
+        "cells": (np.zeros(0, np.int64), np.zeros(0, np.int64)),
+    }
+
+    def fake_run(stk, to_device, defer=None, tail_devs=None):
+        _tag, items = stk
+        outs = []
+        for k, (plan, g, _t) in enumerate(items):
+            defer.append(
+                {"pend_np": np.zeros(0, np.int32), "meta": dict(clean_meta),
+                 "plan": plan, "g": g, "lo": 0, "hi": g.full,
+                 "to_device": to_device}
+            )
+            outs.append(("OUT", plan.tag))
+        return outs
+
+    monkeypatch.setattr(jax_decode, "build_stacked", fake_build)
+    monkeypatch.setattr(jax_decode, "run_stacked", fake_run)
+    monkeypatch.setattr(jax_decode, "fetch_pends", lambda e, drain=None: None)
+
+    dec = ShardDecoder(to_device=True)
+    outs = dec.decompress_all(staged)
+    assert built == [2, 2]  # bundles of two under the 512-chunk budget
+    assert [o[1] for o in outs] == [0, 1, 2, 3]  # order preserved

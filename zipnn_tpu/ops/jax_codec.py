@@ -1280,6 +1280,7 @@ def fast_encode_payload_batched(
     batch_bytes: Optional[int] = None,
     timings: Optional[dict] = None,
     device_batches=None,
+    out: Optional[np.ndarray] = None,
 ):
     """GB-scale fused compress: bounded device memory via chunk-range
     batches (the encode twin of decompress_payload's batching).
@@ -1437,10 +1438,13 @@ def fast_encode_payload_batched(
         pieces.append((pay, k))
 
     # ---- stitch local payloads into the global container ---------------
+    t0 = _t2.perf_counter()
     metas = []
     for pay, k in pieces:
         types, starts, ds = parse_tables(pay, num_buf, k)
         metas.append((types, starts, ds))
+    _acc("parse_s", _t2.perf_counter() - t0)
+    t0 = _t2.perf_counter()
     types_g = np.concatenate([m[0] for m in metas], axis=1)
     sizes_g = np.concatenate(
         [(m[1][:, 1:] - m[1][:, :-1]).astype(np.uint64) for m in metas],
@@ -1455,7 +1459,17 @@ def fast_encode_payload_batched(
     starts_g = np.zeros((num_buf, n_chunks + 1), dtype=np.int64)
     starts_g[:, 1:] = cumulative
     total_len = tbl_len + int(plane_totals.sum())
-    out = np.empty(prefix_len + total_len, np.uint8)
+    need = prefix_len + total_len
+    if out is not None and out.size >= need:
+        # caller-managed staging (same convention as assemble's out_buf):
+        # a serving pipeline writing many checkpoints reuses one buffer,
+        # so the stitch writes warm pages instead of first-touch-faulting
+        # a fresh region every container (this VM's nested-virt fault path
+        # measured ~0.02 GB/s on a fresh 254 MB numpy buffer vs ~5 GB/s
+        # warm — a normal host pays ~50x less, but warm is free everywhere)
+        out = out[:need]
+    else:
+        out = np.empty(need, np.uint8)
     pv = out[prefix_len:]
     pv[: types_g.nbytes] = np.ascontiguousarray(types_g).reshape(-1)
     pv[types_g.nbytes : tbl_len] = (
@@ -1471,4 +1485,5 @@ def fast_encode_payload_batched(
             pv[dst : dst + ln] = pay[src_base : src_base + ln]
             src_base += ln
         clo += k
+    _acc("stitch_s", _t2.perf_counter() - t0)
     return out

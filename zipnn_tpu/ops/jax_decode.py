@@ -836,6 +836,17 @@ def build_stacked(items) -> Optional["_Stacked"]:
         per.append((plan, g, tiles, B, caps))
     if len(keys) != 1:
         return None
+    # HBM working-set gate: a stacked dispatch behaves like one batch of
+    # B_tot chunks (~6x its plaintext bytes in device buffers on top of
+    # every shard's payload tiles).  Past the per-dispatch batch budget
+    # the giant dispatch thrashes the allocator — measured 2.2 GB/s for
+    # 8 x 237 MB stacked (~14 GB working set on a 16 GB v5e) vs ~15 GB/s
+    # for the same shards through pipelined per-shard dispatches — so
+    # refuse and let the caller take decompress_all.
+    if sum(B for *_x, B, _c in per) > _max_batch_chunks(
+        items[0][1].chunk_size
+    ):
+        return None
 
     nb = items[0][1].num_buf
     NS = sum(c[0] for *_x, c in per)
@@ -917,22 +928,46 @@ def build_stacked(items) -> Optional["_Stacked"]:
     return stk
 
 
-def run_stacked(stk: "_Stacked", to_device: bool, defer=None):
-    """Dispatch a :func:`build_stacked` bundle; returns per-shard outputs.
-
-    ``defer``: like :func:`_start_fast` — appends one validation record
-    per shard instead of validating inline; the records arrive with
-    ``pend_np`` already resolved (one fetch here covers every shard, so
-    :func:`fetch_pends` has nothing left to do for them).
-
-    Device-output RPC budget is four round-trips for ANY shard count:
-    the fused decode dispatch, one jitted finalize call that slices the
-    stacked output and appends every shard's host-decoded ragged tail,
-    the stream-end fetch, and the caller's drain.
-    """
+@lru_cache(maxsize=None)
+def _stacked_fin_call(offs_fulls: tuple, cw: int, tail_words: tuple):
+    """One jitted finalize for a stacked bundle: per-shard row slice +
+    flatten (+ ragged-tail append), cached by geometry — an inline
+    ``jax.jit(closure)`` here would retrace AND recompile on every
+    bundle (measured: grouping bundles ran SLOWER than per-shard
+    dispatches until this was hoisted)."""
     import jax  # noqa: PLC0415
 
     jnp = _jnp()
+
+    def fin(flat_, *tails_):
+        res = []
+        ti = 0
+        for (boff, full), tw in zip(offs_fulls, tail_words):
+            part = flat_[boff : boff + full].reshape(-1)
+            if tw:
+                part = jnp.concatenate([part, tails_[ti]])
+                ti += 1
+            res.append(part)
+        return tuple(res)
+
+    return jax.jit(fin)
+
+
+def run_stacked(stk: "_Stacked", to_device: bool, defer=None,
+                tail_devs=None):
+    """Dispatch a :func:`build_stacked` bundle; returns per-shard outputs.
+
+    ``defer``: like :func:`_start_fast` — appends one validation record
+    per shard instead of validating inline AND skips this call's own
+    stream-end fetch entirely, so consecutive bundles pipeline with no
+    sync between them; the caller resolves every bundle's records in one
+    :func:`fetch_pends`.
+
+    Device-output RPC budget with ``defer``: zero round-trips here — the
+    fused decode dispatch and the one jitted finalize call (slices the
+    stacked output, appends every shard's host-decoded ragged tail) are
+    both async; the caller pays one stacked fetch for the whole load.
+    """
     plan0 = stk.plans[0]
     g0 = stk.gs[0]
     run = plan0.fused_call(stk.caps, stk.B_tot)
@@ -945,40 +980,24 @@ def run_stacked(stk: "_Stacked", to_device: bool, defer=None):
         # (per-shard jnp.concatenate calls would pay one RPC each).
         # Word domain throughout (see _finish_batched); tails zero-pad to
         # 512 B so every shard's word count stays % 128 == 0.
-        tails = []
-        for g in stk.gs:
-            if g.full < g.n_chunks:
-                nt = g.orig_size - g.full * cs
-                tail = np.zeros(-(-nt // 512) * 512, np.uint8)
-                _finish_tail(
-                    tail[:nt], g.mv, g.types, g.cell_start, g.cell_size,
-                    g.full, g.n_chunks, g.chunk_size, g.orig_size, g.num_buf,
-                    g.byte_reorder, g.bit_reorder, tail_base=g.full * cs,
-                )
-                tails.append(tail.view("<u4"))
-            else:
-                tails.append(None)
-
-        def fin(flat_, *tails_):
-            res = []
-            ti = 0
-            for i, g in enumerate(stk.gs):
-                part = flat_[
-                    stk.B_offs[i] : stk.B_offs[i] + g.full
-                ].reshape(-1)
-                if tails[i] is not None:
-                    part = jnp.concatenate([part, tails_[ti]])
-                    ti += 1
-                res.append(part)
-            return tuple(res)
-
-        parts = jax.jit(fin)(flat, *[t for t in tails if t is not None])
+        # ragged tails: pre-staged device words when given (serving stages
+        # them off the hot path), host-decoded + uploaded here otherwise
+        tails = tail_devs if tail_devs is not None else [
+            tail_words_host(g) for g in stk.gs
+        ]
+        fin = _stacked_fin_call(
+            tuple((stk.B_offs[i], g.full) for i, g in enumerate(stk.gs)),
+            cs // 4,
+            tuple(0 if t is None else int(t.size) for t in tails),
+        )
+        parts = fin(flat, *[t for t in tails if t is not None])
         outs = [
             jax_transforms.DeviceWords(w, g.orig_size)
             for w, g in zip(parts, stk.gs)
         ]
-    # resolve every shard's stream-end vector in ONE fetch
-    pend_np = np.asarray(pend)
+    # stream-end vectors: deferred callers batch ONE fetch over every
+    # bundle in flight; inline callers validate here
+    pend_np = None if defer is not None else np.asarray(pend)
     for i, g in enumerate(stk.gs):
         S_off = stk.S_offs[i]
         meta = stk.metas[i]
@@ -990,7 +1009,6 @@ def run_stacked(stk: "_Stacked", to_device: bool, defer=None):
             defer.append(
                 {
                     "pend": pend[S_off : S_off + S_pad_i],
-                    "pend_np": pend_np[S_off : S_off + S_pad_i],
                     "meta": meta, "plan": stk.plans[i], "g": g,
                     "lo": 0, "hi": g.full, "to_device": to_device,
                 }
@@ -1012,9 +1030,29 @@ def run_stacked(stk: "_Stacked", to_device: bool, defer=None):
     return outs
 
 
+def tail_words_host(g: _Geom) -> Optional[np.ndarray]:
+    """Decode the ragged tail chunk (if any) to 512 B-padded u32 words.
+
+    Host work a stager runs OFF the hot path: a serving load's tail
+    decode + its small device upload otherwise lands between batch
+    dispatches and bubbles the pipeline (measured ~10 ms/shard on the
+    tunnel rig).
+    """
+    if g.full >= g.n_chunks:
+        return None
+    nt = g.orig_size - g.full * g.chunk_size
+    tail = np.zeros(-(-nt // 512) * 512, np.uint8)
+    _finish_tail(
+        tail[:nt], g.mv, g.types, g.cell_start, g.cell_size, g.full,
+        g.n_chunks, g.chunk_size, g.orig_size, g.num_buf,
+        g.byte_reorder, g.bit_reorder, tail_base=g.full * g.chunk_size,
+    )
+    return tail.view("<u4")
+
+
 def _start_fast(
     plan, g: _Geom, out, to_device: bool, tiles=None,
-    staged=None, defer=None, force12: bool = False,
+    staged=None, defer=None, force12: bool = False, tail_dev=None,
 ):
     """Submit the first device batches of a fast-path plan; returns a
     ``finish()`` closure that drains (and submits the rest, depth-2).
@@ -1127,13 +1165,13 @@ def _start_fast(
         return _finish_batched(
             flats, out, g.mv, g.types, g.cell_start, g.cell_size, g.full,
             g.n_chunks, g.chunk_size, g.orig_size, g.num_buf,
-            g.byte_reorder, g.bit_reorder, to_device,
+            g.byte_reorder, g.bit_reorder, to_device, tail_dev=tail_dev,
         )
 
     return finish
 
 
-def fetch_pends(entries) -> None:
+def fetch_pends(entries, drain=None) -> None:
     """Fetch ALL deferred validation vectors in ONE device round-trip.
 
     ``entries`` are the records :func:`_start_fast` appended under
@@ -1141,14 +1179,21 @@ def fetch_pends(entries) -> None:
     matters on links where a device round-trip has high fixed latency:
     per-shard validation syncs put an RPC floor under a multi-shard load,
     one stacked fetch amortizes it across every shard in flight.
+
+    ``drain``: an optional device array whose first element is folded into
+    the same fetch — pass the output words to also wait for the full
+    pipeline without a second round-trip (the pends come from the same
+    dispatches, so they normally imply completion anyway; ``drain`` covers
+    callers that appended further device work after the last batch).
     """
     entries = [e for e in entries if "pend_np" not in e]
-    if not entries:
-        return
     jnp = _jnp()
-    flat = np.asarray(
-        jnp.concatenate([e["pend"].reshape(-1) for e in entries])
-    )
+    parts = [e["pend"].reshape(-1) for e in entries]
+    if drain is not None:
+        parts.append(drain.reshape(-1)[:1].astype(jnp.int32))
+    if not parts:
+        return
+    flat = np.asarray(parts[0] if len(parts) == 1 else jnp.concatenate(parts))
     off = 0
     for e in entries:
         n = e["pend"].size
@@ -1440,6 +1485,7 @@ def _upload_words(out: np.ndarray) -> "jax_transforms.DeviceWords":
 def _finish_batched(
     flats, out, mv, types, cell_start, cell_size, full, n_chunks,
     chunk_size, orig_size, num_buf, byte_reorder, bit_reorder, to_device,
+    tail_dev=None,
 ):
     """Marshal the batched fused decode's result (+ ragged tail).
 
@@ -1453,18 +1499,21 @@ def _finish_batched(
     if to_device:
         words = [r.reshape(-1) for r in flats]
         if full < n_chunks:
-            # pad to 512 B so the total word count stays % 128 == 0
-            # (chunk_size is a power of two >= 512, so full chunks are) —
-            # words_to_typed's hazard scan wants 128-word rows
-            tail = np.zeros(
-                -(-(orig_size - full * chunk_size) // 512) * 512, np.uint8
-            )
-            _finish_tail(
-                tail[: orig_size - full * chunk_size], mv, types, cell_start,
-                cell_size, full, n_chunks, chunk_size, orig_size, num_buf,
-                byte_reorder, bit_reorder, tail_base=full * chunk_size,
-            )
-            words.append(jnp.asarray(tail.view("<u4")))
+            if tail_dev is None:
+                # pad to 512 B so the total word count stays % 128 == 0
+                # (chunk_size is a power of two >= 512, so full chunks
+                # are) — words_to_typed's hazard scan wants 128-word rows
+                tail = np.zeros(
+                    -(-(orig_size - full * chunk_size) // 512) * 512, np.uint8
+                )
+                _finish_tail(
+                    tail[: orig_size - full * chunk_size], mv, types,
+                    cell_start, cell_size, full, n_chunks, chunk_size,
+                    orig_size, num_buf, byte_reorder, bit_reorder,
+                    tail_base=full * chunk_size,
+                )
+                tail_dev = jnp.asarray(tail.view("<u4"))
+            words.append(tail_dev)
         flat = words[0] if len(words) == 1 else jnp.concatenate(words)
         return jax_transforms.DeviceWords(flat, orig_size)
     return _finish_tail(
@@ -1501,8 +1550,17 @@ def _finish_tail(
                 planes.append(np.frombuffer(blob, dtype=np.uint8))
             else:
                 try:
-                    planes.append(huf.decompress(blob, want))
-                except ValueError as exc:
+                    try:
+                        from .. import native  # noqa: PLC0415
+
+                        planes.append(
+                            np.asarray(native.huf_decompress(bytes(blob), want))
+                        )
+                    except (ImportError, OSError):
+                        # pure-python fallback costs ~60 ms per 256 KB tail
+                        # chunk — enough to dominate a multi-shard load
+                        planes.append(huf.decompress(blob, want))
+                except (ValueError, RuntimeError) as exc:
                     raise CorruptChunkError(str(exc), plane=b, chunk=c) from exc
         o0 = c * chunk_size - tail_base
         byte_group.combine(
