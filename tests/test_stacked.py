@@ -177,3 +177,12 @@ def test_decompress_all_groups_staged_shards(monkeypatch):
     outs = dec.decompress_all(staged)
     assert built == [2, 2]  # bundles of two under the 512-chunk budget
     assert [o[1] for o in outs] == [0, 1, 2, 3]  # order preserved
+
+    # a stack_groups plan replays with NO bundle rebuilds (stage-time
+    # work happens once; decompress_groups is the hot path)
+    groups = dec.stack_groups(staged)
+    assert built == [2, 2, 2, 2]
+    for _rep in range(2):
+        outs = dec.decompress_groups(groups)
+        assert [o[1] for o in outs] == [0, 1, 2, 3]
+    assert built == [2, 2, 2, 2]  # unchanged: replay built nothing

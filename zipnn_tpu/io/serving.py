@@ -313,19 +313,29 @@ class ShardDecoder:
             raise ValueError(
                 "decompress_all needs to_device=True or as_numpy=True"
             )
-        items = list(items)
-        defers: list = [[] for _ in items]
-        outs: list = [None] * len(items)
+        return self.decompress_groups(self.stack_groups(items), depth=depth)
 
-        # group consecutive same-geometry staged shards under the batch
-        # budget; build_stacked re-checks eligibility and may still refuse
+    def stack_groups(self, items) -> list:
+        """Group ``items`` into execution units and pre-build every
+        stacked bundle (STAGE-TIME work: the bundles' remapped host
+        inputs upload here).  Consecutive :meth:`stage` handles with
+        equal kernel geometry fuse into bundles up to the per-dispatch
+        HBM batch budget; everything else stays a per-shard unit.  The
+        returned list replays through :meth:`decompress_groups` any
+        number of times with no further host->device moves — a serving
+        prefetch thread builds groups for load N+1 while load N decodes.
+        """
+        from ..ops import jax_decode  # noqa: PLC0415
+
+        items = list(items)
         cap = jax_decode._max_batch_chunks(
             next(
                 (s.g.chunk_size for s in items if isinstance(s, _StagedShard)),
                 1 << 18,
             )
         )
-        units: list = []  # ("stk", stk, idxs) | ("one", item, idx)
+        # ("stk", stk, idxs, tail_devs) | ("one", item, idx)
+        units: list = []
         i = 0
         while i < len(items):
             it = items[i]
@@ -343,27 +353,45 @@ class ShardDecoder:
                     j += 1
                 stk = None
                 if j - i >= 2:
+                    # build_stacked re-checks eligibility and may refuse
                     stk = jax_decode.build_stacked(
                         [(s.plan, s.g, s.tiles) for s in items[i:j]]
                     )
                 if stk is not None:
-                    units.append(("stk", stk, list(range(i, j))))
+                    tails = (
+                        [items[gi].tail_dev for gi in range(i, j)]
+                        if self.to_device else None
+                    )
+                    units.append(("stk", stk, list(range(i, j)), tails))
                     i = j
                     continue
             units.append(("one", it, i))
             i += 1
+        units.append(("n", len(items)))
+        return units
+
+    def decompress_groups(self, units, depth: int = 4) -> list:
+        """Execute a :meth:`stack_groups` plan (the hot path: dispatches
+        and one validation fetch, no host->device moves)."""
+        from ..ops import jax_decode  # noqa: PLC0415
+
+        if not (self.to_device or self.as_numpy):
+            raise ValueError(
+                "decompress_groups needs to_device=True or as_numpy=True"
+            )
+        n = units[-1][1]
+        defers: list = [[] for _ in range(n)]
+        outs: list = [None] * n
 
         inflight: list = []
-        for unit in units:
+        for unit in units[:-1]:
             if unit[0] == "stk":
-                _kind, stk, idxs = unit
+                _kind, stk, idxs, tails = unit
                 d: list = []
                 # async with defer: dispatch + finalize only, no sync;
                 # tails were staged (uploaded) by stage()
                 outs_g = jax_decode.run_stacked(
-                    stk, self.to_device, defer=d,
-                    tail_devs=[items[gi].tail_dev for gi in idxs]
-                    if self.to_device else None,
+                    stk, self.to_device, defer=d, tail_devs=tails,
                 )
                 for k, gi in enumerate(idxs):
                     outs[gi] = (
