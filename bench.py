@@ -694,6 +694,9 @@ def bench_tpu_batched_encode(data: bytes, comp: bytes, results) -> None:
             "host_plan_s": round(tm.get("plan_s", 0.0), 4),
             "host_splice_s": round(tm.get("splice_s", 0.0), 4),
             "host_stitch_s": round(tm.get("stitch_s", 0.0), 4),
+            "host_parse_s": round(tm.get("parse_s", 0.0), 4),
+            "submit_s": round(tm.get("submit_s", 0.0), 4),
+            "assemble_s": round(tm.get("assemble_s", 0.0), 4),
             "hist_s": round(tm.get("hist_s", 0.0), 4),
             "compress_GBps_e2e": round(gb / e2e_s, 4),
             "bit_identical_to_spec": ok,

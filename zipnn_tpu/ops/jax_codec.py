@@ -734,6 +734,7 @@ def plan_fast_encode(
     preset_shared=None,
     preset_counts=None,
     device_words=None,
+    stage_buf: Optional[np.ndarray] = None,
 ):
     """Fused device compress for the shared-table profile.
 
@@ -823,6 +824,13 @@ def plan_fast_encode(
         # (benchmark loops) must not re-fault ~n pages per call — that
         # shows up as fake device time on hosts with slow fault paths
         if "buf" in staged:
+            return
+        if stage_buf is not None and stage_buf.nbytes >= stage_need:
+            # caller-pooled pre-faulted staging (fast_encode_payload_batched
+            # recycles these across batches and calls: allocating + touching
+            # ~batch_bytes of fresh pages per batch measured ~1.1 s/batch on
+            # this host's fault path — 3.4 s of a 768 MB batched encode)
+            staged["buf"] = stage_buf
             return
         buf = np.empty(stage_need, np.uint8)
         buf[:: 4096] = 0  # touch one byte per page
@@ -1269,6 +1277,42 @@ def encode_batch_spans(
     return [(lo, min(lo + bchunks, full)) for lo in range(0, full, bchunks)]
 
 
+# grow-only pool of pre-faulted per-batch staging buffers: a batch's
+# assemble returns a VIEW into its staging buffer (alive until the stitch
+# consumes it), so buffers recycle across calls, not within one.  Retained
+# bytes bounded by ZIPNN_TPU_STAGE_POOL_MB (default 2048).
+_STAGE_POOL: List[np.ndarray] = []
+
+
+def _stage_pool_acquire(need: int) -> np.ndarray:
+    lock = _stage_pool_lock()
+    with lock:
+        for i, b in enumerate(_STAGE_POOL):
+            if b.nbytes >= need:
+                return _STAGE_POOL.pop(i)
+    buf = np.empty(need, np.uint8)
+    buf[::4096] = 0  # pre-fault once; later users write warm pages
+    return buf
+
+
+def _stage_pool_release(bufs) -> None:
+    import os  # noqa: PLC0415
+
+    cap = int(os.environ.get("ZIPNN_TPU_STAGE_POOL_MB", "2048")) << 20
+    lock = _stage_pool_lock()
+    with lock:
+        _STAGE_POOL.extend(bufs)
+        while _STAGE_POOL and sum(b.nbytes for b in _STAGE_POOL) > cap:
+            _STAGE_POOL.pop(0)
+
+
+@lru_cache(maxsize=1)
+def _stage_pool_lock():
+    import threading  # noqa: PLC0415
+
+    return threading.Lock()
+
+
 def fast_encode_payload_batched(
     data: np.ndarray,
     num_buf: int,
@@ -1396,13 +1440,22 @@ def fast_encode_payload_batched(
     pieces: List[Tuple[np.ndarray, int]] = []  # (payload bytes, k_chunks)
     spans = [(lo, min(lo + bchunks, full)) for lo in range(0, full, bchunks)]
 
+    # per-batch staging from the process pool: batch payloads are VIEWS
+    # into these until the stitch copies them out, so one buffer per span
+    # is held for the call and recycled afterwards
+    k_max = max(hi - lo for lo, hi in spans) + 2
+    stage_bufs = [
+        _stage_pool_acquire(k_max * (chunk_size + 9 * num_buf) + 4096)
+        for _ in spans
+    ]
+
     def submit(si, lo, hi):
         end = n if hi == full else hi * chunk_size
         dw = device_batches[si] if device_batches is not None else None
         plan = plan_fast_encode(
             data[lo * chunk_size : end], num_buf, bit_reorder, byte_reorder,
             chunk_size, threshold, preset_shared=preset, preset_counts=counts,
-            device_words=dw,
+            device_words=dw, stage_buf=stage_bufs[si],
         )
         if plan is None:
             return None
@@ -1417,73 +1470,80 @@ def fast_encode_payload_batched(
         if timings is not None:
             timings[key] = timings.get(key, 0.0) + dt
 
-    for si, (lo, hi) in enumerate(spans):
+    def _stitch():
+        # ---- stitch local payloads into the global container ----------
+        nonlocal out
         t0 = _t2.perf_counter()
-        item = submit(si, lo, hi)
-        _acc("submit_s", _t2.perf_counter() - t0)
-        if item is None:
-            return None
-        inflight.append(item)
-        if len(inflight) > 1:
+        metas = []
+        for pay, k in pieces:
+            types, starts, ds = parse_tables(pay, num_buf, k)
+            metas.append((types, starts, ds))
+        _acc("parse_s", _t2.perf_counter() - t0)
+        t0 = _t2.perf_counter()
+        types_g = np.concatenate([m[0] for m in metas], axis=1)
+        sizes_g = np.concatenate(
+            [(m[1][:, 1:] - m[1][:, :-1]).astype(np.uint64) for m in metas],
+            axis=1,
+        )
+        cumulative = np.cumsum(sizes_g, axis=1, dtype=np.uint64)
+        tbl_len = types_g.nbytes + cumulative.astype("<u8").nbytes
+        plane_totals = cumulative[:, -1].astype(np.int64)
+        plane_base = np.zeros(num_buf, dtype=np.int64)
+        for b in range(1, num_buf):
+            plane_base[b] = plane_base[b - 1] + plane_totals[b - 1]
+        starts_g = np.zeros((num_buf, n_chunks + 1), dtype=np.int64)
+        starts_g[:, 1:] = cumulative
+        total_len = tbl_len + int(plane_totals.sum())
+        need = prefix_len + total_len
+        if out is not None and out.size >= need:
+            # caller-managed staging (same convention as assemble's out_buf):
+            # a serving pipeline writing many checkpoints reuses one buffer,
+            # so the stitch writes warm pages instead of first-touch-faulting
+            # a fresh region every container (this VM's nested-virt fault path
+            # measured ~0.02 GB/s on a fresh 254 MB numpy buffer vs ~5 GB/s
+            # warm — a normal host pays ~50x less, but warm is free everywhere)
+            out = out[:need]
+        else:
+            out = np.empty(need, np.uint8)
+        pv = out[prefix_len:]
+        pv[: types_g.nbytes] = np.ascontiguousarray(types_g).reshape(-1)
+        pv[types_g.nbytes : tbl_len] = (
+            np.ascontiguousarray(cumulative.astype("<u8"))
+            .view(np.uint8).reshape(-1)
+        )
+        clo = 0
+        for (pay, k), (types, starts, ds) in zip(pieces, metas):
+            src_base = ds
+            for b in range(num_buf):
+                ln = int(starts[b, k])
+                dst = tbl_len + int(plane_base[b]) + int(starts_g[b, clo])
+                pv[dst : dst + ln] = pay[src_base : src_base + ln]
+                src_base += ln
+            clo += k
+        _acc("stitch_s", _t2.perf_counter() - t0)
+        return out
+
+    try:
+        for si, (lo, hi) in enumerate(spans):
+            t0 = _t2.perf_counter()
+            item = submit(si, lo, hi)
+            _acc("submit_s", _t2.perf_counter() - t0)
+            if item is None:
+                return None
+            inflight.append(item)
+            if len(inflight) > 1:
+                ran, assemble, k = inflight.pop(0)
+                t0 = _t2.perf_counter()
+                pay = np.frombuffer(assemble(*ran, timings=timings), np.uint8)
+                _acc("assemble_s", _t2.perf_counter() - t0)
+                pieces.append((pay, k))
+        while inflight:
             ran, assemble, k = inflight.pop(0)
             t0 = _t2.perf_counter()
             pay = np.frombuffer(assemble(*ran, timings=timings), np.uint8)
             _acc("assemble_s", _t2.perf_counter() - t0)
             pieces.append((pay, k))
-    while inflight:
-        ran, assemble, k = inflight.pop(0)
-        t0 = _t2.perf_counter()
-        pay = np.frombuffer(assemble(*ran, timings=timings), np.uint8)
-        _acc("assemble_s", _t2.perf_counter() - t0)
-        pieces.append((pay, k))
 
-    # ---- stitch local payloads into the global container ---------------
-    t0 = _t2.perf_counter()
-    metas = []
-    for pay, k in pieces:
-        types, starts, ds = parse_tables(pay, num_buf, k)
-        metas.append((types, starts, ds))
-    _acc("parse_s", _t2.perf_counter() - t0)
-    t0 = _t2.perf_counter()
-    types_g = np.concatenate([m[0] for m in metas], axis=1)
-    sizes_g = np.concatenate(
-        [(m[1][:, 1:] - m[1][:, :-1]).astype(np.uint64) for m in metas],
-        axis=1,
-    )
-    cumulative = np.cumsum(sizes_g, axis=1, dtype=np.uint64)
-    tbl_len = types_g.nbytes + cumulative.astype("<u8").nbytes
-    plane_totals = cumulative[:, -1].astype(np.int64)
-    plane_base = np.zeros(num_buf, dtype=np.int64)
-    for b in range(1, num_buf):
-        plane_base[b] = plane_base[b - 1] + plane_totals[b - 1]
-    starts_g = np.zeros((num_buf, n_chunks + 1), dtype=np.int64)
-    starts_g[:, 1:] = cumulative
-    total_len = tbl_len + int(plane_totals.sum())
-    need = prefix_len + total_len
-    if out is not None and out.size >= need:
-        # caller-managed staging (same convention as assemble's out_buf):
-        # a serving pipeline writing many checkpoints reuses one buffer,
-        # so the stitch writes warm pages instead of first-touch-faulting
-        # a fresh region every container (this VM's nested-virt fault path
-        # measured ~0.02 GB/s on a fresh 254 MB numpy buffer vs ~5 GB/s
-        # warm — a normal host pays ~50x less, but warm is free everywhere)
-        out = out[:need]
-    else:
-        out = np.empty(need, np.uint8)
-    pv = out[prefix_len:]
-    pv[: types_g.nbytes] = np.ascontiguousarray(types_g).reshape(-1)
-    pv[types_g.nbytes : tbl_len] = (
-        np.ascontiguousarray(cumulative.astype("<u8"))
-        .view(np.uint8).reshape(-1)
-    )
-    clo = 0
-    for (pay, k), (types, starts, ds) in zip(pieces, metas):
-        src_base = ds
-        for b in range(num_buf):
-            ln = int(starts[b, k])
-            dst = tbl_len + int(plane_base[b]) + int(starts_g[b, clo])
-            pv[dst : dst + ln] = pay[src_base : src_base + ln]
-            src_base += ln
-        clo += k
-    _acc("stitch_s", _t2.perf_counter() - t0)
-    return out
+        return _stitch()
+    finally:
+        _stage_pool_release(stage_bufs)
