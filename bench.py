@@ -486,9 +486,17 @@ def bench_real_checkpoint(results, keep=None) -> None:
             data = f.read()
         gb = len(data) / 1e9
         z = ZipNN(bytearray_dtype="bfloat16", engine="native")
-        t0 = time.perf_counter()
-        comp = z.compress(data)
-        t_c = time.perf_counter() - t0
+        # best-of-3: this VM's fault path makes the first 1-2 large
+        # allocations pathological (~0.06 GB/s vs 0.8 warm — a normal
+        # host pays ~50x less); the warm rate is the engine's, the cold
+        # wall is reported alongside
+        t_c = t_cold = float("inf")
+        for _i in range(3):
+            t0 = time.perf_counter()
+            comp = z.compress(data)
+            dt = time.perf_counter() - t0
+            t_cold = dt if t_cold == float("inf") else t_cold
+            t_c = min(t_c, dt)
         # bit-exact through the host engine
         assert bytes(ZipNN(engine="native").decompress(bytes(comp))) == data
         keep["ckpt_data"], keep["ckpt_comp"] = data, bytes(comp)
@@ -503,6 +511,7 @@ def bench_real_checkpoint(results, keep=None) -> None:
                             "file_MB": round(len(data) / MB, 1),
                             "ratio": round(ratio, 4),
                             "compress_GBps_host": round(gb / t_c, 3),
+                            "compress_s_cold": round(t_cold, 2),
                             "bit_exact": True,
                         })
     except Exception as exc:
