@@ -527,3 +527,47 @@ def test_native_byte_identical_under_sampling(n_chunks):
     )
     p_nat2 = native.compress_payload_shared(big, NB, 1, 10, CHUNK, 0.95, 2)
     assert bytes(memoryview(p_nat2)) == p_np2
+
+
+def test_stage_pool_recycles_and_bounds(monkeypatch):
+    """The per-batch encode staging pool: acquire reuses a released
+    buffer >= the requested size, release bounds retained bytes by
+    ZIPNN_TPU_STAGE_POOL_MB (oldest dropped first)."""
+    from zipnn_tpu.ops import jax_codec
+
+    monkeypatch.setattr(jax_codec, "_STAGE_POOL", [])
+    a = jax_codec._stage_pool_acquire(1 << 20)
+    b = jax_codec._stage_pool_acquire(1 << 20)
+    assert a is not b
+    jax_codec._stage_pool_release([a, b])
+    c = jax_codec._stage_pool_acquire(1 << 19)  # smaller: reuse
+    assert c is a or c is b
+    d = jax_codec._stage_pool_acquire(1 << 21)  # larger: fresh
+    assert d is not a and d is not b
+
+    monkeypatch.setenv("ZIPNN_TPU_STAGE_POOL_MB", "1")
+    jax_codec._stage_pool_release(
+        [np.empty(1 << 19, np.uint8) for _ in range(4)]
+    )
+    kept = sum(x.nbytes for x in jax_codec._STAGE_POOL)
+    assert kept <= 1 << 20
+
+
+def test_batched_encode_releases_stage_bufs_on_every_exit(monkeypatch):
+    """fast_encode_payload_batched must return its per-batch staging
+    buffers to the pool even when it bails early (non-TPU platform here:
+    the first submit returns None)."""
+    from zipnn_tpu.ops import jax_codec
+
+    monkeypatch.setattr(jax_codec, "_STAGE_POOL", [])
+    monkeypatch.setattr(jax_codec, "_platform_is_tpu", lambda: True)
+    # batches turn out ineligible mid-flight (first submit gets None)
+    monkeypatch.setattr(
+        jax_codec, "plan_fast_encode", lambda *a, **k: None
+    )
+    data = RNG.integers(0, 255, 4 * CHUNK, dtype=np.uint8)
+    out = jax_codec.fast_encode_payload_batched(
+        data, NB, 0, 10, CHUNK, batch_bytes=2 * CHUNK
+    )
+    assert out is None
+    assert len(jax_codec._STAGE_POOL) >= 1  # buffers released, not leaked
