@@ -230,3 +230,90 @@ def test_tpu_staged_deferred_decode_bit_exact():
     # mixing raw blobs and staged handles preserves order
     got2 = dec.decompress_all([blobs[0], staged[1], blobs[2]])
     assert [bytes(g) for g in got2] == outs
+
+
+# ---------------------------------------------------------------------------
+# ShardEncoder: pipelined multi-container compress (the encode twin)
+# ---------------------------------------------------------------------------
+from zipnn_tpu.io.serving import ShardEncoder  # noqa: E402
+
+
+def _enc_bufs(k=3, size=200_000):
+    return [_bf16(size + i * 13, seed=40 + i) for i in range(k)]
+
+
+def test_encoder_matches_zipnn_and_keeps_order():
+    bufs = _enc_bufs(k=4)
+    z = ZipNN(engine="numpy", huffman_table="shared")
+    enc = ShardEncoder(zipnn=ZipNN(engine="numpy", huffman_table="shared"))
+    outs = enc.compress_all(bufs)
+    assert [bytes(o) for o in outs] == [bytes(z.compress(b)) for b in bufs]
+    # and the containers roundtrip through the decode twin
+    got = [bytes(g) for g in ShardDecoder().decompress_iter(outs)]
+    assert got == bufs
+
+
+def test_encoder_default_is_tpu_engine_profile():
+    # engine="tpu" on a CPU platform routes through the generic device
+    # path — containers must still equal ZipNN(engine="tpu").compress
+    bufs = _enc_bufs(k=2, size=120_000)
+    zt = ZipNN(engine="tpu", huffman_table="shared")
+    outs = ShardEncoder().compress_all(bufs)
+    assert [bytes(o) for o in outs] == [bytes(zt.compress(b)) for b in bufs]
+
+
+def test_encoder_fallback_configs_roundtrip():
+    data = _enc_bufs(k=1)[0]
+    # streaming config falls back to ZipNN.compress (whole streamed frame)
+    zs = ZipNN(engine="numpy", is_streaming=True, streaming_chunk=65536)
+    o = ShardEncoder(zipnn=zs).compress(data)
+    assert bytes(zs.decompress(bytes(o))) == data
+    # per-chunk (non-shared) profile falls back too
+    zp = ZipNN(engine="numpy")
+    o2 = ShardEncoder(zipnn=zp).compress(data)
+    assert bytes(o2) == bytes(zp.compress(data))
+    assert bytes(zp.decompress(bytes(o2))) == data
+
+
+def test_encoder_mixed_fallback_stream_keeps_order():
+    # interleave sizes small enough to fall below one full chunk with
+    # regular ones: every container must come back in submit order
+    bufs = [_bf16(700, seed=1), _enc_bufs(k=1)[0], _bf16(900, seed=2)]
+    z = ZipNN(engine="numpy", huffman_table="shared")
+    enc = ShardEncoder(zipnn=ZipNN(engine="numpy", huffman_table="shared"))
+    outs = [bytes(o) for o in enc.compress_iter(bufs)]
+    assert outs == [bytes(z.compress(b)) for b in bufs]
+
+
+def test_encoder_pool_staging_no_leak():
+    # pool_staging on a non-fast-path platform acquires + releases; the
+    # global pool must stay bounded and results stay correct
+    bufs = _enc_bufs(k=3)
+    z = ZipNN(engine="numpy", huffman_table="shared")
+    enc = ShardEncoder(
+        zipnn=ZipNN(engine="numpy", huffman_table="shared"),
+        pool_staging=True,
+    )
+    outs = [bytes(o) for o in enc.compress_iter(bufs)]
+    assert outs == [bytes(z.compress(b)) for b in bufs]
+
+
+@pytest.mark.tpu
+def test_tpu_encoder_pipelined_bit_identical():
+    """Real chip: the pipelined fast path (device dispatches of shard N+1
+    submitted before shard N's host assembly) produces containers
+    byte-identical to one-at-a-time ZipNN.compress, in order, including
+    with pooled staging (views consumed per yield)."""
+    import jax
+
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("needs a real TPU")
+    bufs = _enc_bufs(k=3, size=8 * 1024 * 1024 + 1234)
+    zt = ZipNN(engine="tpu", huffman_table="shared")
+    ref = [bytes(zt.compress(b)) for b in bufs]
+    enc = ShardEncoder(pool_staging=True)
+    outs = [bytes(o) for o in enc.compress_iter(bufs)]
+    assert outs == ref
+    # and they decode back bit-exactly through the decode twin
+    got = [bytes(g) for g in ShardDecoder().decompress_iter(outs)]
+    assert got == bufs

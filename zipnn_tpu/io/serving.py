@@ -38,7 +38,7 @@ from .. import codec
 from ..core import dtypes
 from ..core.header import HEADER_LEN, Header
 
-__all__ = ["ShardDecoder", "decompress_iter"]
+__all__ = ["ShardDecoder", "ShardEncoder", "decompress_iter"]
 
 
 class _Started:
@@ -469,3 +469,189 @@ class ShardDecoder:
 def decompress_iter(blobs: Iterable, to_device: bool = False) -> Iterator:
     """Module-level convenience: ``ShardDecoder(to_device).decompress_iter``."""
     return ShardDecoder(to_device=to_device).decompress_iter(blobs)
+
+
+class _PendingEnc:
+    """In-flight compress: device dispatches submitted, finish() drains."""
+
+    __slots__ = ("finish",)
+
+    def __init__(self, finish):
+        self.finish = finish
+
+
+class ShardEncoder:
+    """Pipelined multi-container compress — the encode twin of
+    :class:`ShardDecoder`.
+
+    A checkpoint save compresses MANY buffers in a row.  One
+    ``ZipNN.compress`` at a time runs each container's phases serially:
+    device encode (byte-group split + sampled histogram + Pallas lockstep
+    kernels), then host assembly (table build + native payload splice) —
+    the device idles during shard N's splice and the host idles during
+    shard N+1's kernels.  This class overlaps them: shard N+1's device
+    dispatches are submitted FIRST and shard N's host assembly runs while
+    they execute (the ``between`` hook of
+    :func:`ops.jax_codec.plan_fast_encode`'s run closure), so the stream's
+    steady-state rate is ``max(host, device)`` instead of their sum.
+
+    Fast path: the shared-table profile (``huffman_table="shared"``) on a
+    real TPU — the ``engine="tpu"`` container profile.  Anything else
+    (per-chunk profile, vanilla/streaming/delta configs, non-TPU
+    platforms) transparently falls back to the regular single-container
+    ``ZipNN.compress``, preserving order.  Containers are byte-identical
+    to ``ZipNN.compress`` either way (the fast path IS the ZipNN tpu
+    engine's own plan/assemble machinery).
+
+    ``pool_staging=True`` recycles each shard's payload staging buffer
+    through the bounded process pool (``ZIPNN_TPU_STAGE_POOL_MB``) instead
+    of allocating fresh pages per shard (first-touch page faults on the
+    host path are the dominant per-shard fixed cost on fault-slow hosts).
+    The yielded containers are then VIEWS into pooled buffers: each is
+    valid until two further shards have been yielded — consume (write or
+    copy) each container as it arrives, which is what a checkpoint writer
+    does anyway.  With the default ``pool_staging=False`` every container
+    owns its buffer.
+
+    Usage::
+
+        from zipnn_tpu.io.serving import ShardEncoder
+        enc = ShardEncoder(pool_staging=True)
+        with open(path, "wb") as f:
+            for frame in enc.compress_iter(tensors):
+                f.write(frame)
+    """
+
+    def __init__(self, zipnn=None, pool_staging: bool = False):
+        if zipnn is None:
+            from ..zipnn import ZipNN  # noqa: PLC0415
+
+            zipnn = ZipNN(engine="tpu", huffman_table="shared")
+        self._z = zipnn
+        self._pool = pool_staging
+        self._held: list = []  # pooled bufs of already-yielded containers
+
+    def _submit(self, data, between=None, device_words=None) -> _PendingEnc:
+        """Prepare + dispatch one shard's device phase.
+
+        ``between`` (optional thunk) is invoked exactly once, after this
+        shard's first device dispatch is in flight (or immediately on a
+        fallback shard) — the pipelined iterator passes the PREVIOUS
+        shard's ``finish`` through it.  ``device_words``: pre-uploaded
+        uint32 device array of the shard's full chunks (a prefetch thread
+        staging host->device moves; see plan_fast_encode).
+        """
+        z = self._z
+        called = [False]
+
+        def fire():
+            if between is not None and not called[0]:
+                called[0] = True
+                between()
+
+        streaming = bool(getattr(z, "is_streaming", False))
+        delta = z.delta_compressed_type not in (None, 0, "0")
+        if streaming or delta:
+            fire()
+            return _PendingEnc(lambda: z.compress(data))
+        try:
+            prep = z._compress_prepare(data)
+        except Exception:
+            fire()
+            raise
+        if prep[0] == "vanilla":
+            fire()
+            frame = prep[1]
+            return _PendingEnc(lambda: frame)
+        _, hdr, arr, grouping, chunk, prefix = prep
+        shared = z.huffman_table == "shared"
+        plan = None
+        stage_buf = None
+        if shared and codec.resolve_engine(z.engine, shared) == "tpu":
+            from ..ops import jax_codec  # noqa: PLC0415
+
+            if self._pool:
+                n_chunks = codec.num_chunks_for(arr.size, chunk)
+                need = (
+                    256 + n_chunks * grouping.num_buf * 9
+                    + (arr.size // chunk) * chunk + chunk + prefix
+                )
+                stage_buf = jax_codec._stage_pool_acquire(need)
+            plan = jax_codec.plan_fast_encode(
+                arr, grouping.num_buf, grouping.bit_reorder,
+                grouping.byte_reorder, chunk, z.compression_threshold,
+                device_words=device_words, stage_buf=stage_buf,
+            )
+        if plan is None:
+            if stage_buf is not None:
+                from ..ops import jax_codec  # noqa: PLC0415
+
+                jax_codec._stage_pool_release([stage_buf])
+            fire()
+
+            def fin_generic():
+                payload = codec.compress_payload(
+                    arr, grouping.num_buf, grouping.bit_reorder,
+                    grouping.byte_reorder, chunk, z.compression_threshold,
+                    z.threads, z.engine, shared_tables=shared,
+                    prefix_len=prefix,
+                    check_th_after_percent=z.check_th_after_percent,
+                )
+                return z._compress_finish(hdr, payload, prefix, arr.size)
+
+            return _PendingEnc(fin_generic)
+        run, words_dev, assemble = plan
+        outs = run(words_dev, between=fire)
+        fire()  # run variants without a sync point fire before returning
+
+        def fin_fast():
+            payload = assemble(*outs, prefix_len=prefix)
+            frame = z._compress_finish(hdr, payload, prefix, arr.size)
+            if stage_buf is not None:
+                self._track_pooled(stage_buf)
+            return frame
+
+        return _PendingEnc(fin_fast)
+
+    def _track_pooled(self, buf) -> None:
+        # a pooled buffer returns to the pool two yields after its
+        # container was produced (the documented validity window)
+        from ..ops import jax_codec  # noqa: PLC0415
+
+        self._held.append(buf)
+        while len(self._held) > 2:
+            jax_codec._stage_pool_release([self._held.pop(0)])
+
+    # -- pipelined iteration ---------------------------------------------
+    def compress_iter(self, buffers: Iterable, staged_words=None) -> Iterator:
+        """Compress ``buffers`` in order, one container per buffer, with
+        shard N's host assembly overlapped under shard N+1's device
+        encode.  ``staged_words`` optionally supplies per-shard
+        pre-uploaded device words (parallel iterable; None entries fall
+        back to uploading inline)."""
+        done: list = []
+        prev: Optional[_PendingEnc] = None
+        words_it = iter(staged_words) if staged_words is not None else None
+        for b in buffers:
+            dw = next(words_it) if words_it is not None else None
+            if prev is None:
+                h = self._submit(b, device_words=dw)
+            else:
+                p = prev
+                h = self._submit(
+                    b, between=lambda: done.append(p.finish()),
+                    device_words=dw,
+                )
+            prev = h
+            while done:
+                yield done.pop(0)
+        if prev is not None:
+            yield prev.finish()
+
+    def compress_all(self, buffers: Iterable) -> list:
+        """Compress ``buffers``; returns the containers as a list."""
+        return list(self.compress_iter(buffers))
+
+    def compress(self, data):
+        """Single-container convenience (no pipelining)."""
+        return self._submit(data).finish()

@@ -400,6 +400,35 @@ class ZipNN:
         return t, (info.code, False)
 
     def _compress_one(self, data) -> bytes:
+        prep = self._compress_prepare(data)
+        if prep[0] == "vanilla":
+            return prep[1]
+        _, hdr, arr, grouping, chunk, prefix = prep
+        payload = codec.compress_payload(
+            arr,
+            grouping.num_buf,
+            grouping.bit_reorder,
+            grouping.byte_reorder,
+            chunk,
+            self.compression_threshold,
+            self.threads,
+            self.engine,
+            shared_tables=self.huffman_table == "shared",
+            prefix_len=prefix,
+            check_th_after_percent=self.check_th_after_percent,
+        )
+        return self._compress_finish(hdr, payload, prefix, arr.size)
+
+    def _compress_prepare(self, data):
+        """Everything in :meth:`_compress_one` before the payload encode.
+
+        Returns ``("vanilla", frame)`` when the whole-buffer vanilla path
+        applies (the frame is complete), else ``("payload", hdr, arr,
+        grouping, chunk, prefix)`` for :func:`codec.compress_payload` +
+        :meth:`_compress_finish`.  Split out so a pipelined writer
+        (io/serving.ShardEncoder) can interleave shard N's payload
+        assembly with shard N+1's device encode.
+        """
         lossy = None
         if self.lossy_compressed_type == EnumLossy.INTEGER:
             if self.input_format != EnumFormat.TORCH.value:
@@ -454,24 +483,14 @@ class ZipNN:
             hdr.byte_reorder = self.byte_reorder
             hdr.original_len = arr.size
             hdr.total_len = HEADER_LEN + hdr.ext_len() + len(body)
-            return hdr.to_bytes() + body
+            return ("vanilla", hdr.to_bytes() + body)
 
         chunk = codec.effective_chunk(self.compression_chunk, grouping.num_buf)
         prefix = HEADER_LEN + hdr.ext_len()
-        payload = codec.compress_payload(
-            arr,
-            grouping.num_buf,
-            grouping.bit_reorder,
-            grouping.byte_reorder,
-            chunk,
-            self.compression_threshold,
-            self.threads,
-            self.engine,
-            shared_tables=self.huffman_table == "shared",
-            prefix_len=prefix,
-            check_th_after_percent=self.check_th_after_percent,
-        )
-        hdr.original_len = arr.size
+        return ("payload", hdr, arr, grouping, chunk, prefix)
+
+    def _compress_finish(self, hdr, payload, prefix: int, orig_size: int):
+        hdr.original_len = orig_size
         # header + payload share one buffer (the reference C core's
         # python_header convention, zipnn_core.c:105-121): fill the
         # reserved prefix and return a zero-copy view
