@@ -7,5 +7,5 @@ onto its devices.  :class:`streaming.SafetensorsStreamReader` provides the
 range-read primitive and the host partitioning.
 """
 from .pytree import leaf_paths, load_pytree, save_pytree  # noqa: F401
-from .serving import ShardDecoder  # noqa: F401
+from .serving import ShardDecoder, ShardEncoder  # noqa: F401
 from .streaming import SafetensorsStreamReader, partition_names  # noqa: F401

@@ -935,7 +935,9 @@ def plan_fast_encode(
             # decisions are materialized at ASSEMBLY (one deferred fetch,
             # exactly like the legacy screen dispatch): kbits / flags stay
             # on device here so the timed device pipeline pays no extra
-            # host round-trips
+            # host round-trips; the async copy below starts their D2H
+            # move as soon as the kernels finish, so assembly's
+            # np.asarray pays no round trip on top
             return (planes, shared, outs, tuple(sws), kbits, flags_d,
                     tuple(live), _SAMPLED)
 
@@ -1038,14 +1040,24 @@ def plan_fast_encode(
             # const-scan kernel; decision formulas identical to the
             # legacy screen dispatch
             kbits, flags_d, live = bits_d, huf_ok_d, rle_d
+            # ONE batched D2H move for every decision array: per-array
+            # np.asarray pays a full link round trip each, which on a
+            # high-latency link (this rig's tunnel) costs more than the
+            # bytes themselves
+            import jax  # noqa: PLC0415
+
+            fetched = jax.device_get(
+                [k for k in kbits if k is not None] + [flags_d]
+            )
+            f = fetched.pop()  # const_scan_rows: b0 | is_const << 8
+            fetched = iter(fetched)
             bits = np.zeros((full, num_buf, 4), np.int64)
             uncode = np.zeros((full, num_buf), dtype=bool)
             for b in range(num_buf):
                 if kbits[b] is not None:
-                    kb = np.asarray(kbits[b]).astype(np.int64).reshape(full, 4)
+                    kb = next(fetched).astype(np.int64).reshape(full, 4)
                     bits[:, b, :] = kb & 0x3FFFFFFF
                     uncode[:, b] = (kb >> 30).any(axis=1)
-            f = np.asarray(flags_d)  # const_scan_rows: b0 | is_const << 8
             rle = (f >> 8).astype(bool)
             carg_h = f & 0xFF  # RLE symbol = the cell's first byte
             sbytes = (bits + 7) // 8  # [full, nb, 4]
@@ -1059,10 +1071,13 @@ def plan_fast_encode(
                 & (comp_len < th_bound)
             )
         else:
-            bits = np.asarray(bits_d).astype(np.int64)
-            huf_ok = np.asarray(huf_ok_d)
-            rle = np.asarray(rle_d)
-            carg_h = np.asarray(carg_d).reshape(full, num_buf)
+            import jax  # noqa: PLC0415
+
+            bits, huf_ok, rle, carg_h = jax.device_get(
+                [bits_d, huf_ok_d, rle_d, carg_d]
+            )  # one batched D2H move (see the sampled branch)
+            bits = bits.astype(np.int64)
+            carg_h = carg_h.reshape(full, num_buf)
             sbytes = (bits + 7) // 8  # [full, nb, 4]
             comp_len = hlen[None, :] + 6 + sbytes.sum(axis=2)  # [full, nb]
         chunk_types = (rle | huf_ok).T.astype(np.uint8)  # [nb, full]
